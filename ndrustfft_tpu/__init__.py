@@ -1,0 +1,43 @@
+"""ndrustfft_tpu — TPU-native n-dimensional FFT / real-FFT / DCT framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of
+`ndrustfft <https://github.com/preiter93/ndrustfft>`_ (reference mounted at
+/root/reference): axis-wise C2C FFT, R2C/C2R FFT and DCT types 1-4 over n-D
+arrays with a plan-caching handler API and scipy-style normalization —
+redesigned TPU-first. Lanes batch onto the VPU/MXU instead of being iterated;
+base DFTs are MXU matmuls; non-minor axes use fused/tiled transposes instead
+of per-lane copies; multi-chip scaling uses shard_map slab/pencil
+decompositions with all-to-all over ICI (see ``ndrustfft_tpu.parallel``).
+
+Public surface (parity with the reference's 16 functions + 3 handlers +
+Normalization enum, src/lib.rs:83-85, 115-124):
+
+    from ndrustfft_tpu import (
+        ndfft, ndifft, ndfft_r2c, ndifft_r2c, nddct1, nddct2, nddct3, nddct4,
+        FftHandler, R2cFftHandler, DctHandler, Normalization,
+    )
+
+    h = FftHandler(1024).normalization(Normalization.DEFAULT)
+    vhat = ndfft(v, h, axis=0)          # returns the output (functional)
+    v2 = ndifft(vhat, h, axis=0)
+"""
+
+from .api import (  # noqa: F401
+    nddct1, nddct1_par, nddct2, nddct2_par, nddct3, nddct3_par, nddct4,
+    nddct4_par, ndfft, ndfft_par, ndfft_r2c, ndfft_r2c_par, ndifft, ndifft_par,
+    ndifft_r2c, ndifft_r2c_par,
+)
+from .config import config  # noqa: F401
+from .handlers import DctHandler, FftHandler, R2cFftHandler  # noqa: F401
+from .normalization import Normalization  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ndfft", "ndifft", "ndfft_par", "ndifft_par",
+    "ndfft_r2c", "ndifft_r2c", "ndfft_r2c_par", "ndifft_r2c_par",
+    "nddct1", "nddct2", "nddct3", "nddct4",
+    "nddct1_par", "nddct2_par", "nddct3_par", "nddct4_par",
+    "FftHandler", "R2cFftHandler", "DctHandler", "Normalization",
+    "config",
+]

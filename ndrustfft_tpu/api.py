@@ -1,0 +1,275 @@
+"""Public functional API — all 16 entry points of the reference.
+
+Parity surface (reference src/lib.rs:350-844): ``ndfft``, ``ndifft``,
+``ndfft_r2c``, ``ndifft_r2c``, ``nddct1``..``nddct4`` and their ``_par``
+twins. JAX is functional, so instead of writing into ``&mut output`` each
+function RETURNS the output array; shapes/axis semantics and normalization
+behavior are otherwise identical (see normalization.py for the pinned rules).
+
+The reference's serial/parallel split (rayon ``par_for_each`` over lanes,
+src/lib.rs:169-238) does not exist on TPU: lanes are always batched across
+the VPU/MXU, and multi-chip execution is expressed with shardings — see
+``ndrustfft_tpu.parallel``. The ``_par`` names are kept as aliases so
+reference code ports 1:1.
+
+Axis/layout generality: the reference's three-way dispatch (fast minor-axis
+path / swap+copy / per-lane contiguity matrix, src/lib.rs:100-167) collapses
+to a single ``moveaxis`` here — XLA fuses or lowers it to a tiled transpose,
+and the Pallas kernels fold non-minor-axis handling into their block specs.
+
+Error parity: size mismatches raise ``ValueError("Size mismatch in fft, got
+{got} expected {expected}")`` mirroring the reference's assert messages
+(src/lib.rs:340-347, 743-750).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from .handlers import DctHandler, FftHandler, R2cFftHandler
+from .normalization import Normalization
+from .ops import dct as _dct
+from .ops import engine as _engine
+from .plan import get_c2c_plan, get_r2c_plan
+
+__all__ = [
+    "ndfft", "ndifft", "ndfft_par", "ndifft_par",
+    "ndfft_r2c", "ndifft_r2c", "ndfft_r2c_par", "ndifft_r2c_par",
+    "nddct1", "nddct2", "nddct3", "nddct4",
+    "nddct1_par", "nddct2_par", "nddct3_par", "nddct4_par",
+]
+
+
+def _real_dtype(dtype):
+    return jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.complexfloating) else dtype
+
+
+def _complex_dtype(dtype):
+    return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
+
+
+def _check_size(got: int, expected: int, what: str = "fft"):
+    if got != expected:
+        raise ValueError(f"Size mismatch in {what}, got {got} expected {expected}")
+
+
+@lru_cache(maxsize=4096)
+def _auto_handler(cls, n):
+    return cls(n)
+
+
+def _norm_axis(axis: int, ndim: int) -> int:
+    if not -ndim <= axis < ndim:
+        raise ValueError(f"axis {axis} out of bounds for {ndim}-d array")
+    return axis % ndim
+
+
+# --------------------------------------------------------------------------
+# Core implementations (traceable; transform axis moved to last)
+# --------------------------------------------------------------------------
+
+
+def _c2c_impl(x, handler, axis, sign):
+    axis = _norm_axis(axis, x.ndim)
+    _check_size(x.shape[axis], handler.n)
+    rdt = _real_dtype(x.dtype)
+    xm = jnp.moveaxis(x, axis, -1)
+    xr = jnp.real(xm).astype(rdt)
+    xi = jnp.imag(xm).astype(rdt)
+    yr, yi = _engine.c2c(xr, xi, get_c2c_plan(handler.n, sign))
+    y = jax.lax.complex(yr, yi)
+    if sign == +1:  # inverse: normalization applied AFTER (src/lib.rs:321-331)
+        norm = handler.norm
+        if norm.kind == "default":
+            y = y * jnp.asarray(1.0 / handler.n, rdt)
+        elif norm.kind == "custom":
+            y = norm.fn(y)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def _r2c_impl(x, handler, axis):
+    axis = _norm_axis(axis, x.ndim)
+    _check_size(x.shape[axis], handler.n)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise TypeError("ndfft_r2c expects a real input array")
+    xm = jnp.moveaxis(x, axis, -1)
+    sr, si = _engine.r2c(xm, get_r2c_plan(handler.n))
+    return jnp.moveaxis(jax.lax.complex(sr, si), -1, axis)
+
+
+def _c2r_impl(xhat, handler, axis):
+    axis = _norm_axis(axis, xhat.ndim)
+    n, m = handler.n, handler.m
+    _check_size(xhat.shape[axis], m)
+    rdt = _real_dtype(xhat.dtype)
+    xm = jnp.moveaxis(xhat, axis, -1)
+    # Reference order (src/lib.rs:506-523): normalization FIRST on the
+    # m-length spectrum (Default = 1/n over the FULL length n) ...
+    norm = handler.norm
+    if norm.kind == "default":
+        xm = xm * jnp.asarray(1.0 / n, rdt)
+    elif norm.kind == "custom":
+        xm = norm.fn(xm)
+    sr = jnp.real(xm).astype(rdt)
+    si = jnp.imag(xm).astype(rdt)
+    # ... then force the DC bin real, and the Nyquist bin real for even n.
+    mask = jnp.ones((m,), rdt).at[0].set(0.0)
+    if n % 2 == 0:
+        mask = mask.at[m - 1].set(0.0)
+    si = si * mask
+    y = _engine.c2r(sr, si, n)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def _dct_impl(x, handler, axis, dct_type):
+    axis = _norm_axis(axis, x.ndim)
+    _check_size(x.shape[axis], handler.n, what="dct")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise TypeError("nddct expects a real input array")
+    xm = jnp.moveaxis(x, axis, -1)
+    # Normalization BEFORE the transform (src/lib.rs:688-741); Default = x2
+    # converts the rustdct convention to scipy's unnormalized dct.
+    norm = handler.norm
+    if norm.kind == "default":
+        xm = xm * jnp.asarray(2.0, x.dtype)
+    elif norm.kind == "custom":
+        xm = norm.fn(xm)
+    y = _dct.DCT_FNS[dct_type](xm)
+    return jnp.moveaxis(y, -1, axis)
+
+
+# --------------------------------------------------------------------------
+# Eager-call jit cache: compiled once per (kind, handler, axis, shape, dtype)
+# — the runtime analog of the reference's cached Arc<dyn Fft> plans.
+# --------------------------------------------------------------------------
+
+_IMPLS = {
+    "fft": lambda x, h, a: _c2c_impl(x, h, a, -1),
+    "ifft": lambda x, h, a: _c2c_impl(x, h, a, +1),
+    "r2c": _r2c_impl,
+    "c2r": _c2r_impl,
+    "dct1": lambda x, h, a: _dct_impl(x, h, a, 1),
+    "dct2": lambda x, h, a: _dct_impl(x, h, a, 2),
+    "dct3": lambda x, h, a: _dct_impl(x, h, a, 3),
+    "dct4": lambda x, h, a: _dct_impl(x, h, a, 4),
+}
+
+
+@lru_cache(maxsize=4096)
+def _jitted(kind, handler, axis):
+    return jax.jit(lambda x: _IMPLS[kind](x, handler, axis))
+
+
+def _dispatch(kind, x, handler, axis):
+    if isinstance(x, jax.core.Tracer):
+        return _IMPLS[kind](x, handler, axis)  # already inside a user jit
+    return _jitted(kind, handler, axis)(x)
+
+
+def _prep_complex(x):
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.complexfloating):
+        x = x.astype(_complex_dtype(x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                                    else jnp.float32))
+    return x
+
+
+def _prep_real(x):
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return x  # validated (rejected) later with a clear error
+        x = x.astype(jnp.float32)
+    return x
+
+
+# --------------------------------------------------------------------------
+# Public functions
+# --------------------------------------------------------------------------
+
+
+def ndfft(x, handler: FftHandler | None = None, axis: int = -1):
+    """n-D complex-to-complex forward FFT along ``axis`` (unnormalized).
+
+    Functional form of the reference's ``ndfft(&input, &mut output, &handler,
+    axis)`` (src/lib.rs:350-372): returns the transformed array.
+    ``handler=None`` auto-plans for ``x.shape[axis]``.
+    """
+    x = _prep_complex(x)
+    h = handler or _auto_handler(FftHandler, x.shape[_norm_axis(axis, x.ndim)])
+    return _dispatch("fft", x, h, axis)
+
+
+def ndifft(x, handler: FftHandler | None = None, axis: int = -1):
+    """n-D C2C inverse FFT along ``axis``; normalization per handler policy
+    applied after the transform (Default = 1/n; src/lib.rs:321-338)."""
+    x = _prep_complex(x)
+    h = handler or _auto_handler(FftHandler, x.shape[_norm_axis(axis, x.ndim)])
+    return _dispatch("ifft", x, h, axis)
+
+
+def ndfft_r2c(x, handler: R2cFftHandler | None = None, axis: int = -1):
+    """Real-to-complex FFT along ``axis``: real length n -> m = n//2 + 1
+    spectrum bins (src/lib.rs:543-564)."""
+    x = _prep_real(x)
+    h = handler or _auto_handler(R2cFftHandler, x.shape[_norm_axis(axis, x.ndim)])
+    return _dispatch("r2c", x, h, axis)
+
+
+def ndifft_r2c(x, handler: R2cFftHandler | None = None, axis: int = -1,
+               n: int | None = None):
+    """Complex-to-real inverse FFT along ``axis``: m spectrum bins -> n reals.
+
+    Reproduces the reference's exact semantics (src/lib.rs:506-523):
+    normalization is applied to the spectrum BEFORE the inverse transform,
+    then the DC bin's imaginary part is zeroed, and for even n the Nyquist
+    bin's too — matching numpy's ``irfft`` on non-Hermitian input.
+
+    Without a handler, ``n`` may be given explicitly; it defaults to the
+    even-length reconstruction 2*(m-1), like numpy ``irfft``.
+    """
+    x = _prep_complex(x)
+    if handler is None:
+        m = x.shape[_norm_axis(axis, x.ndim)]
+        handler = _auto_handler(R2cFftHandler, n if n is not None else 2 * (m - 1))
+    return _dispatch("c2r", x, handler, axis)
+
+
+def _make_dct(dct_type):
+    def f(x, handler: DctHandler | None = None, axis: int = -1):
+        x = _prep_real(x)
+        h = handler or _auto_handler(DctHandler, x.shape[_norm_axis(axis, x.ndim)])
+        return _dispatch(f"dct{dct_type}", x, h, axis)
+
+    f.__name__ = f"nddct{dct_type}"
+    f.__qualname__ = f.__name__
+    f.__doc__ = (
+        f"Real-to-real DCT-{'I' * dct_type if dct_type <= 3 else 'IV'} "
+        f"(type {dct_type}) along ``axis`` (src/lib.rs:753-844). With the "
+        f"Default normalization the output equals scipy.fft.dct(x, type="
+        f"{dct_type}); with Normalization.NONE it equals the rustdct "
+        f"convention (scipy / 2)."
+    )
+    return f
+
+
+nddct1 = _make_dct(1)
+nddct2 = _make_dct(2)
+nddct3 = _make_dct(3)
+nddct4 = _make_dct(4)
+
+# ``_par`` twins: on TPU there is no separate threaded path — batching is
+# inherent and multi-chip runs via shardings (ndrustfft_tpu.parallel). Kept
+# as aliases so reference call sites (src/lib.rs:399-421, 589-611, 777-844)
+# port unchanged.
+ndfft_par = ndfft
+ndifft_par = ndifft
+ndfft_r2c_par = ndfft_r2c
+ndifft_r2c_par = ndifft_r2c
+nddct1_par = nddct1
+nddct2_par = nddct2
+nddct3_par = nddct3
+nddct4_par = nddct4

@@ -1,0 +1,77 @@
+"""Plan-caching handler API — parity with the reference's three handler structs.
+
+``FftHandler`` / ``R2cFftHandler`` / ``DctHandler`` mirror the reference
+(src/lib.rs:269-348, 451-541, 640-751): construction eagerly builds the
+transform schedule for length ``n`` (the analog of rustfft/realfft/rustdct
+planning), ``.normalization(...)`` is the same builder method, and handlers
+are immutable, shareable, and hashable — the JAX analog of ``&self`` handlers
+with ``Arc`` plans being Sync (reference CHANGELOG 0.4.5).
+
+Handlers hash by (type, n, normalization) so they can key jit caches.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from .normalization import Normalization
+from .plan import get_c2c_plan, get_r2c_plan
+
+
+class _HandlerBase:
+    __slots__ = ("n", "norm")
+
+    def __init__(self, n: int):
+        if not isinstance(n, int) or n <= 0:
+            raise ValueError(f"transform length must be a positive int, got {n!r}")
+        self.n = n
+        self.norm = Normalization.DEFAULT
+
+    def normalization(self, norm: Normalization) -> "_HandlerBase":
+        """Builder: returns a new handler with the given normalization policy."""
+        if not isinstance(norm, Normalization):
+            raise TypeError(f"expected Normalization, got {type(norm).__name__}")
+        new = copy.copy(self)
+        new.norm = norm
+        return new
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.n, self.norm))
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other) and self.n == other.n and self.norm == other.norm
+        )
+
+    def __repr__(self):
+        return f"{type(self).__name__}(n={self.n}, norm={self.norm!r})"
+
+
+class FftHandler(_HandlerBase):
+    """C2C FFT plan for axis length n (reference src/lib.rs:269-348)."""
+
+    def __init__(self, n: int):
+        super().__init__(n)
+        get_c2c_plan(n, -1)  # eager planning, like FftHandler::new
+        get_c2c_plan(n, +1)
+
+
+class R2cFftHandler(_HandlerBase):
+    """R2C/C2R plan for REAL axis length n; spectrum length m = n//2 + 1
+    (reference src/lib.rs:451-541)."""
+
+    __slots__ = ("m",)
+
+    def __init__(self, n: int):
+        super().__init__(n)
+        self.m = n // 2 + 1
+        get_r2c_plan(n)
+        get_c2c_plan(n, +1)
+
+
+class DctHandler(_HandlerBase):
+    """DCT-1/2/3/4 plans for axis length n (reference src/lib.rs:640-751).
+
+    Like the reference, all four types are planned by one handler; the engine
+    caches the underlying FFT schedules (2n-2, n, 4n, 2n) lazily on first use.
+    """

@@ -1,0 +1,64 @@
+"""Normalization policy — parity with the reference's enum (src/lib.rs:89-98).
+
+Semantics pinned from the reference:
+  * C2C: forward applies NO normalization regardless of policy
+    (src/lib.rs:313-318); the inverse applies the policy AFTER the transform
+    (src/lib.rs:321-331). Default = multiply by 1/n.
+  * R2C: forward applies nothing (src/lib.rs:497-503); C2R applies the policy
+    to the half-spectrum BEFORE the inverse transform, with Default = 1/n
+    over the FULL length n (src/lib.rs:506-531).
+  * DCT 1-4: policy applied to the input lane BEFORE the transform
+    (legal, the transform is linear); Default = multiply by 2, which converts
+    the rustdct convention to scipy's unnormalized dct (src/lib.rs:688-741).
+
+``Custom`` takes a callable replacing the reference's ``fn(&mut [T])``: it
+receives a JAX array whose LAST axis is the transform lane (it may carry
+arbitrary leading batch dimensions — lanes are batched on TPU instead of
+iterated) and must return an array of the same shape/dtype. It must be
+jax-traceable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+
+class Normalization:
+    """One of Normalization.NONE, Normalization.DEFAULT, Normalization.custom(fn)."""
+
+    __slots__ = ("kind", "fn")
+
+    def __init__(self, kind: str, fn: Optional[Callable] = None):
+        if kind not in ("none", "default", "custom"):
+            raise ValueError(f"unknown normalization kind: {kind}")
+        if kind == "custom" and fn is None:
+            raise ValueError("Normalization.custom requires a callable")
+        self.kind = kind
+        self.fn = fn
+
+    # Rust-style constructors
+    NONE: "Normalization"
+    DEFAULT: "Normalization"
+
+    @staticmethod
+    def custom(fn: Callable) -> "Normalization":
+        return Normalization("custom", fn)
+
+    def __repr__(self):
+        return f"Normalization.{self.kind.upper()}" if self.kind != "custom" else (
+            f"Normalization.custom({self.fn!r})"
+        )
+
+    def __hash__(self):
+        return hash((self.kind, id(self.fn)))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Normalization)
+            and self.kind == other.kind
+            and self.fn is other.fn
+        )
+
+
+Normalization.NONE = Normalization("none")
+Normalization.DEFAULT = Normalization("default")

@@ -1,0 +1,176 @@
+"""Batched mixed-radix FFT engine on split re/im arrays (pure JAX/XLA).
+
+This is the framework's own transform math — the TPU replacement for the
+rustfft/realfft butterfly kernels the reference delegates to (SURVEY.md §2.2
+N1/N2). It is NOT a wrapper over ``jnp.fft`` (that is used only as a test
+oracle). Everything here is reshape/transpose/matmul/elementwise, i.e. the
+op set XLA maps well onto the MXU/VPU; the fused Pallas kernels in
+``ops/pallas`` implement the same schedules with explicit VMEM staging.
+
+Complex numbers are carried as (re, im) float array pairs: TPU has no complex
+registers, and split layout lets every complex matmul lower to 4 real MXU
+matmuls (or 3 with Karatsuba, used here) without XLA's complex->real
+legalization getting in the way.
+
+Layout convention: the transformed axis is always the LAST axis here; axis
+generality (the reference dispatcher's swap_axes/copy machinery,
+src/lib.rs:100-167) is handled by the caller via moveaxis, which XLA fuses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import matmul_precision
+from ..plan import C2CPlan, R2CPlan, get_c2c_plan
+
+
+def _const(pair, dtype):
+    """Cast a (re, im) numpy f64 constant pair to the working dtype."""
+    return jnp.asarray(pair[0], dtype), jnp.asarray(pair[1], dtype)
+
+
+def _cmatmul_last(xr, xi, w, dtype):
+    """(..., f) x (f, f) complex matmul over the last axis.
+
+    3-multiplication (Karatsuba) form: k1 = wr@(xr+xi) style does not apply
+    cleanly to matmul; use the standard 3M trick:
+      t1 = xr @ wr ; t2 = xi @ wi ; t3 = (xr + xi) @ (wr + wi)
+      yr = t1 - t2 ; yi = t3 - t1 - t2
+    """
+    wr, wi = _const(w, dtype)
+    prec = matmul_precision()
+    t1 = jnp.matmul(xr, wr, precision=prec)
+    t2 = jnp.matmul(xi, wi, precision=prec)
+    t3 = jnp.matmul(xr + xi, wr + wi, precision=prec)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmul(ar, ai, br, bi):
+    """Elementwise complex multiply (VPU)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def c2c(xr, xi, plan: C2CPlan):
+    """Batched C2C FFT along the last axis. xr/xi: (..., n) real arrays.
+
+    Unnormalized in both directions, matching rustfft semantics that the
+    reference builds on (forward AND backward unnormalized; normalization is
+    the handler's policy layer, reference src/lib.rs:313-338).
+    """
+    if plan.kind == "bluestein":
+        return _bluestein(xr, xi, plan)
+    return _ct(xr, xi, plan.stages, plan.base, xr.dtype)
+
+
+def _ct(xr, xi, stages, base, dtype):
+    """Recursive Cooley-Tukey over the plan's factor stages.
+
+    Derivation (DIT, k = q*m + p, t = f*t' + j):
+      X[q*m + p] = sum_j W_f^{jq} * ( W_n^{jp} * FFT_m(x[j::f])[p] )
+    """
+    if not stages:
+        return _cmatmul_last(xr, xi, base, dtype)
+    f, m, wf, tw = stages[0]
+    batch = xr.shape[:-1]
+    # x[f*t' + j] -> xs[..., t', j]; sub-FFT runs along t' so move j out front
+    xr = jnp.swapaxes(xr.reshape(batch + (m, f)), -1, -2)
+    xi = jnp.swapaxes(xi.reshape(batch + (m, f)), -1, -2)
+    yr, yi = _ct(xr, xi, stages[1:], base, dtype)  # (..., f, m)
+    twr, twi = _const(tw, dtype)
+    yr, yi = _cmul(yr, yi, twr, twi)
+    # combine: out[..., q, p] = sum_j wf[j, q] * y[..., j, p]
+    wfr, wfi = _const(wf, dtype)
+    prec = matmul_precision()
+
+    def comb(wj):
+        return jnp.einsum("jq,...jp->...qp", wj, yr, precision=prec), jnp.einsum(
+            "jq,...jp->...qp", wj, yi, precision=prec
+        )
+
+    t1r, t1i = comb(wfr)
+    t2r, t2i = comb(wfi)
+    outr = t1r - t2i
+    outi = t1i + t2r
+    return outr.reshape(batch + (f * m,)), outi.reshape(batch + (f * m,))
+
+
+def _bluestein(xr, xi, plan: C2CPlan):
+    """Chirp-z: X[k] = b[k] * IFFT_M(FFT_M(x*a, pad) * H)[k], k < n."""
+    dtype = xr.dtype
+    n, M = plan.n, plan.M
+    car, cai = _const(plan.chirp_a, dtype)
+    ar, ai = _cmul(xr, xi, car, cai)
+    pad = [(0, 0)] * (ar.ndim - 1) + [(0, M - n)]
+    ar = jnp.pad(ar, pad)
+    ai = jnp.pad(ai, pad)
+    fr, fi = c2c(ar, ai, plan.sub_fwd)
+    hr, hi = _const(plan.H, dtype)
+    fr, fi = _cmul(fr, fi, hr, hi)
+    gr, gi = c2c(fr, fi, plan.sub_inv)
+    scale = jnp.asarray(1.0 / M, dtype)
+    gr = gr[..., :n] * scale
+    gi = gi[..., :n] * scale
+    cbr, cbi = _const(plan.chirp_b, dtype)
+    return _cmul(gr, gi, cbr, cbi)
+
+
+# --------------------------------------------------------------------------
+# R2C / C2R (the realfft capability, reference src/lib.rs:451-541)
+# --------------------------------------------------------------------------
+
+
+def r2c(x, plan: R2CPlan):
+    """Real (..., n) -> half-spectrum (re, im) of shape (..., m), m = n//2+1.
+
+    Even n uses the pack trick: z[t] = x[2t] + i*x[2t+1], one half-size C2C,
+    then split/merge with the unpack twiddle. Odd n runs a full C2C on the
+    complexified input and truncates. Unnormalized (reference applies no
+    forward normalization, src/lib.rs:497-503).
+    """
+    n, m = plan.n, plan.m
+    if not plan.half:
+        zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
+        return zr[..., :m], zi[..., :m]
+    h = n // 2
+    xe = x[..., 0::2]
+    xo = x[..., 1::2]
+    zr, zi = c2c(xe, xo, plan.sub)  # FFT of z = xe + i*xo, length h
+    # Z[-k]: index (h - k) mod h for k = 0..m-1 (m = h + 1 when n even)
+    idx = (-np.arange(m)) % h
+    zrk = jnp.concatenate([zr, zr[..., :1]], axis=-1)  # Z[k], k=0..h
+    zik = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    zrm = zrk[..., idx]  # Z[(h-k) mod h]
+    zim = zik[..., idx]
+    # Fe[k] = (Z[k] + conj(Z[-k]))/2 ; Fo[k] = (Z[k] - conj(Z[-k]))/(2i)
+    fer = 0.5 * (zrk + zrm)
+    fei = 0.5 * (zik - zim)
+    forr = 0.5 * (zik + zim)
+    foi = -0.5 * (zrk - zrm)
+    twr, twi = _const(plan.unpack_tw, x.dtype)
+    tr, ti = _cmul(forr, foi, twr, twi)
+    return fer + tr, fei + ti
+
+
+def c2r(sr, si, n: int):
+    """Half-spectrum (..., m) -> real (..., n) via Hermitian extension + C2C.
+
+    Caller is responsible for the reference's pre-steps (normalization first,
+    then zeroing the imaginary parts of DC and — for even n — Nyquist,
+    src/lib.rs:506-523); this routine extends X[n-k] = conj(X[k]) for the
+    missing bins and returns the real part of the unnormalized inverse.
+    """
+    m = n // 2 + 1
+    if n == 1:
+        return sr[..., :1]
+    # bins m..n-1 are conj(X[n-k]) with n-k running m-1-(n%2==0?) .. 1
+    idx = np.arange(n - m, 0, -1)  # k = n-m .. 1 -> X[n-j] = conj(X[j])
+    er = jnp.concatenate([sr, sr[..., idx]], axis=-1)
+    ei = jnp.concatenate([si, -si[..., idx]], axis=-1)
+    plan = get_c2c_plan(n, +1)
+    yr, _ = c2c(er, ei, plan)
+    return yr
