@@ -1,0 +1,11 @@
+"""Multi-chip layer: slab/pencil decompositions over jax.sharding meshes."""
+
+from .pencil import (  # noqa: F401
+    Step, fftn_pencil, irfftn_pencil, pencil_transform, plan_pencil,
+    rfftn_pencil,
+)
+
+__all__ = [
+    "Step", "pencil_transform", "plan_pencil",
+    "fftn_pencil", "rfftn_pencil", "irfftn_pencil",
+]

@@ -1,0 +1,225 @@
+"""Distributed slab/pencil transform decomposition over a TPU mesh.
+
+The reference's only parallelism is rayon ``par_for_each`` over independent
+1-D lanes on one host (src/lib.rs:169-238). The TPU-native capability layer
+this build must supply (SURVEY.md §2.3, BASELINE.json north star) is the
+multi-chip analog: the n-D grid is sharded over a ``jax.sharding.Mesh``
+(slab = 1-D mesh, pencil = 2-D mesh), each axis transform runs chip-LOCAL
+(reusing the exact single-chip engine — the distributed layer is cleanly
+separable, like the reference's ``#[cfg(feature = "parallel")]`` split), and
+between axis passes the grid is re-sharded with ``lax.all_to_all`` global
+transposes riding ICI — the FFT world's sequence parallelism (cf. AccFFT /
+advanced-MPI-FFT patterns, PAPERS.md).
+
+Core entry point: :func:`pencil_transform` runs an arbitrary sequence of
+:class:`Step` axis transforms on a globally-sharded array, inserting the
+minimal all-to-alls. Convenience wrappers cover the common spectral
+pipelines (fftn / rfftn and inverses).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..api import _IMPLS
+from ..handlers import DctHandler, FftHandler, R2cFftHandler
+
+_KINDS = set(_IMPLS)
+
+
+@dataclass(frozen=True)
+class Step:
+    """One axis transform: kind in {'fft','ifft','r2c','c2r','dct1'..'dct4'}."""
+
+    kind: str
+    axis: int
+    handler: object
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown transform kind {self.kind!r}; one of {sorted(_KINDS)}")
+
+    def out_len(self, n_in: int) -> int:
+        if self.kind == "r2c":
+            return self.handler.m
+        if self.kind == "c2r":
+            return self.handler.n
+        return n_in
+
+
+def _spec_tuple(spec, ndim: int) -> list[Optional[str]]:
+    parts = list(spec) if spec is not None else []
+    parts += [None] * (ndim - len(parts))
+    for p in parts:
+        if p is not None and not isinstance(p, str):
+            raise ValueError(
+                "pencil_transform supports at most one mesh axis per array dim; "
+                f"got spec entry {p!r}"
+            )
+    return parts
+
+
+def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
+    """Statically simulate the re-sharding schedule.
+
+    Uneven decompositions (e.g. the R2C half-spectrum m = n//2+1 not divisible
+    by the mesh size) are handled by padding the split dim to the next
+    multiple of the mesh-axis size before each global transpose and slicing
+    the padding back off when a dim becomes local again (the standard uneven
+    pencil technique, cf. AccFFT). Invariant: LOCAL dims always carry their
+    true length; SHARDED dims may carry tail padding.
+
+    Returns (reshard_plan, out_spec, true_out_shape, padded_out_shape,
+    in_pad_shape):
+      reshard_plan[i] is None (axis already local) or a dict with the static
+      all_to_all + pad/slice parameters for step i; in_pad_shape is the
+      global shape the (possibly uneven-sharded) input must be padded to.
+    """
+    ndim = len(global_shape)
+    spec = _spec_tuple(in_spec, ndim)
+    true_len = list(global_shape)
+    pad_len = list(global_shape)  # global padded length (== true for local)
+    transformed: list[int] = []
+    plan: list[Optional[dict]] = []
+    # uneven-sharded INPUT dims get padded globally before shard_map
+    for d, name in enumerate(spec):
+        if name is not None:
+            k = mesh.shape[name]
+            pad_len[d] = -(-global_shape[d] // k) * k
+    in_pad_shape = tuple(pad_len)
+    for step in steps:
+        a = step.axis % ndim
+        if spec[a] is not None:
+            name = spec[a]
+            k = mesh.shape[name]
+            # destination: any local dim; prefer the most recently
+            # transformed (classic pencil rotation)
+            cands = [b for b in reversed(transformed) if b != a and spec[b] is None]
+            cands += [b for b in range(ndim)
+                      if b != a and spec[b] is None and b not in cands]
+            if not cands:
+                raise ValueError(
+                    f"cannot re-shard: no local dim available to receive the "
+                    f"shard of mesh axis {name!r} in shape {tuple(true_len)}"
+                )
+            b = cands[0]
+            B = true_len[b]
+            Bp = -(-B // k) * k  # pad split dim to a multiple of k
+            plan.append({
+                "name": name, "split": b, "concat": a,
+                "pad_b_to": Bp,                  # local pad before all_to_all
+                "slice_a_to": true_len[a],       # unpad a once it is local
+            })
+            spec[a], spec[b] = None, name
+            pad_len[b] = Bp
+            pad_len[a] = true_len[a]
+        else:
+            plan.append(None)
+        true_len[a] = step.out_len(true_len[a])
+        pad_len[a] = true_len[a]
+        transformed.append(a)
+    return plan, tuple(spec), tuple(true_len), tuple(pad_len), in_pad_shape
+
+
+def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec):
+    """Apply a sequence of axis transforms to a mesh-sharded global array.
+
+    ``in_spec`` is a PartitionSpec (or tuple) mapping each array dim to at
+    most one mesh axis name. Transforms run chip-local on full axes; when a
+    step's axis is sharded, a tiled ``all_to_all`` first rotates the shard
+    onto a local dim (a global transpose over ICI), padding uneven dims as
+    needed. Returns ``(out, out_spec)``: the transformed GLOBAL array (true,
+    unpadded shape) and its PartitionSpec.
+
+    Example — 3-D R2C spectral forward on a ('y','z') pencil mesh::
+
+        steps = [Step('r2c', 2, R2cFftHandler(nx)),
+                 Step('fft', 1, FftHandler(ny)),
+                 Step('fft', 0, FftHandler(nz))]
+        vhat, out_spec = pencil_transform(v, steps, mesh, P('y', 'z', None))
+    """
+    steps = list(steps)
+    plan, out_spec, true_shape, pad_shape, in_pad_shape = plan_pencil(
+        x.shape, steps, mesh, in_spec
+    )
+    if in_pad_shape != x.shape:
+        pads = [(0, p - s) for s, p in zip(x.shape, in_pad_shape)]
+        x = jax.numpy.pad(x, pads)
+    ndim = x.ndim
+    in_spec_p = P(*_spec_tuple(in_spec, ndim))
+    out_spec_p = P(*out_spec)
+
+    def local_fn(lx):
+        for step, rs in zip(steps, plan):
+            if rs is not None:
+                b, a = rs["split"], rs["concat"]
+                pad_to = rs["pad_b_to"]
+                if pad_to != lx.shape[b]:
+                    pads = [(0, 0)] * ndim
+                    pads[b] = (0, pad_to - lx.shape[b])
+                    lx = jax.numpy.pad(lx, pads)
+                lx = jax.lax.all_to_all(lx, rs["name"], split_axis=b,
+                                        concat_axis=a, tiled=True)
+                if lx.shape[a] != rs["slice_a_to"]:
+                    lx = jax.lax.slice_in_dim(lx, 0, rs["slice_a_to"], axis=a)
+            lx = _IMPLS[step.kind](lx, step.handler, step.axis % ndim)
+        return lx
+
+    f = jax.shard_map(local_fn, mesh=mesh, in_specs=in_spec_p,
+                      out_specs=out_spec_p, check_vma=False)
+    out = f(x)
+    # strip tail padding on dims that ended sharded-with-padding
+    for d in range(ndim):
+        if pad_shape[d] != true_shape[d]:
+            out = jax.lax.slice_in_dim(out, 0, true_shape[d], axis=d)
+    return out, out_spec_p
+
+
+# --------------------------------------------------------------------------
+# Convenience spectral pipelines
+# --------------------------------------------------------------------------
+
+
+def fftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
+                inverse: bool = False, handlers=None):
+    """Multi-axis C2C FFT (all axes by default) on a sharded global array."""
+    axes = list(range(x.ndim)) if axes is None else list(axes)
+    kind = "ifft" if inverse else "fft"
+    if handlers is None:
+        handlers = {a: FftHandler(x.shape[a]) for a in axes}
+    steps = [Step(kind, a, handlers[a]) for a in axes]
+    return pencil_transform(x, steps, mesh, in_spec)
+
+
+def rfftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
+                 handlers=None):
+    """Real n-D forward: R2C along the LAST of ``axes``, C2C along the rest —
+    the canonical composition of the reference's rfft2 example
+    (examples/rfft2.rs:29-33) generalized and sharded."""
+    axes = list(range(x.ndim)) if axes is None else list(axes)
+    r2c_axis = axes[-1]
+    if handlers is None:
+        handlers = {a: (R2cFftHandler(x.shape[a]) if a == r2c_axis
+                        else FftHandler(x.shape[a])) for a in axes}
+    steps = [Step("r2c", r2c_axis, handlers[r2c_axis])]
+    steps += [Step("fft", a, handlers[a]) for a in axes[:-1]]
+    return pencil_transform(x, steps, mesh, in_spec)
+
+
+def irfftn_pencil(x, mesh: Mesh, in_spec, n_last: int,
+                  axes: Optional[Sequence[int]] = None, handlers=None):
+    """Inverse of :func:`rfftn_pencil`; ``n_last`` is the real length of the
+    final (C2R) axis."""
+    axes = list(range(x.ndim)) if axes is None else list(axes)
+    c2r_axis = axes[-1]
+    if handlers is None:
+        handlers = {a: (R2cFftHandler(n_last) if a == c2r_axis
+                        else FftHandler(x.shape[a])) for a in axes}
+    steps = [Step("ifft", a, handlers[a]) for a in axes[:-1]]
+    steps += [Step("c2r", c2r_axis, handlers[c2r_axis])]
+    return pencil_transform(x, steps, mesh, in_spec)

@@ -1,0 +1,144 @@
+"""Distributed pencil/slab tests on a virtual 8-device CPU mesh.
+
+serial == sharded equivalence (SURVEY.md §4 test plan): every pencil pipeline
+must match the single-device engine and the numpy oracle bit-for-tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ndrustfft_tpu import FftHandler, R2cFftHandler
+from ndrustfft_tpu.parallel import (
+    Step, fftn_pencil, irfftn_pencil, pencil_transform, rfftn_pencil,
+)
+
+
+def mesh_2d():
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, ("y", "z"))
+
+
+def mesh_1d():
+    return Mesh(np.array(jax.devices()[:8]), ("d",))
+
+
+def shard(x, mesh, spec):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def test_slab_fft2_both_axes():
+    # 2-D C2C along both axes on a 1-D (slab) mesh
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((16, 24)) + 1j * rng.standard_normal((16, 24))
+    mesh = mesh_1d()
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    out, out_spec = fftn_pencil(x, mesh, P("d", None))
+    ref = np.fft.fft2(v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
+def test_pencil_3d_rfftn_roundtrip():
+    # 3-D R2C pencil pipeline on a 2-D mesh — the BASELINE.json config #5
+    # shape, shrunk to test size.
+    rng = np.random.default_rng(1)
+    nz, ny, nx = 8, 16, 12
+    v = rng.standard_normal((nz, ny, nx))
+    mesh = mesh_2d()
+    x = shard(jnp.asarray(v), mesh, P("y", "z", None))
+    vhat, spec = rfftn_pencil(x, mesh, P("y", "z", None))
+    ref = np.fft.rfftn(v, axes=(2, 1, 0))  # r2c last axis, then fft 1, 0
+    # numpy rfftn transforms axes in the given order with r2c on the LAST
+    # listed axis; ours transforms axis 2 (r2c) then 1 then 0:
+    ref = np.fft.fft(np.fft.fft(np.fft.rfft(v, axis=2), axis=1), axis=0)
+    np.testing.assert_allclose(np.asarray(vhat), ref, rtol=1e-10,
+                               atol=1e-10 * np.abs(ref).max())
+    back, _ = irfftn_pencil(vhat, mesh, spec, n_last=nx, axes=[0, 1, 2])
+    np.testing.assert_allclose(np.asarray(back), v, rtol=1e-10, atol=1e-11)
+
+
+def test_pencil_matches_serial_exactly_f32():
+    # serial == sharded equivalence in f32 (same engine, same constants)
+    rng = np.random.default_rng(2)
+    v = (rng.standard_normal((8, 16)) + 1j * rng.standard_normal((8, 16))).astype(
+        np.complex64
+    )
+    mesh = mesh_1d()
+    h0, h1 = FftHandler(8), FftHandler(16)
+    from ndrustfft_tpu import ndfft
+
+    serial = np.asarray(ndfft(ndfft(jnp.asarray(v), h1, 1), h0, 0))
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    steps = [Step("fft", 1, h1), Step("fft", 0, h0)]
+    out, _ = pencil_transform(x, steps, mesh, P("d", None))
+    np.testing.assert_allclose(np.asarray(out), serial, rtol=2e-6,
+                               atol=2e-6 * np.abs(serial).max())
+
+
+def test_pencil_sharded_transform_axis_gets_rotated():
+    # transform along a SHARDED axis must still be correct (forces all_to_all)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((16, 8)) + 1j * rng.standard_normal((16, 8))
+    mesh = mesh_1d()
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    out, spec = pencil_transform(x, [Step("fft", 0, FftHandler(16))], mesh,
+                                 P("d", None))
+    ref = np.fft.fft(v, axis=0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+    # shard rotated onto dim 1
+    assert spec == P(None, "d")
+
+
+def test_pencil_uneven_split_padded():
+    # dim1=9 is NOT divisible by the 8-device mesh: the global transpose must
+    # pad the split dim and the result must still be exact (uneven pencil).
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((8, 9)) + 1j * rng.standard_normal((8, 9))
+    mesh = mesh_1d()
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    out, spec = pencil_transform(x, [Step("fft", 0, FftHandler(8))], mesh,
+                                 P("d", None))
+    ref = np.fft.fft(v, axis=0)
+    assert out.shape == (8, 9)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
+def test_pencil_uneven_input_sharding():
+    # input sharded unevenly (9 rows over 8 devices): padded transparently
+    rng = np.random.default_rng(8)
+    v = rng.standard_normal((9, 8)) + 1j * rng.standard_normal((9, 8))
+    mesh = mesh_1d()
+    out, _ = pencil_transform(jnp.asarray(v), [Step("fft", 1, FftHandler(8))],
+                              mesh, P("d", None))
+    ref = np.fft.fft(v, axis=1)
+    assert out.shape == (9, 8)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
+def test_step_kind_validated():
+    with pytest.raises(ValueError, match="unknown transform kind"):
+        Step("fff", 0, FftHandler(4))
+
+
+def test_dct_sharded():
+    import scipy.fft as sf
+
+    from ndrustfft_tpu import DctHandler
+
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((16, 12))
+    mesh = mesh_1d()
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    out, _ = pencil_transform(x, [Step("dct2", 0, DctHandler(16))], mesh,
+                              P("d", None))
+    ref = sf.dct(v, type=2, axis=0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
