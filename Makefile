@@ -1,0 +1,26 @@
+# ndrustfft_tpu build/test entry points
+
+NATIVE_SO = ndrustfft_tpu/native/libndplanner.so
+
+.PHONY: all native test bench examples clean
+
+all: native
+
+native: $(NATIVE_SO)
+
+$(NATIVE_SO): ndrustfft_tpu/native/planner.cpp
+	g++ -O2 -shared -fPIC -o $@ $<
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+examples: native
+	python examples/fft1.py && python examples/fft2.py && \
+	python examples/rfft2.py && python examples/fft_norm.py
+
+clean:
+	rm -f $(NATIVE_SO)
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -34,15 +34,13 @@ def _const(pair, dtype):
     return jnp.asarray(pair[0], dtype), jnp.asarray(pair[1], dtype)
 
 
-def _cmatmul_last(xr, xi, w, dtype):
+def _cmatmul_last(xr, xi, wr, wi):
     """(..., f) x (f, f) complex matmul over the last axis.
 
-    3-multiplication (Karatsuba) form: k1 = wr@(xr+xi) style does not apply
-    cleanly to matmul; use the standard 3M trick:
+    3-multiplication form:
       t1 = xr @ wr ; t2 = xi @ wi ; t3 = (xr + xi) @ (wr + wi)
       yr = t1 - t2 ; yi = t3 - t1 - t2
     """
-    wr, wi = _const(w, dtype)
     prec = matmul_precision()
     t1 = jnp.matmul(xr, wr, precision=prec)
     t2 = jnp.matmul(xi, wi, precision=prec)
@@ -64,27 +62,41 @@ def c2c(xr, xi, plan: C2CPlan):
     """
     if plan.kind == "bluestein":
         return _bluestein(xr, xi, plan)
-    return _ct(xr, xi, plan.stages, plan.base, xr.dtype)
+    dtype = xr.dtype
+    # fused Pallas kernel path (TPU, f32, ct plans): one HBM round trip
+    batch = int(np.prod(xr.shape[:-1])) if xr.ndim > 1 else 1
+    if batch >= 8:
+        from .pallas.fft import c2c_pallas, pallas_supported
+
+        if pallas_supported(plan, dtype):
+            shape = xr.shape
+            yr, yi = c2c_pallas(xr.reshape(batch, plan.n),
+                                xi.reshape(batch, plan.n), plan)
+            return yr.reshape(shape), yi.reshape(shape)
+    stage_vals = [(f, m, _const(wf, dtype), _const(tw, dtype))
+                  for f, m, wf, tw in plan.stages]
+    base_vals = _const(plan.base, dtype)
+    return ct_valued(xr, xi, stage_vals, base_vals)
 
 
-def _ct(xr, xi, stages, base, dtype):
-    """Recursive Cooley-Tukey over the plan's factor stages.
+def ct_valued(xr, xi, stages, base):
+    """Recursive Cooley-Tukey over stage constants given as jnp VALUES —
+    shared by the XLA path (constants folded by jit) and the Pallas kernels
+    (constants read from VMEM refs).
 
     Derivation (DIT, k = q*m + p, t = f*t' + j):
       X[q*m + p] = sum_j W_f^{jq} * ( W_n^{jp} * FFT_m(x[j::f])[p] )
     """
     if not stages:
-        return _cmatmul_last(xr, xi, base, dtype)
-    f, m, wf, tw = stages[0]
+        return _cmatmul_last(xr, xi, *base)
+    f, m, (wfr, wfi), (twr, twi) = stages[0]
     batch = xr.shape[:-1]
     # x[f*t' + j] -> xs[..., t', j]; sub-FFT runs along t' so move j out front
     xr = jnp.swapaxes(xr.reshape(batch + (m, f)), -1, -2)
     xi = jnp.swapaxes(xi.reshape(batch + (m, f)), -1, -2)
-    yr, yi = _ct(xr, xi, stages[1:], base, dtype)  # (..., f, m)
-    twr, twi = _const(tw, dtype)
+    yr, yi = ct_valued(xr, xi, stages[1:], base)  # (..., f, m)
     yr, yi = _cmul(yr, yi, twr, twi)
     # combine: out[..., q, p] = sum_j wf[j, q] * y[..., j, p]
-    wfr, wfi = _const(wf, dtype)
     prec = matmul_precision()
 
     def comb(wj):

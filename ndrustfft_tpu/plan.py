@@ -69,10 +69,17 @@ def factorize(n: int, max_base: Optional[int] = None) -> Optional[tuple[int, ...
     """Factor n into a few factors each ≤ max_base (largest first).
 
     Returns None when n has a prime factor > max_base (Bluestein territory).
+    Uses the native C++ planner (native/planner.cpp) when built; the Python
+    path below is the exact algorithmic twin.
     """
     max_base = max_base or config.max_base_radix
     if n <= 0:
         raise ValueError(f"transform length must be positive, got {n}")
+    from . import native
+
+    r = native.factorize_native(n, max_base)
+    if r is not NotImplemented:
+        return r
     if n == 1:
         return (1,)
     pf = prime_factors(n)
@@ -112,19 +119,35 @@ def _cis(num: np.ndarray, den: int, sign: int):
 
 def dft_matrix(f: int, sign: int):
     """(f, f) DFT matrix W[t, k] = exp(sign*2j*pi*t*k/f), split re/im."""
+    from . import native
+
+    r = native.dft_matrix_native(f, sign)
+    if r is not NotImplemented:
+        return r
     tk = np.outer(np.arange(f, dtype=np.int64), np.arange(f, dtype=np.int64))
     return _cis(2 * tk, f, sign)
 
 
 def stage_twiddle(f: int, m: int, sign: int):
     """(f, m) twiddle W_n^{j*p} for n = f*m, split re/im."""
+    from . import native
+
+    r = native.stage_twiddle_native(f, m, sign)
+    if r is not NotImplemented:
+        return r
     jp = np.outer(np.arange(f, dtype=np.int64), np.arange(m, dtype=np.int64))
     return _cis(2 * jp, f * m, sign)
 
 
 def chirp(n: int, sign: int, length: Optional[int] = None):
     """exp(sign * 1j * pi * t^2 / n) for t in [0, length), split re/im."""
-    t = np.arange(length if length is not None else n, dtype=np.int64)
+    length = length if length is not None else n
+    from . import native
+
+    r = native.chirp_native(n, sign, length)
+    if r is not NotImplemented:
+        return r
+    t = np.arange(length, dtype=np.int64)
     return _cis(t * t, n, sign)
 
 

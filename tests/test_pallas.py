@@ -1,0 +1,76 @@
+"""Pallas kernel path tests (interpreter mode on CPU).
+
+The fused kernel must be bit-compatible-at-tolerance with the XLA engine and
+the numpy oracle for every plan shape it claims to support, including partial
+lane tiles. On real TPU the same kernels compile natively (exercised by
+bench.py / the driver's TPU runs).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from ndrustfft_tpu import FftHandler, R2cFftHandler, config, ndfft, ndfft_r2c, ndifft
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    # the api-level jit cache bakes in the config flags at trace time; clear
+    # it around each flip so tests see the intended path
+    from ndrustfft_tpu.api import _jitted
+
+    old_i, old_u = config.pallas_interpret, config.use_pallas
+    config.pallas_interpret = True
+    config.use_pallas = True
+    _jitted.cache_clear()
+    yield
+    config.pallas_interpret = old_i
+    config.use_pallas = old_u
+    _jitted.cache_clear()
+
+
+@pytest.mark.parametrize("n", [16, 64, 264, 1024])
+def test_pallas_c2c_matches_numpy(n):
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((32, n)) + 1j * rng.standard_normal((32, n))
+         ).astype(np.complex64)
+    got = np.asarray(ndfft(jnp.asarray(x), FftHandler(n), axis=1))
+    ref = np.fft.fft(x, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_partial_tile():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((37, 64)) + 1j * rng.standard_normal((37, 64))
+         ).astype(np.complex64)
+    got = np.asarray(ndfft(jnp.asarray(x), FftHandler(64), axis=1))
+    ref = np.fft.fft(x, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_inverse_and_r2c():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((16, 128)) + 1j * rng.standard_normal((16, 128))
+         ).astype(np.complex64)
+    h = FftHandler(128)
+    back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 1), h, 1))
+    assert np.abs(back - x).max() < 1e-5
+    xr = rng.standard_normal((16, 128)).astype(np.float32)
+    got = np.asarray(ndfft_r2c(jnp.asarray(xr), R2cFftHandler(128), axis=1))
+    ref = np.fft.rfft(xr, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_matches_xla_engine_exactly_disabled():
+    # with use_pallas off, the XLA engine must produce the same values
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((32, 64)) + 1j * rng.standard_normal((32, 64))
+         ).astype(np.complex64)
+    h = FftHandler(64)
+    a = np.asarray(ndfft(jnp.asarray(x), h, axis=1))
+    config.use_pallas = False
+    from ndrustfft_tpu.api import _jitted
+
+    _jitted.cache_clear()
+    b = np.asarray(ndfft(jnp.asarray(x), h, axis=1))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * np.abs(b).max())
