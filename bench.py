@@ -74,16 +74,27 @@ def main():
     vs = gflops / gflops_xla if gflops_xla == gflops_xla else 1.0
 
     if args.all:
-        for name, sizes in [("fft2d", [128, 264, 512, 1024])]:
-            for m in sizes:
-                xm = jnp.asarray(
-                    rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m)),
-                    dtype=jnp.complex64)
-                hm = FftHandler(m)
-                t = _median_time(jax.jit(lambda v, _h=hm: ndfft(v, _h, axis=0)), xm)
-                print(f"# {name} n={m}: {t*1e6:.1f} us "
-                      f"({5.0*m*math.log2(m)*m/t/1e9:.1f} GFLOP/s)",
-                      file=sys.stderr)
+        # the reference's full criterion grid (benches/ndrustfft.rs:6-7):
+        # fft2d / rfft2d on n in {128,264,512,1024}, dct2d (DCT-I) on n+1
+        from ndrustfft_tpu import DctHandler, R2cFftHandler, nddct1, ndfft_r2c
+
+        for m in [128, 264, 512, 1024]:
+            xc = jnp.asarray(
+                rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m)),
+                dtype=jnp.complex64)
+            hm = FftHandler(m)
+            t = _median_time(jax.jit(lambda v, _h=hm: ndfft(v, _h, axis=0)), xc)
+            print(f"# fft2d n={m}: {t*1e6:.1f} us "
+                  f"({5.0*m*math.log2(m)*m/t/1e9:.1f} GFLOP/s)", file=sys.stderr)
+            xr = jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.float32)
+            hr = R2cFftHandler(m)
+            t = _median_time(jax.jit(lambda v, _h=hr: ndfft_r2c(v, _h, axis=0)), xr)
+            print(f"# rfft2d n={m}: {t*1e6:.1f} us", file=sys.stderr)
+            d = m + 1
+            xd = jnp.asarray(rng.standard_normal((d, d)), dtype=jnp.float32)
+            hd = DctHandler(d)
+            t = _median_time(jax.jit(lambda v, _h=hd: nddct1(v, _h, axis=0)), xd)
+            print(f"# dct2d n={d}: {t*1e6:.1f} us", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"fft2d_{n}_c2c_f32_axis0",

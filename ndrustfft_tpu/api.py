@@ -76,10 +76,26 @@ def _c2c_impl(x, handler, axis, sign):
     axis = _norm_axis(axis, x.ndim)
     _check_size(x.shape[axis], handler.n)
     rdt = _real_dtype(x.dtype)
+    plan = get_c2c_plan(handler.n, sign)
+    if axis == 0 and x.ndim >= 2 and plan.kind == "ct":
+        # transpose-free first-axis path (the reference's slow/bench config)
+        xr = jnp.real(x).astype(rdt)
+        xi = jnp.imag(x).astype(rdt)
+        yr, yi = _engine.c2c_axis0(xr, xi, plan)
+        y = jax.lax.complex(yr, yi)
+        if sign == +1:
+            norm = handler.norm
+            if norm.kind == "default":
+                y = y * jnp.asarray(1.0 / handler.n, rdt)
+            elif norm.kind == "custom":
+                # custom fns see the lane on the LAST axis (documented
+                # contract) — present that view, then restore
+                y = jnp.moveaxis(norm.fn(jnp.moveaxis(y, 0, -1)), -1, 0)
+        return y
     xm = jnp.moveaxis(x, axis, -1)
     xr = jnp.real(xm).astype(rdt)
     xi = jnp.imag(xm).astype(rdt)
-    yr, yi = _engine.c2c(xr, xi, get_c2c_plan(handler.n, sign))
+    yr, yi = _engine.c2c(xr, xi, plan)
     y = jax.lax.complex(yr, yi)
     if sign == +1:  # inverse: normalization applied AFTER (src/lib.rs:321-331)
         norm = handler.norm

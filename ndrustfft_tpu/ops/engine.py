@@ -111,6 +111,71 @@ def ct_valued(xr, xi, stages, base):
     return outr.reshape(batch + (f * m,)), outi.reshape(batch + (f * m,))
 
 
+def ct_first_valued(xr, xi, stages, base):
+    """Cooley-Tukey along axis 0 with trailing batch dims — the transpose-free
+    twin of :func:`ct_valued` for the reference's benchmark configuration
+    (transform along axis 0 of a C-order 2-D array, benches/ndrustfft.rs:6):
+    where the reference pays per-lane copies (src/lib.rs:125-137) and a
+    moveaxis-based design pays an HBM transpose, this contracts directly over
+    the leading axis.
+    """
+    if not stages:
+        br, bi = base
+        prec = matmul_precision()
+        t1r = jnp.einsum("tk,t...->k...", br, xr, precision=prec)
+        t1i = jnp.einsum("tk,t...->k...", br, xi, precision=prec)
+        t2r = jnp.einsum("tk,t...->k...", bi, xr, precision=prec)
+        t2i = jnp.einsum("tk,t...->k...", bi, xi, precision=prec)
+        return t1r - t2i, t1i + t2r
+    f, m, (wfr, wfi), (twr, twi) = stages[0]
+    rest = xr.shape[1:]
+    # x[f*t' + j, ...] -> xs[t', j, ...]; sub-FFT along t' with (j, rest) batch
+    xr = xr.reshape((m, f) + rest)
+    xi = xi.reshape((m, f) + rest)
+    yr, yi = ct_first_valued(xr, xi, stages[1:], base)  # (p, j, ...)
+    tw_shape = (m, f) + (1,) * len(rest)
+    twr_t = jnp.swapaxes(twr, 0, 1).reshape(tw_shape)
+    twi_t = jnp.swapaxes(twi, 0, 1).reshape(tw_shape)
+    yr, yi = _cmul(yr, yi, twr_t, twi_t)
+    # combine: out[q, p, ...] = sum_j wf[j, q] * y[p, j, ...]
+    prec = matmul_precision()
+
+    def comb(wj):
+        return (jnp.einsum("jq,pj...->qp...", wj, yr, precision=prec),
+                jnp.einsum("jq,pj...->qp...", wj, yi, precision=prec))
+
+    t1r, t1i = comb(wfr)
+    t2r, t2i = comb(wfi)
+    outr = t1r - t2i
+    outi = t1i + t2r
+    return outr.reshape((f * m,) + rest), outi.reshape((f * m,) + rest)
+
+
+def c2c_axis0(xr, xi, plan: C2CPlan):
+    """C2C FFT along axis 0 (trailing dims batch) without any HBM transpose.
+
+    Routes to the axis-0 Pallas kernel when eligible; falls back to the
+    first-axis XLA math. Bluestein plans use the lane-last path via moveaxis
+    (rare sizes)."""
+    if plan.kind == "bluestein":
+        yr, yi = _bluestein(jnp.moveaxis(xr, 0, -1), jnp.moveaxis(xi, 0, -1), plan)
+        return jnp.moveaxis(yr, -1, 0), jnp.moveaxis(yi, -1, 0)
+    dtype = xr.dtype
+    cols = int(np.prod(xr.shape[1:])) if xr.ndim > 1 else 1
+    if cols >= 8:
+        from .pallas.fft import c2c_pallas_axis0, pallas_supported
+
+        if pallas_supported(plan, dtype):
+            shape = xr.shape
+            yr, yi = c2c_pallas_axis0(xr.reshape(plan.n, cols),
+                                      xi.reshape(plan.n, cols), plan)
+            return yr.reshape(shape), yi.reshape(shape)
+    stage_vals = [(f, m, _const(wf, dtype), _const(tw, dtype))
+                  for f, m, wf, tw in plan.stages]
+    base_vals = _const(plan.base, dtype)
+    return ct_first_valued(xr, xi, stage_vals, base_vals)
+
+
 def _bluestein(xr, xi, plan: C2CPlan):
     """Chirp-z: X[k] = b[k] * IFFT_M(FFT_M(x*a, pad) * H)[k], k < n."""
     dtype = xr.dtype

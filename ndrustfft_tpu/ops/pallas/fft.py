@@ -131,3 +131,69 @@ def c2c_pallas(xr, xi, plan: C2CPlan):
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
                       bool(config.pallas_interpret))
     return run(xr, xi)
+
+
+def _kernel_axis0(struct, n, xr_ref, xi_ref, *refs):
+    """Axis-0 flavor: block is (n, T); transform runs along dim 0 in VMEM
+    (no HBM transpose — relayouts happen on-chip)."""
+    from ..engine import ct_first_valued
+
+    const_refs = refs[:-2]
+    or_ref, oi_ref = refs[-2:]
+    stages = []
+    i = 0
+    for f, m in struct:
+        stages.append((f, m, (const_refs[i][:], const_refs[i + 1][:]),
+                       (const_refs[i + 2][:], const_refs[i + 3][:])))
+        i += 4
+    base = (const_refs[i][:], const_refs[i + 1][:])
+    yr, yi = ct_first_valued(xr_ref[:], xi_ref[:], stages, base)
+    or_ref[:] = yr
+    oi_ref[:] = yi
+
+
+@lru_cache(maxsize=256)
+def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
+                      interpret: bool):
+    from ...plan import get_c2c_plan
+
+    plan = get_c2c_plan(n, sign)
+    dtype = jnp.dtype(dtype_str)
+    consts, struct = _flatten_consts(plan, dtype)
+    tile = min(_lane_tile(n, dtype.itemsize), max(128, min(cols, 128)))
+    grid = (pl.cdiv(cols, tile),)
+
+    data_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    flops_per = 8 * n * (sum(f for f, _ in struct) + plan.base[0].shape[0])
+    call = pl.pallas_call(
+        partial(_kernel_axis0, struct, n),
+        out_shape=(jax.ShapeDtypeStruct((n, cols), dtype),
+                   jax.ShapeDtypeStruct((n, cols), dtype)),
+        grid=grid,
+        in_specs=[data_spec, data_spec] + const_specs,
+        out_specs=(data_spec, data_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * cols,
+            bytes_accessed=4 * cols * n * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        return call(xr, xi, *consts)
+
+    return run
+
+
+def c2c_pallas_axis0(xr, xi, plan: C2CPlan):
+    """C2C along axis 0 of (n, cols) split re/im arrays, transpose-free."""
+    n, cols = xr.shape
+    run = _build_call_axis0(n, plan.sign, cols, str(xr.dtype),
+                            bool(config.pallas_interpret))
+    return run(xr, xi)

@@ -181,3 +181,28 @@ def test_grad_through_fft():
     g = jax.grad(loss)(x)
     # Parseval: d/dx sum|FFT x|^2 = 2n x (for complex grad convention, conj)
     np.testing.assert_allclose(np.asarray(g), 8 * 2 * np.asarray(x).conj(), rtol=1e-10)
+
+
+def test_axis0_custom_norm_lane_contract():
+    # the axis-0 fast path must still hand custom norm fns a lane-last view
+    v = complex_matrix()
+    seen_shapes = []
+
+    def fn(d):
+        seen_shapes.append(d.shape)
+        return d * (1.0 / d.shape[-1])
+
+    h = FftHandler(6).normalization(Normalization.custom(fn))
+    out = np.asarray(ndifft(ndfft(jnp.asarray(v), h, axis=0), h, axis=0))
+    np.testing.assert_allclose(out, v, rtol=1e-12, atol=1e-12)
+    assert all(s[-1] == 6 for s in seen_shapes)
+
+
+def test_axis0_matches_lastaxis_path():
+    # the two engine layouts must agree on identical data
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))
+    h = FftHandler(16)
+    a = np.asarray(ndfft(jnp.asarray(v), h, axis=0))
+    b = np.asarray(ndfft(jnp.asarray(v.T), h, axis=1)).T
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12 * np.abs(a).max())

@@ -74,3 +74,16 @@ def test_pallas_matches_xla_engine_exactly_disabled():
     _jitted.cache_clear()
     b = np.asarray(ndfft(jnp.asarray(x), h, axis=1))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * np.abs(b).max())
+
+
+def test_pallas_axis0_kernel():
+    # transpose-free axis-0 kernel flavor
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((264, 32)) + 1j * rng.standard_normal((264, 32))
+         ).astype(np.complex64)
+    h = FftHandler(264)
+    got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
+    ref = np.fft.fft(x, axis=0)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 0), h, 0))
+    assert np.abs(back - x).max() < 1e-4
