@@ -25,6 +25,9 @@ class _Config:
     # Use fused Pallas kernels on TPU when a kernel exists for the plan;
     # otherwise (or when False) the pure-XLA engine runs everywhere.
     use_pallas: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS", "1") not in ("0", "false")
+    # Kernel schedule flavor: 'mosaic' = reshape-free two-stage four-step
+    # (real-TPU compatible); 'generic' = recursive mixed radix (interpreter).
+    pallas_flavor: str = os.environ.get("NDRUSTFFT_TPU_PALLAS_FLAVOR", "mosaic")
     # Run Pallas kernels in interpreter mode (CPU testing of the kernel path).
     pallas_interpret: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS_INTERPRET", "0") in (
         "1", "true")

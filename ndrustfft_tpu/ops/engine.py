@@ -213,6 +213,14 @@ def r2c(x, plan: R2CPlan):
     if not plan.half:
         zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
         return zr[..., :m], zi[..., :m]
+    batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if batch >= 8:
+        from .pallas.rfft import r2c_pallas, rfft_pallas_supported
+
+        if rfft_pallas_supported(plan, x.dtype):
+            shape = x.shape[:-1]
+            sr, si = r2c_pallas(x.reshape(batch, n), plan)
+            return sr.reshape(shape + (m,)), si.reshape(shape + (m,))
     h = n // 2
     xe = x[..., 0::2]
     xo = x[..., 1::2]
@@ -244,6 +252,16 @@ def c2r(sr, si, n: int):
     m = n // 2 + 1
     if n == 1:
         return sr[..., :1]
+    if n % 2 == 0:
+        batch = int(np.prod(sr.shape[:-1])) if sr.ndim > 1 else 1
+        if batch >= 8:
+            from .pallas.fft import pallas_supported
+            from .pallas.rfft import c2r_pallas
+
+            if pallas_supported(get_c2c_plan(n // 2, +1), sr.dtype):
+                shape = sr.shape[:-1]
+                y = c2r_pallas(sr.reshape(batch, m), si.reshape(batch, m), n)
+                return y.reshape(shape + (n,))
     # bins m..n-1 are conj(X[n-k]) with n-k running m-1-(n%2==0?) .. 1
     idx = np.arange(n - m, 0, -1)  # k = n-m .. 1 -> X[n-j] = conj(X[j])
     er = jnp.concatenate([sr, sr[..., idx]], axis=-1)

@@ -1,20 +1,38 @@
-"""Fused Pallas TPU kernel for batched C2C FFT (lane-last).
+"""Fused Pallas TPU kernels for batched C2C FFT — Mosaic-native design.
 
 This is the TPU-native replacement for rustfft's butterfly kernels
 (SURVEY.md §2.2 N1): the whole mixed-radix schedule for one tile of lanes
 runs in VMEM — every element is read from HBM once and written once, instead
-of round-tripping per stage as the pure-XLA lowering does. Base DFTs and the
-combine contraction land on the MXU; twiddle multiplies on the VPU. Twiddle
-tables are tiny plan constants that stay VMEM-resident across the whole grid.
+of round-tripping per stage as a pure-XLA lowering does.
 
-Split re/im layout throughout (TPU has no complex registers). The kernel is
-only generated for 'ct' plans in f32 whose per-tile working set fits VMEM;
-everything else (Bluestein sizes, f64, huge n) falls back to the XLA engine.
+Mosaic (the Pallas TPU compiler) does not allow reshapes that split the lane
+(minor-most) dimension, so the schedule is laid out around that constraint
+(validated empirically via compile-only probes on the real toolchain):
+
+* axis-0 flavor (transform on the major axis): input (n, L) is pre-reshaped
+  to (m, f, L) by XLA (free); ALL FFT stages run on leading/middle dims
+  (middle-dim splits + leading-output dot_generals -> MXU, broadcast
+  twiddles -> VPU) while the lane axis carries pure batch — no lane
+  relayouts at all, the most TPU-natural layout. Output (f, m, L) -> (n, L):
+  index k = q*m + p with q from the outer factor-f DFT.
+
+* lane-last flavor (transform on the minor axis): blocks stay 2-D (tile, n)
+  — perfect (8,128) layouts — and the tile is transposed ONCE in VMEM to
+  (n, tile), leading-dim reshaped to (m, f, tile) (legal: only the lane dim
+  may not be split) and run through the same axis-0 schedule, then merged
+  and transposed back. Small-minor-dim 3-D blocks are a trap: Mosaic pads
+  the minor dim to 128, inflating VMEM 32x (found empirically).
+
+Split re/im float32 throughout (TPU has no complex registers). Complex
+matmuls use the 3-multiplication form. Plans whose shapes don't fit
+(Bluestein sizes, f64, n with no suitable lane factor) fall back to the XLA
+engine.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache, partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,14 +40,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...config import config
-from ...plan import C2CPlan
-from ..engine import ct_valued
+from ...config import config, matmul_precision
+from ...plan import C2CPlan, dft_matrix, factorize, stage_twiddle
 
-# per-tile VMEM working-set budget (bytes); the fused schedule keeps ~6
-# live re/im copies of the tile during the deepest stage
+# per-tile VMEM working-set budget (bytes)
 _VMEM_BUDGET = 8 * 1024 * 1024
 _LIVE_COPIES = 8
+_MAX_LANE_FACTOR = 256  # dense lane DFT cost: f MACs/element
+_MAX_N = 65536
 
 
 def _lane_tile(n: int, itemsize: int) -> int:
@@ -40,6 +58,27 @@ def _lane_tile(n: int, itemsize: int) -> int:
     return t
 
 
+@lru_cache(maxsize=None)
+def _lane_factor(n: int) -> Optional[int]:
+    """Pick the lane DFT factor f (m = n // f runs on sublane dims).
+
+    Preference: f a multiple of 128 in [128, 256] (native lane width), then
+    any f in [64, 256], then the largest divisor ≤ 256. The remaining m must
+    be fully factorable by the planner.
+    """
+    divs = [d for d in range(1, min(n, _MAX_LANE_FACTOR) + 1) if n % d == 0]
+    if n <= _MAX_LANE_FACTOR:
+        return n
+    for pred in (lambda d: d % 128 == 0 and d >= 128,
+                 lambda d: d >= 64,
+                 lambda d: d > 1):
+        cands = [d for d in divs if pred(d)]
+        for f in sorted(cands, reverse=True):
+            if factorize(n // f) is not None:
+                return f
+    return None
+
+
 def pallas_supported(plan: C2CPlan, dtype) -> bool:
     if not config.use_pallas:
         return False
@@ -47,80 +86,301 @@ def pallas_supported(plan: C2CPlan, dtype) -> bool:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if plan.n < 2 or plan.n > 65536:
+    if plan.n < 2 or plan.n > _MAX_N:
+        return False
+    if _lane_factor(plan.n) is None:
         return False
     backend = jax.default_backend()
     return backend == "tpu" or config.pallas_interpret
 
 
-def _flatten_consts(plan: C2CPlan, dtype):
-    """Stage constants as a flat list of arrays + static shape structure.
+# --------------------------------------------------------------------------
+# Mosaic schedule: constants + in-kernel math
+# --------------------------------------------------------------------------
 
-    NUMPY arrays on purpose: _build_call may first run inside a user jit
-    trace, and jnp.asarray would stage the dtype cast as a traced op whose
-    tracer would then be cached and leak into later traces. Numpy constants
-    are lifted per-trace by pallas_call instead.
+
+def _cdot(prec, ar, ai, br, bi, contract):
+    """Complex contraction via 3 real contractions (3M form)."""
+    t1 = contract(ar, br)
+    t2 = contract(ai, bi)
+    t3 = contract(ar + ai, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _mid_stages(m: int, sign: int, dtype):
+    """Sublane-FFT schedule for length m: [(g, rem)] + dense base consts.
+
+    DIT along a middle axis: t = g*t' + j splits the axis (middle reshape,
+    Mosaic-legal); twiddles are stored pre-transposed (rem, g) to broadcast
+    onto the (.., p, j, ..) value layout.
     """
-    consts = []
-    struct = []
-    for f, m, wf, tw in plan.stages:
-        consts += [np.asarray(wf[0], dtype), np.asarray(wf[1], dtype),
-                   np.asarray(tw[0], dtype), np.asarray(tw[1], dtype)]
-        struct.append((f, m))
-    consts += [np.asarray(plan.base[0], dtype), np.asarray(plan.base[1], dtype)]
-    return consts, tuple(struct)
+    factors = factorize(m)
+    assert factors is not None
+    stages = []
+    rem = m
+    for g in factors[:-1]:
+        rem //= g
+        wr, wi = dft_matrix(g, sign)
+        tr, ti = stage_twiddle(g, rem, sign)
+        stages.append((g, rem,
+                       (np.asarray(wr, dtype), np.asarray(wi, dtype)),
+                       (np.asarray(tr.T, dtype), np.asarray(ti.T, dtype))))
+    br, bi = dft_matrix(factors[-1], sign)
+    base = (np.asarray(br, dtype), np.asarray(bi, dtype))
+    return stages, base
 
 
-def _kernel(struct, n, xr_ref, xi_ref, *refs):
+def _con_mid(w, x, contract_axis, place_axis, prec):
+    """Contract x's dim `contract_axis` with w's dim 0; put w's dim 1 at
+    `place_axis`.
+
+    dot_general with the contraction OUTPUT leading compiles fast under
+    Mosaic (batched small einsums like 'tp,btf->bpf' blow the compiler up
+    for large batch tiles — found empirically); the fix-up permute only
+    moves LEADING dims, never the lane, which is a cheap relayout.
+    """
+    y = jax.lax.dot_general(w, x, (((0,), (contract_axis,)), ((), ())),
+                            precision=prec)
+    if place_axis == 0:
+        return y
+    perm = tuple(range(1, place_axis + 1)) + (0,) + tuple(
+        range(place_axis + 1, x.ndim))
+    return jnp.transpose(y, perm)
+
+
+def _fft_mid(xr, xi, axis, stages, base, prec):
+    """FFT along a middle axis `axis`; all other dims are batch.
+
+    Every op is Mosaic-legal: middle-dim reshapes, leading-output
+    dot_generals, broadcast multiplies, middle-dim merges.
+
+    DIT at each level: t = g*t' + j;
+      X[q*rem + p] = sum_j W_g^{jq} * W_{g*rem}^{jp} * FFT_rem(x[j::g])[p]
+    """
+    if not stages:
+        def con(x, w):
+            return _con_mid(w, x, axis, axis, prec)
+
+        return _cdot(prec, xr, xi, base[0], base[1], con)
+
+    g, rem, (wr, wi), (twr, twi) = stages[0]
+    shape = xr.shape
+    split = shape[:axis] + (rem, g) + shape[axis + 1:]
+    yr, yi = _fft_mid(xr.reshape(split), xi.reshape(split),
+                      axis, stages[1:], base, prec)      # (.., p, j, ..)
+    bshape = (1,) * axis + (rem, g) + (1,) * (len(shape) - axis - 1)
+    tr = twr.reshape(bshape)   # pre-transposed (rem, g) = tw[p, j]
+    ti = twi.reshape(bshape)
+    yr, yi = yr * tr - yi * ti, yr * ti + yi * tr
+
+    # combine over j at axis+1, landing q at axis:
+    #   out[.., q, p, ..] = sum_j wf[j, q] y[.., p, j, ..]
+    def con(x, w):
+        return _con_mid(w, x, axis + 1, axis, prec)
+
+    or_, oi = _cdot(prec, yr, yi, wr, wi, con)
+    merged = shape[:axis] + (g * rem,) + shape[axis + 1:]
+    return or_.reshape(merged), oi.reshape(merged)
+
+
+def _plan_consts(n: int, sign: int, dtype):
+    """(f, m, mid-stage consts, lane DFT, outer twiddle^T) for the kernel."""
+    f = _lane_factor(n)
+    m = n // f
+    wr, wi = dft_matrix(f, sign)
+    lane = (np.asarray(wr, dtype), np.asarray(wi, dtype))
+    if m == 1:
+        return f, 1, ([], None), lane, None
+    stages, base = _mid_stages(m, sign, dtype)
+    tr, ti = stage_twiddle(f, m, sign)  # (f, m)[j, p]
+    tw = (np.asarray(tr.T, dtype), np.asarray(ti.T, dtype))  # (m, f)[p, j]
+    return f, m, (stages, base), lane, tw
+
+
+def _flat_consts(mid, lane, tw):
+    stages, base = mid
+    flat, struct = [], []
+    for g, rem, w, t in stages:
+        flat += [w[0], w[1], t[0], t[1]]
+        struct.append((g, rem))
+    if base is not None:
+        flat += [base[0], base[1]]
+    flat += [lane[0], lane[1]]
+    if tw is not None:
+        flat += [tw[0], tw[1]]
+    return flat, tuple(struct), base is not None, tw is not None
+
+
+def _unflat(refs, struct, has_base, has_tw):
+    vals = [r[:] for r in refs]
+    i = 0
+    stages = []
+    for g, rem in struct:
+        stages.append((g, rem, (vals[i], vals[i + 1]),
+                       (vals[i + 2], vals[i + 3])))
+        i += 4
+    base = None
+    if has_base:
+        base = (vals[i], vals[i + 1])
+        i += 2
+    lane = (vals[i], vals[i + 1])
+    i += 2
+    tw = None
+    if has_tw:
+        tw = (vals[i], vals[i + 1])
+    return stages, base, lane, tw
+
+
+def _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec):
+    """Shared schedule on (m, f, L) values -> (f, m, L): the transform runs
+    entirely on leading dims; the minor (lane) axis is pure batch. This is
+    the Mosaic-friendliest orientation: no small-lane padding, no lane
+    relayouts."""
+    yr, yi = _fft_mid(xr, xi, 0, stages, base, prec)      # (p, j, L)
+    twr = tw[0][:, :, None]                                # (m, f, 1)
+    twi = tw[1][:, :, None]
+    yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+
+    # combine over j (dim 1), q lands at dim 0: out[q, p, l]
+    def con(x, w):
+        return _con_mid(w, x, 1, 0, prec)
+
+    return _cdot(prec, yr, yi, lane[0], lane[1], con)      # (q, p, L)
+
+
+def _kernel_lane_last(struct, has_base, has_tw, m, f,
+                      xr_ref, xi_ref, *refs):
+    """x block (T, n) -> out block (T, n), transform along lanes.
+
+    For m == 1 this is a single dense lane matmul. Otherwise the tile is
+    transposed once in VMEM to (n, T), leading-dim reshaped to (m, f, T)
+    (legal — only the lane dim may not be split), run through the axis-0
+    schedule, merged back to (n, T) and transposed out. 2-D (tile, n)
+    blocks keep perfect (8,128) layouts; small-minor-dim 3-D blocks padded
+    32x the logical size and blew the VMEM budget (found empirically)."""
     const_refs = refs[:-2]
     or_ref, oi_ref = refs[-2:]
-    stages = []
-    i = 0
-    for f, m in struct:
-        wfr, wfi = const_refs[i][:], const_refs[i + 1][:]
-        twr, twi = const_refs[i + 2][:], const_refs[i + 3][:]
-        stages.append((f, m, (wfr, wfi), (twr, twi)))
-        i += 4
-    base = (const_refs[i][:], const_refs[i + 1][:])
-    yr, yi = ct_valued(xr_ref[:], xi_ref[:], stages, base)
-    or_ref[:] = yr
-    oi_ref[:] = yi
+    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
+    prec = matmul_precision()
+    xr, xi = xr_ref[:], xi_ref[:]
+    if m == 1:
+        def con(x, w):
+            return jnp.dot(x, w, precision=prec)
+
+        yr, yi = _cdot(prec, xr, xi, lane[0], lane[1], con)
+        or_ref[:] = yr
+        oi_ref[:] = yi
+        return
+    t = xr.shape[0]
+    n = m * f
+    xr = xr.T.reshape(m, f, t)
+    xi = xi.T.reshape(m, f, t)
+    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec)
+    or_ref[:] = zr.reshape(n, t).T
+    oi_ref[:] = zi.reshape(n, t).T
+
+
+def _kernel_axis0(struct, has_base, has_tw, m, f,
+                  xr_ref, xi_ref, *refs):
+    """x block (m, f, TL) -> out block (f, m, TL)."""
+    const_refs = refs[:-2]
+    or_ref, oi_ref = refs[-2:]
+    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
+    prec = matmul_precision()
+    xr, xi = xr_ref[:], xi_ref[:]
+    if m == 1:
+        # dense DFT over the length-f dim of the (1, f, TL) block
+        def con3(x, w):
+            return _con_mid(w, x, 1, 1, prec)
+
+        yr, yi = _cdot(prec, xr, xi, lane[0], lane[1], con3)
+        or_ref[:] = jnp.swapaxes(yr, 0, 1)     # (f, 1, TL): k = q
+        oi_ref[:] = jnp.swapaxes(yi, 0, 1)
+        return
+    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec)
+    or_ref[:] = zr
+    oi_ref[:] = zi
 
 
 @lru_cache(maxsize=256)
-def _build_call(n: int, sign: int, batch: int, dtype_str: str, interpret: bool):
-    from ...plan import get_c2c_plan
-
-    plan = get_c2c_plan(n, sign)
+def _build_call(n: int, sign: int, batch: int, dtype_str: str,
+                interpret: bool):
+    """Lane-last flavor: (B, n) re/im -> (B, n) re/im."""
     dtype = jnp.dtype(dtype_str)
-    consts, struct = _flatten_consts(plan, dtype)
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
+    if batch >= 128:
+        tile = max(tile, 128)  # <128-wide tiles hit Mosaic shape-cast limits
     grid = (pl.cdiv(batch, tile),)
-
-    data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    const_specs = [
-        pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for c in consts
-    ]
-    flops_per = 8 * n * (sum(f for f, _ in struct) + plan.base[0].shape[0])
+    spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    flops = 10.0 * n * np.log2(max(n, 2)) * batch
     call = pl.pallas_call(
-        partial(_kernel, struct, n),
+        partial(_kernel_lane_last, struct, has_base, has_tw, m, f),
         out_shape=(jax.ShapeDtypeStruct((batch, n), dtype),
                    jax.ShapeDtypeStruct((batch, n), dtype)),
         grid=grid,
-        in_specs=[data_spec, data_spec] + const_specs,
-        out_specs=(data_spec, data_spec),
+        in_specs=[spec, spec] + const_specs,
+        out_specs=(spec, spec),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per * batch,
-            bytes_accessed=4 * batch * n * dtype.itemsize,
-            transcendentals=0,
-        ),
+            flops=int(flops),
+            bytes_accessed=int(4 * batch * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
     def run(xr, xi):
         return call(xr, xi, *consts)
+
+    return run
+
+
+@lru_cache(maxsize=256)
+def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
+                      interpret: bool):
+    """Axis-0 flavor: (n, L) re/im -> (n, L) re/im, zero lane relayouts."""
+    dtype = jnp.dtype(dtype_str)
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
+    # lane (minor) dim of the 3-D blocks: must be a multiple of 128 or equal
+    # to the whole cols extent (Mosaic block-shape constraint)
+    if cols <= 128:
+        tile = cols
+    else:
+        tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
+    grid = (pl.cdiv(cols, tile),)
+    in_spec = pl.BlockSpec((m, f, tile), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((f, m, tile), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    flops = 10.0 * n * np.log2(max(n, 2)) * cols
+    call = pl.pallas_call(
+        partial(_kernel_axis0, struct, has_base, has_tw, m, f),
+        out_shape=(jax.ShapeDtypeStruct((f, m, cols), dtype),
+                   jax.ShapeDtypeStruct((f, m, cols), dtype)),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=int(4 * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        xr = xr.reshape(m, f, cols)
+        xi = xi.reshape(m, f, cols)
+        yr, yi = call(xr, xi, *consts)
+        return yr.reshape(n, cols), yi.reshape(n, cols)
 
     return run
 
@@ -131,64 +391,6 @@ def c2c_pallas(xr, xi, plan: C2CPlan):
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
                       bool(config.pallas_interpret))
     return run(xr, xi)
-
-
-def _kernel_axis0(struct, n, xr_ref, xi_ref, *refs):
-    """Axis-0 flavor: block is (n, T); transform runs along dim 0 in VMEM
-    (no HBM transpose — relayouts happen on-chip)."""
-    from ..engine import ct_first_valued
-
-    const_refs = refs[:-2]
-    or_ref, oi_ref = refs[-2:]
-    stages = []
-    i = 0
-    for f, m in struct:
-        stages.append((f, m, (const_refs[i][:], const_refs[i + 1][:]),
-                       (const_refs[i + 2][:], const_refs[i + 3][:])))
-        i += 4
-    base = (const_refs[i][:], const_refs[i + 1][:])
-    yr, yi = ct_first_valued(xr_ref[:], xi_ref[:], stages, base)
-    or_ref[:] = yr
-    oi_ref[:] = yi
-
-
-@lru_cache(maxsize=256)
-def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
-                      interpret: bool):
-    from ...plan import get_c2c_plan
-
-    plan = get_c2c_plan(n, sign)
-    dtype = jnp.dtype(dtype_str)
-    consts, struct = _flatten_consts(plan, dtype)
-    tile = min(_lane_tile(n, dtype.itemsize), max(128, min(cols, 128)))
-    grid = (pl.cdiv(cols, tile),)
-
-    data_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)
-    const_specs = [
-        pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for c in consts
-    ]
-    flops_per = 8 * n * (sum(f for f, _ in struct) + plan.base[0].shape[0])
-    call = pl.pallas_call(
-        partial(_kernel_axis0, struct, n),
-        out_shape=(jax.ShapeDtypeStruct((n, cols), dtype),
-                   jax.ShapeDtypeStruct((n, cols), dtype)),
-        grid=grid,
-        in_specs=[data_spec, data_spec] + const_specs,
-        out_specs=(data_spec, data_spec),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per * cols,
-            bytes_accessed=4 * cols * n * dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )
-
-    def run(xr, xi):
-        return call(xr, xi, *consts)
-
-    return run
 
 
 def c2c_pallas_axis0(xr, xi, plan: C2CPlan):

@@ -87,3 +87,31 @@ def test_pallas_axis0_kernel():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
     back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 0), h, 0))
     assert np.abs(back - x).max() < 1e-4
+
+
+def test_pallas_fused_r2c_c2r():
+    from ndrustfft_tpu import ndifft_r2c
+
+    rng = np.random.default_rng(9)
+    for n in [16, 264, 1024]:
+        x = rng.standard_normal((32, n)).astype(np.float32)
+        h = R2cFftHandler(n)
+        got = np.asarray(ndfft_r2c(jnp.asarray(x), h, axis=1))
+        ref = np.fft.rfft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5, n
+        back = np.asarray(ndifft_r2c(jnp.asarray(got), h, axis=1))
+        assert np.abs(back - x).max() < 1e-4, n
+
+
+def test_pallas_fused_c2r_dc_nyquist_pin():
+    from ndrustfft_tpu import ndifft_r2c
+
+    rng = np.random.default_rng(10)
+    n, m = 16, 9
+    spec = (rng.standard_normal((8, m)) + 1j * rng.standard_normal((8, m))
+            ).astype(np.complex64)
+    spec[:, 0] += 100j
+    spec[:, -1] += 100j
+    got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
+    ref = np.fft.irfft(spec, n=n, axis=1)
+    assert np.abs(got - ref).max() < 1e-5
