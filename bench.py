@@ -5,9 +5,17 @@ fft2d / rfft2d / dct2d on n x n arrays, transform along axis 0) on the
 BASELINE.md metric: GFLOP/s using the 5*N*log2(N) convention for the 1024^2
 C2C transform per axis.
 
-``vs_baseline`` compares against XLA's own built-in FFT (jnp.fft) running the
-identical computation on the same chip — the strongest available stand-in
-baseline, since the reference publishes no numbers (BASELINE.md).
+Measurement methodology (important): on this environment's tunneled TPU,
+``block_until_ready`` does NOT reliably await remote execution, so naive
+timing reports fantasy numbers (we measured a "4,400 TFLOP/s matmul").
+Instead each measurement times a jit-compiled ``lax.fori_loop`` chain of K
+data-dependent fft+ifft pairs followed by a forced scalar readback, at two
+chain lengths; the slope gives the true per-transform time with the tunnel
+round-trip subtracted out. Transient backend errors are retried.
+
+``vs_baseline`` compares against XLA's own built-in FFT (jnp.fft) running
+the identical chained computation on the same chip — the strongest available
+stand-in baseline, since the reference publishes no numbers (BASELINE.md).
 
 Usage: python bench.py [--cpu] [--all]
 """
@@ -21,23 +29,43 @@ import sys
 import time
 
 
-def _median_time(fn, *args, reps=5, warmup=2):
+def _chain_time(step, x, K, reps=3, retries=8):
     import jax
+    import jax.numpy as jnp
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    @jax.jit
+    def run(v):
+        out = jax.lax.fori_loop(0, K, lambda i, u: step(u), v)
+        return jnp.sum(jnp.abs(out))
+
+    last = None
+    for attempt in range(retries):
+        try:
+            float(run(x))  # compile + warm + full sync
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(x))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+        except Exception as e:  # noqa: BLE001 - tunnel flake
+            last = e
+            time.sleep(min(30, 2**attempt))
+    raise last
+
+
+def per_transform(pair_step, x, K1=2, K2=34):
+    """Seconds per single transform; pair_step applies fwd+inv (2 transforms)."""
+    a = _chain_time(pair_step, x, K1)
+    b = _chain_time(pair_step, x, K2)
+    return max((b - a) / ((K2 - K1) * 2), 1e-9)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--all", action="store_true", help="run the full criterion-style grid")
+    ap.add_argument("--all", action="store_true",
+                    help="run the full criterion-style grid")
     ap.add_argument("--n", type=int, default=1024)
     args = ap.parse_args()
 
@@ -48,7 +76,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ndrustfft_tpu import FftHandler, ndfft
+    from ndrustfft_tpu import FftHandler, ndfft, ndifft
 
     n = args.n
     rng = np.random.default_rng(0)
@@ -59,41 +87,45 @@ def main():
     h = FftHandler(n)
 
     # reference bench shape: C2C along axis 0 of an n x n array
-    ours = jax.jit(lambda v: ndfft(v, h, axis=0))
-    t_ours = _median_time(ours, x)
-
-    theirs = jax.jit(lambda v: jnp.fft.fft(v, axis=0))
+    t_ours = per_transform(lambda v: ndifft(ndfft(v, h, axis=0), h, axis=0), x)
     try:
-        t_xla = _median_time(theirs, x)
+        t_xla = per_transform(
+            lambda v: jnp.fft.ifft(jnp.fft.fft(v, axis=0), axis=0), x)
     except Exception:
         t_xla = float("nan")
 
     flops = 5.0 * n * math.log2(n) * n  # 5 N log2 N per lane, n lanes
     gflops = flops / t_ours / 1e9
-    gflops_xla = flops / t_xla / 1e9 if t_xla == t_xla else float("nan")
-    vs = gflops / gflops_xla if gflops_xla == gflops_xla else 1.0
+    vs = (t_xla / t_ours) if t_xla == t_xla else 1.0
 
     if args.all:
-        # the reference's full criterion grid (benches/ndrustfft.rs:6-7):
-        # fft2d / rfft2d on n in {128,264,512,1024}, dct2d (DCT-I) on n+1
-        from ndrustfft_tpu import DctHandler, R2cFftHandler, nddct1, ndfft_r2c
+        # the reference's full criterion grid (benches/ndrustfft.rs:6-7)
+        from ndrustfft_tpu import (
+            DctHandler, R2cFftHandler, nddct1, nddct2, nddct3, ndfft_r2c,
+            ndifft_r2c,
+        )
 
         for m in [128, 264, 512, 1024]:
             xc = jnp.asarray(
                 rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m)),
                 dtype=jnp.complex64)
             hm = FftHandler(m)
-            t = _median_time(jax.jit(lambda v, _h=hm: ndfft(v, _h, axis=0)), xc)
+            t = per_transform(
+                lambda v, _h=hm: ndifft(ndfft(v, _h, axis=0), _h, axis=0), xc)
             print(f"# fft2d n={m}: {t*1e6:.1f} us "
                   f"({5.0*m*math.log2(m)*m/t/1e9:.1f} GFLOP/s)", file=sys.stderr)
             xr = jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.float32)
             hr = R2cFftHandler(m)
-            t = _median_time(jax.jit(lambda v, _h=hr: ndfft_r2c(v, _h, axis=0)), xr)
+            t = per_transform(
+                lambda v, _h=hr: ndifft_r2c(ndfft_r2c(v, _h, axis=0), _h,
+                                            axis=0), xr)
             print(f"# rfft2d n={m}: {t*1e6:.1f} us", file=sys.stderr)
             d = m + 1
             xd = jnp.asarray(rng.standard_normal((d, d)), dtype=jnp.float32)
             hd = DctHandler(d)
-            t = _median_time(jax.jit(lambda v, _h=hd: nddct1(v, _h, axis=0)), xd)
+            t = per_transform(
+                lambda v, _h=hd, _d=d: nddct3(nddct2(v, _h, axis=0), _h,
+                                              axis=0) / (2.0 * _d), xd)
             print(f"# dct2d n={d}: {t*1e6:.1f} us", file=sys.stderr)
 
     print(json.dumps({

@@ -29,6 +29,7 @@ from .api import (  # noqa: F401
 )
 from .config import config  # noqa: F401
 from .handlers import DctHandler, FftHandler, R2cFftHandler  # noqa: F401
+from .ndapi import dctn, fftn, idctn, ifftn, irfftn, rfftn  # noqa: F401
 from .normalization import Normalization  # noqa: F401
 
 __version__ = "0.1.0"
@@ -39,5 +40,6 @@ __all__ = [
     "nddct1", "nddct2", "nddct3", "nddct4",
     "nddct1_par", "nddct2_par", "nddct3_par", "nddct4_par",
     "FftHandler", "R2cFftHandler", "DctHandler", "Normalization",
+    "fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn",
     "config",
 ]
