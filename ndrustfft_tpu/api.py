@@ -278,14 +278,55 @@ nddct3 = _make_dct(3)
 nddct4 = _make_dct(4)
 
 # ``_par`` twins: on TPU there is no separate threaded path — batching is
-# inherent and multi-chip runs via shardings (ndrustfft_tpu.parallel). Kept
-# as aliases so reference call sites (src/lib.rs:399-421, 589-611, 777-844)
-# port unchanged.
-ndfft_par = ndfft
-ndifft_par = ndifft
-ndfft_r2c_par = ndfft_r2c
-ndifft_r2c_par = ndifft_r2c
-nddct1_par = nddct1
-nddct2_par = nddct2
-nddct3_par = nddct3
-nddct4_par = nddct4
+# inherent — so the ``_par`` names take the reference's "use all the
+# parallel hardware" intent (rayon over lanes, src/lib.rs:169-238) to its
+# TPU conclusion: when called eagerly on an array sharded over a
+# jax.sharding Mesh, they route through the pencil decomposition
+# (all_to_all re-sharding if the transform axis itself is sharded).
+# On unsharded/traced inputs they are exact synonyms of the serial names.
+
+
+def _make_par(kind, serial_fn, handler_cls):
+    def f(x, handler=None, axis: int = -1, **kw):
+        sharded = (
+            not isinstance(x, jax.core.Tracer)
+            and hasattr(x, "sharding")
+            and getattr(x.sharding, "mesh", None) is not None
+            and not x.sharding.is_fully_replicated
+        )
+        if sharded:
+            from .parallel.pencil import Step, pencil_transform
+
+            mesh = x.sharding.mesh
+            spec = x.sharding.spec
+            a = _norm_axis(axis, x.ndim)
+            if handler is None:
+                if kind == "c2r":
+                    m = x.shape[a]
+                    handler = _auto_handler(
+                        handler_cls, kw.get("n") or 2 * (m - 1))
+                else:
+                    handler = _auto_handler(handler_cls, x.shape[a])
+            out, _ = pencil_transform(x, [Step(kind, a, handler)], mesh, spec)
+            return out
+        return serial_fn(x, handler, axis, **kw)
+
+    f.__name__ = serial_fn.__name__ + "_par"
+    f.__qualname__ = f.__name__
+    f.__doc__ = (
+        (serial_fn.__doc__ or "") +
+        "\n\nParallel variant: on a mesh-sharded input array this runs the "
+        "sharded pencil path (ndrustfft_tpu.parallel) with all_to_all "
+        "re-sharding over ICI; otherwise identical to the serial function."
+    )
+    return f
+
+
+ndfft_par = _make_par("fft", ndfft, FftHandler)
+ndifft_par = _make_par("ifft", ndifft, FftHandler)
+ndfft_r2c_par = _make_par("r2c", ndfft_r2c, R2cFftHandler)
+ndifft_r2c_par = _make_par("c2r", ndifft_r2c, R2cFftHandler)
+nddct1_par = _make_par("dct1", nddct1, DctHandler)
+nddct2_par = _make_par("dct2", nddct2, DctHandler)
+nddct3_par = _make_par("dct3", nddct3, DctHandler)
+nddct4_par = _make_par("dct4", nddct4, DctHandler)
