@@ -57,20 +57,31 @@ def dct2(x):
 
 @lru_cache(maxsize=512)
 def _dct3_consts(n: int):
-    return np.arange(n, dtype=np.int64) * 2 + 1  # odd bins of the 4n FFT
+    # inverse-Makhoul: DCT-III is the transpose of the DCT-II algorithm:
+    #   z[perm] = Re( FFT_n( (c with c0/2) * e^{-i pi t/(2n)} ) )
+    t = np.arange(n, dtype=np.int64)
+    pre = _cis(t, 2 * n, -1)  # e^{-i pi t/(2n)}
+    perm = np.concatenate(
+        [np.arange(0, n, 2), np.arange(n - 1 if n % 2 == 0 else n - 2, 0, -2)]
+    )
+    inv_perm = np.argsort(perm)  # z[perm[i]] = Re(U)[i]  <=>  z = ReU[inv]
+    return pre, inv_perm
 
 
 def dct3(x):
-    """(..., n) real -> DCT-III, rustdct convention (x0 halved internally)."""
+    """(..., n) real -> DCT-III, rustdct convention (x0 halved internally).
+
+    n-point complex FFT via the transpose of the Makhoul DCT-II algorithm
+    (2-4x cheaper than the zero-padded 4n lowering)."""
     n = x.shape[-1]
     if n == 1:
         return 0.5 * x
-    bins = _dct3_consts(n)
+    pre, inv_perm = _dct3_consts(n)
     c = jnp.concatenate([x[..., :1] * 0.5, x[..., 1:]], axis=-1)
-    pad = [(0, 0)] * (c.ndim - 1) + [(0, 3 * n)]
-    c = jnp.pad(c, pad)
-    sr, _ = r2c(c, get_r2c_plan(4 * n))  # m = 2n+1 covers all odd bins < 2n
-    return sr[..., bins]
+    prer, prei = _const(pre, x.dtype)
+    ur, ui = c * prer, c * prei
+    zr, _ = c2c(ur, ui, get_c2c_plan(n, -1))
+    return zr[..., inv_perm]
 
 
 def dct1(x):

@@ -1,0 +1,46 @@
+"""Aux subsystem tests: roofline accounting, persistent cache, profiling."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from ndrustfft_tpu.utils.cache import enable_persistent_cache
+from ndrustfft_tpu.utils.profiling import (
+    Roofline, chip_spec, fft_bytes, fft_flops, measure, roofline_c2c,
+)
+
+
+def test_fft_flop_convention():
+    assert fft_flops(1024, 1) == 5 * 1024 * 10
+    assert fft_bytes(1024, 2, 4) == 2 * 2 * 1024 * 8
+
+
+def test_roofline_math():
+    r = Roofline(seconds=20.5e-6, flops=5 * 1024 * 10 * 1024,
+                 bytes=2 * 1024 * 1024 * 8, hbm_gbps=819.0, peak_tflops=98.5)
+    assert 90 <= r.pct_of_hbm_roofline <= 105
+    assert "GFLOP/s" in str(r)
+
+
+def test_chip_spec_returns_pair():
+    hbm, peak = chip_spec()
+    assert hbm > 0 and peak > 0
+
+
+def test_measure_and_roofline_c2c():
+    from ndrustfft_tpu import FftHandler, ndfft
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 64)) + 0j,
+                    dtype=jnp.complex64)
+    h = FftHandler(64)
+    f = jax.jit(lambda v: ndfft(v, h, axis=1))
+    r = roofline_c2c(f, x, n=64, lanes=8, reps=2)
+    assert r.seconds > 0 and r.gflops > 0
+
+
+def test_persistent_cache(tmp_path):
+    p = enable_persistent_cache(str(tmp_path / "xla_cache"))
+    assert os.path.isdir(p)
+    assert jax.config.jax_compilation_cache_dir == p
