@@ -40,8 +40,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...config import config, matmul_precision
+from ...config import config
+from ...config import matmul_precision as _cfg_precision
 from ...plan import C2CPlan, dft_matrix, factorize, stage_twiddle
+
+
+def matmul_precision():
+    """Kernel-side precision: Mosaic rejects Precision.HIGH, so the 'high'
+    config clamps to HIGHEST inside Pallas kernels."""
+    p = _cfg_precision()
+    return jax.lax.Precision.HIGHEST if p == jax.lax.Precision.HIGH else p
 
 # per-tile VMEM working-set budget (bytes)
 _VMEM_BUDGET = 8 * 1024 * 1024
