@@ -29,14 +29,13 @@ import sys
 import time
 
 
-def _chain_time(step, x, K, reps=3, retries=8):
-    """Chained timing with an all-f32 program boundary: complex64 arrays at
-    jit boundaries are UNIMPLEMENTED over this environment's TPU tunnel, so
-    complex values are split to (re, im) f32 pairs outside and rebuilt with
-    lax.complex inside (XLA decomposes complex internally anyway)."""
+def _make_chain(step, x, K):
+    """Jitted chained runner with an all-f32 program boundary: complex64
+    arrays at jit boundaries are UNIMPLEMENTED over this environment's TPU
+    tunnel, so complex values are split to (re, im) f32 pairs outside and
+    rebuilt with lax.complex inside (XLA decomposes complex internally)."""
     import jax
     import jax.numpy as jnp
-
     import numpy as np
 
     x = np.asarray(x)  # stay on host; only f32 arrays cross the boundary
@@ -56,14 +55,20 @@ def _chain_time(step, x, K, reps=3, retries=8):
     xr = jnp.asarray(x.real.astype(np.float32))
     xi = jnp.asarray(x.imag.astype(np.float32) if is_cplx
                      else np.zeros_like(x.real, dtype=np.float32))
+    return lambda: float(run(xr, xi))
+
+
+def _time_call(call, reps=3, retries=8):
     last = None
     for attempt in range(retries):
         try:
-            float(run(xr, xi))  # compile + warm + full sync
+            call()  # warm (compiles on first use) + full sync
+            if reps == 0:
+                return 0.0
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(run(xr, xi))
+                call()
                 ts.append(time.perf_counter() - t0)
             return min(ts)
         except Exception as e:  # noqa: BLE001 - tunnel flake
@@ -72,11 +77,50 @@ def _chain_time(step, x, K, reps=3, retries=8):
     raise last
 
 
+def _chain_time(step, x, K, reps=3, retries=8):
+    return _time_call(_make_chain(step, x, K), reps=reps, retries=retries)
+
+
 def per_transform(pair_step, x, K1=2, K2=34):
     """Seconds per single transform; pair_step applies fwd+inv (2 transforms)."""
     a = _chain_time(pair_step, x, K1)
     b = _chain_time(pair_step, x, K2)
     return max((b - a) / ((K2 - K1) * 2), 1e-9)
+
+
+def compare(step_a, step_b, x, K1=2, K2=34, rounds=7):
+    """(t_a, t_b, median ratio t_b/t_a) with the two steps measured
+    back-to-back inside each round — the tunnel's throughput drifts on a
+    minutes scale, so sequential one-shot measurements produce garbage
+    ratios; paired rounds with a median are drift-robust. The four chained
+    programs are compiled ONCE and reused across rounds."""
+    calls = [_make_chain(s, x, K) for s in (step_a, step_b) for K in (K1, K2)]
+    a1c, a2c, b1c, b2c = calls[0], calls[1], calls[2], calls[3]
+    for c in calls:  # compile everything up front
+        _time_call(c, reps=0)
+    ratios, tas, tbs = [], [], []
+    for _ in range(rounds):
+        try:
+            a1 = _time_call(a1c, retries=3)
+            b1 = _time_call(b1c, retries=3)
+            a2 = _time_call(a2c, retries=3)
+            b2 = _time_call(b2c, retries=3)
+        except Exception:  # noqa: BLE001 - skip a wedged round
+            continue
+        ta = (a2 - a1) / ((K2 - K1) * 2)
+        tb = (b2 - b1) / ((K2 - K1) * 2)
+        if ta <= 0 or tb <= 0:  # drift noise swamped this round
+            continue
+        tas.append(ta)
+        tbs.append(tb)
+        ratios.append(tb / ta)
+    if not ratios:
+        return 1e-9, 1e-9, 1.0
+
+    def med(v):
+        return sorted(v)[len(v) // 2]
+
+    return med(tas), med(tbs), med(ratios)
 
 
 def main():
@@ -103,17 +147,20 @@ def main():
          ).astype(np.complex64)
     h = FftHandler(n)
 
-    # reference bench shape: C2C along axis 0 of an n x n array
-    t_ours = per_transform(lambda v: ndifft(ndfft(v, h, axis=0), h, axis=0), x)
+    # reference bench shape: C2C along axis 0 of an n x n array; ours and
+    # the jnp.fft baseline measured interleaved (drift-robust median ratio)
     try:
-        t_xla = per_transform(
-            lambda v: jnp.fft.ifft(jnp.fft.fft(v, axis=0), axis=0), x)
+        t_ours, t_xla, vs = compare(
+            lambda v: ndifft(ndfft(v, h, axis=0), h, axis=0),
+            lambda v: jnp.fft.ifft(jnp.fft.fft(v, axis=0), axis=0),
+            x)
     except Exception:
-        t_xla = float("nan")
+        t_ours = per_transform(
+            lambda v: ndifft(ndfft(v, h, axis=0), h, axis=0), x)
+        vs = 1.0
 
     flops = 5.0 * n * math.log2(n) * n  # 5 N log2 N per lane, n lanes
     gflops = flops / t_ours / 1e9
-    vs = (t_xla / t_ours) if t_xla == t_xla else 1.0
 
     if args.all:
         # the reference's full criterion grid (benches/ndrustfft.rs:6-7)

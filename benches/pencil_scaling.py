@@ -1,0 +1,82 @@
+"""Weak-scaling measurement for the pencil-decomposed 3-D R2C pipeline.
+
+BASELINE.md target: >= 70% weak-scaling efficiency for pencil 3-D R2C on 64
+chips. On this single-chip environment the protocol runs on the virtual CPU
+mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N) to validate the
+scaling *machinery*; on a real pod slice the same script measures the real
+thing (per-device problem volume held constant while the mesh grows).
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python benches/pencil_scaling.py [--base 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=32,
+                    help="per-device cube edge (weak scaling)")
+    ap.add_argument("--cpu", action="store_true", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu or jax.default_backend() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ndrustfft_tpu.parallel import irfftn_pencil, rfftn_pencil
+
+    ndev_all = len(jax.devices())
+    if jax.default_backend() == "cpu":
+        print("# NOTE: virtual CPU devices share one machine's cores — this"
+              " validates the sharding machinery, NOT scaling efficiency;"
+              " apparent efficiency degrades ~1/N by construction.")
+    results = {}
+    counts = [d for d in [1, 2, 4, 8, 16, 32, 64] if d <= ndev_all]
+    for ndev in counts:
+        py = int(np.floor(np.sqrt(ndev)))
+        while ndev % py:
+            py -= 1
+        pz = ndev // py
+        mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(py, pz), ("y", "z"))
+        # weak scaling: volume grows with device count
+        nz, ny, nx = args.base * py, args.base * pz, args.base
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal((nz, ny, nx)), dtype=jnp.float32)
+        v = jax.device_put(v, NamedSharding(mesh, P("y", "z", None)))
+
+        @jax.jit
+        def step(u, _mesh=mesh, _nx=nx):
+            uhat, spec = rfftn_pencil(u, _mesh, P("y", "z", None))
+            return irfftn_pencil(uhat, _mesh, spec, n_last=_nx,
+                                 axes=[0, 1, 2])[0]
+
+        jax.block_until_ready(step(v))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(v))
+            ts.append(time.perf_counter() - t0)
+        t = sorted(ts)[1]
+        results[ndev] = t
+        eff = results[counts[0]] / t * 100.0
+        print(f"devices={ndev:3d} grid={nz}x{ny}x{nx}: {t*1e3:8.2f} ms  "
+              f"weak-scaling eff {eff:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,10 +77,27 @@ def _c2c_impl(x, handler, axis, sign):
     _check_size(x.shape[axis], handler.n)
     rdt = _real_dtype(x.dtype)
     plan = get_c2c_plan(handler.n, sign)
-    # Non-minor axes go through moveaxis + the lane-last engine: XLA fuses
-    # the transposes into the stage matmuls, which measured 5x faster on
-    # real v5e than a first-axis einsum formulation (and 3x faster than
-    # jnp.fft) — the reference's "slow axis" (src/lib.rs:11-12) is free here.
+    from .config import config as _cfg
+
+    if (axis == 0 and x.ndim >= 2 and plan.kind == "ct"
+            and _cfg.axis0_strategy != "moveaxis"):
+        # alternate axis-0 strategies (config.axis0_strategy): first-axis
+        # einsum contraction or the transpose-free Pallas kernel
+        xr = jnp.real(x).astype(rdt)
+        xi = jnp.imag(x).astype(rdt)
+        yr, yi = _engine.c2c_axis0(xr, xi, plan)
+        y = jax.lax.complex(yr, yi)
+        if sign == +1:
+            norm = handler.norm
+            if norm.kind == "default":
+                y = y * jnp.asarray(1.0 / handler.n, rdt)
+            elif norm.kind == "custom":
+                y = jnp.moveaxis(norm.fn(jnp.moveaxis(y, 0, -1)), -1, 0)
+        return y
+    # Default: moveaxis + the lane-last engine — XLA fuses the transposes
+    # into the stage matmuls, measured 5x faster on real v5e than the
+    # first-axis einsum formulation (and ~2x faster than jnp.fft); the
+    # reference's "slow axis" (src/lib.rs:11-12) is free here.
     xm = jnp.moveaxis(x, axis, -1)
     xr = jnp.real(xm).astype(rdt)
     xi = jnp.imag(xm).astype(rdt)

@@ -24,15 +24,24 @@ class _Config:
     # Largest base DFT the planner emits as a dense matmul. Primes above this
     # route the whole transform through Bluestein (chirp-z). 128 = one MXU tile.
     max_base_radix: int = int(os.environ.get("NDRUSTFFT_TPU_MAX_RADIX", "128"))
-    # Use fused Pallas kernels on TPU when a kernel exists for the plan;
-    # otherwise (or when False) the pure-XLA engine runs everywhere.
-    use_pallas: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS", "1") not in ("0", "false")
+    # Use fused Pallas kernels on TPU when a kernel exists for the plan.
+    # Off by default: on v5e the XLA-engine lowering measured faster than the
+    # current kernels at every shape tried (XLA's cross-op fusion beats the
+    # kernels' in-VMEM relayouts + HIGHEST-precision dots); kernels remain
+    # fully tested and opt-in while they are tuned.
+    use_pallas: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS", "0") in ("1", "true")
     # Kernel schedule flavor: 'mosaic' = reshape-free two-stage four-step
     # (real-TPU compatible); 'generic' = recursive mixed radix (interpreter).
     pallas_flavor: str = os.environ.get("NDRUSTFFT_TPU_PALLAS_FLAVOR", "mosaic")
     # Run Pallas kernels in interpreter mode (CPU testing of the kernel path).
     pallas_interpret: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS_INTERPRET", "0") in (
         "1", "true")
+    # Axis-0 execution strategy for C2C:
+    #   'moveaxis' (default) — transpose to lane-last; XLA fuses the
+    #                transposes into the stage matmuls (fastest measured)
+    #   'einsum'   — first-axis contraction without any transpose
+    #   'pallas'   — transpose-free axis-0 Pallas kernel
+    axis0_strategy: str = os.environ.get("NDRUSTFFT_TPU_AXIS0", "moveaxis")
 
 
 config = _Config()

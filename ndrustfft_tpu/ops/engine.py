@@ -162,7 +162,9 @@ def c2c_axis0(xr, xi, plan: C2CPlan):
         return jnp.moveaxis(yr, -1, 0), jnp.moveaxis(yi, -1, 0)
     dtype = xr.dtype
     cols = int(np.prod(xr.shape[1:])) if xr.ndim > 1 else 1
-    if cols >= 8:
+    from ..config import config as _cfg
+
+    if cols >= 8 and _cfg.axis0_strategy == "pallas":
         from .pallas.fft import c2c_pallas_axis0, pallas_supported
 
         if pallas_supported(plan, dtype):

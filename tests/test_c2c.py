@@ -206,3 +206,25 @@ def test_axis0_matches_lastaxis_path():
     a = np.asarray(ndfft(jnp.asarray(v), h, axis=0))
     b = np.asarray(ndfft(jnp.asarray(v.T), h, axis=1)).T
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12 * np.abs(a).max())
+
+
+@pytest.mark.parametrize("strategy", ["moveaxis", "einsum", "pallas"])
+def test_axis0_strategies_agree(strategy):
+    # all three axis-0 execution strategies must produce the same result
+    from ndrustfft_tpu import config
+    from ndrustfft_tpu.api import _jitted
+
+    rng = np.random.default_rng(13)
+    v = (rng.standard_normal((64, 16)) + 1j * rng.standard_normal((64, 16))
+         ).astype(np.complex64)
+    old_s, old_i = config.axis0_strategy, config.pallas_interpret
+    try:
+        config.axis0_strategy = strategy
+        config.pallas_interpret = strategy == "pallas"
+        _jitted.cache_clear()
+        got = np.asarray(ndfft(jnp.asarray(v), FftHandler(64), axis=0))
+    finally:
+        config.axis0_strategy, config.pallas_interpret = old_s, old_i
+        _jitted.cache_clear()
+    ref = np.fft.fft(v, axis=0)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
