@@ -33,12 +33,8 @@ def _dct2_consts(n: int):
     perm = np.concatenate(
         [np.arange(0, n, 2), np.arange(n - 1 if n % 2 == 0 else n - 2, 0, -2)]
     )
-    k = np.arange(n, dtype=np.int64)
-    w = _cis(k, 2 * n, -1)  # e^{-i pi k/(2n)}
-    m = n // 2 + 1
-    fold = np.minimum(k, n - k)  # Hermitian gather index into the half-spectrum
-    sgn = np.where(k < m, 1.0, -1.0)
-    return perm, w, fold, sgn
+    w = _cis(np.arange(n, dtype=np.int64), 2 * n, -1)  # e^{-i pi k/(2n)}
+    return perm, w
 
 
 def dct2(x):
@@ -46,11 +42,14 @@ def dct2(x):
     n = x.shape[-1]
     if n == 1:
         return x
-    perm, w, fold, sgn = _dct2_consts(n)
+    perm, w = _dct2_consts(n)
+    m = n // 2 + 1
     v = x[..., perm]
     vr, vi = r2c(v, get_r2c_plan(n))
-    vr_full = vr[..., fold]
-    vi_full = vi[..., fold] * jnp.asarray(sgn, x.dtype)
+    # Hermitian unfold V[k] = conj(V[n-k]) for k >= m via flip/concat
+    # (fuses on TPU, unlike a gather): tail indices n-1..m == flip(1..n-m)
+    vr_full = jnp.concatenate([vr, vr[..., 1:n - m + 1][..., ::-1]], axis=-1)
+    vi_full = jnp.concatenate([vi, -vi[..., 1:n - m + 1][..., ::-1]], axis=-1)
     wr, wi = _const(w, x.dtype)
     return vr_full * wr - vi_full * wi
 

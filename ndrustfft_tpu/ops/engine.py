@@ -227,12 +227,14 @@ def r2c(x, plan: R2CPlan):
     xe = x[..., 0::2]
     xo = x[..., 1::2]
     zr, zi = c2c(xe, xo, plan.sub)  # FFT of z = xe + i*xo, length h
-    # Z[-k]: index (h - k) mod h for k = 0..m-1 (m = h + 1 when n even)
-    idx = (-np.arange(m)) % h
+    # Z[k] for k = 0..h and the mirror Z[(h-k) mod h], built with
+    # flip/concat (fuses on TPU) instead of a gather:
     zrk = jnp.concatenate([zr, zr[..., :1]], axis=-1)  # Z[k], k=0..h
     zik = jnp.concatenate([zi, zi[..., :1]], axis=-1)
-    zrm = zrk[..., idx]  # Z[(h-k) mod h]
-    zim = zik[..., idx]
+    zrm = jnp.concatenate([zr[..., :1], zr[..., 1:][..., ::-1], zr[..., :1]],
+                          axis=-1)
+    zim = jnp.concatenate([zi[..., :1], zi[..., 1:][..., ::-1], zi[..., :1]],
+                          axis=-1)
     # Fe[k] = (Z[k] + conj(Z[-k]))/2 ; Fo[k] = (Z[k] - conj(Z[-k]))/(2i)
     fer = 0.5 * (zrk + zrm)
     fei = 0.5 * (zik - zim)
@@ -264,10 +266,9 @@ def c2r(sr, si, n: int):
                 shape = sr.shape[:-1]
                 y = c2r_pallas(sr.reshape(batch, m), si.reshape(batch, m), n)
                 return y.reshape(shape + (n,))
-    # bins m..n-1 are conj(X[n-k]) with n-k running m-1-(n%2==0?) .. 1
-    idx = np.arange(n - m, 0, -1)  # k = n-m .. 1 -> X[n-j] = conj(X[j])
-    er = jnp.concatenate([sr, sr[..., idx]], axis=-1)
-    ei = jnp.concatenate([si, -si[..., idx]], axis=-1)
+    # bins m..n-1 are conj(X[n-k]): indices n-m..1 == flip of bins 1..n-m
+    er = jnp.concatenate([sr, sr[..., 1:n - m + 1][..., ::-1]], axis=-1)
+    ei = jnp.concatenate([si, -si[..., 1:n - m + 1][..., ::-1]], axis=-1)
     plan = get_c2c_plan(n, +1)
     yr, _ = c2c(er, ei, plan)
     return yr

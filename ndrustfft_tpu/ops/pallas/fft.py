@@ -27,6 +27,14 @@ Split re/im float32 throughout (TPU has no complex registers). Complex
 matmuls use the 3-multiplication form. Plans whose shapes don't fit
 (Bluestein sizes, f64, n with no suitable lane factor) fall back to the XLA
 engine.
+
+STATUS (measured on v5e, 1024^2): both kernel flavors run ~127-145 us per
+transform regardless of dot precision (DEFAULT vs HIGHEST changes <15%),
+while the XLA-engine lowering runs ~40-50 us — the gap is structural (the
+_con_mid leading-dim permutes and per-stage relayouts dominate, not MXU
+passes). Kernels are therefore OPT-IN (config.use_pallas) until the
+dataflow is redesigned; they remain correctness-tested in interpreter mode
+and compile-verified against the real Mosaic toolchain.
 """
 
 from __future__ import annotations
