@@ -8,9 +8,9 @@ behavior are otherwise identical (see normalization.py for the pinned rules).
 
 The reference's serial/parallel split (rayon ``par_for_each`` over lanes,
 src/lib.rs:169-238) does not exist on TPU: lanes are always batched across
-the VPU/MXU, and multi-chip execution is expressed with shardings — see
-``ndrustfft_tpu.parallel``. The ``_par`` names are kept as aliases so
-reference code ports 1:1.
+the VPU/MXU. The ``_par`` names are kept so reference code ports 1:1, and
+they additionally route mesh-sharded eager inputs through the multi-chip
+pencil path (see ``_make_par`` below and ``ndrustfft_tpu.parallel``).
 
 Axis/layout generality: the reference's three-way dispatch (fast minor-axis
 path / swap+copy / per-lane contiguity matrix, src/lib.rs:100-167) collapses
@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from .handlers import DctHandler, FftHandler, R2cFftHandler
-from .normalization import Normalization
 from .ops import dct as _dct
 from .ops import engine as _engine
 from .plan import get_c2c_plan, get_r2c_plan

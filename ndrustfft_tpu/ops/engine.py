@@ -19,8 +19,6 @@ src/lib.rs:100-167) is handled by the caller via moveaxis, which XLA fuses.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,11 +23,11 @@ from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..api import _IMPLS
-from ..handlers import DctHandler, FftHandler, R2cFftHandler
+from ..handlers import FftHandler, R2cFftHandler
 
 _KINDS = set(_IMPLS)
 
