@@ -175,3 +175,41 @@ def test_par_functions_serial_on_unsharded():
     a = np.asarray(ndfft(v, FftHandler(8), axis=0))
     b = np.asarray(ndfft_par(v, FftHandler(8), axis=0))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pencil_4d_and_norms():
+    # 4-D array, two sharded dims, transforms on all four axes with mixed
+    # normalization policies surviving the pencil path
+    from ndrustfft_tpu import Normalization, ndifft
+
+    rng = np.random.default_rng(9)
+    shape = (8, 4, 6, 10)
+    v = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    mesh = mesh_2d()
+    x = shard(jnp.asarray(v), mesh, P("y", "z", None, None))
+    handlers = {a: FftHandler(shape[a]) for a in range(4)}
+    steps = [Step("fft", a, handlers[a]) for a in [3, 2, 1, 0]]
+    out, spec = pencil_transform(x, steps, mesh, P("y", "z", None, None))
+    ref = np.fft.fftn(v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10,
+                               atol=1e-10 * np.abs(ref).max())
+    # inverse with NONE norm on one axis: scales by that axis length
+    h_none = FftHandler(shape[0]).normalization(Normalization.NONE)
+    inv_steps = [Step("ifft", a, handlers[a]) for a in [3, 2, 1]]
+    inv_steps.append(Step("ifft", 0, h_none))
+    back, _ = pencil_transform(out, inv_steps, mesh, spec)
+    np.testing.assert_allclose(np.asarray(back), shape[0] * v, rtol=1e-10,
+                               atol=1e-10 * np.abs(v).max() * shape[0])
+
+
+def test_pencil_bluestein_size():
+    # prime axis length through the sharded path (Bluestein locally)
+    rng = np.random.default_rng(10)
+    v = rng.standard_normal((16, 7)) + 1j * rng.standard_normal((16, 7))
+    mesh = mesh_1d()
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    out, _ = pencil_transform(x, [Step("fft", 1, FftHandler(7))], mesh,
+                              P("d", None))
+    ref = np.fft.fft(v, axis=1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
