@@ -204,6 +204,10 @@ def _prep_real(x):
         if jnp.issubdtype(x.dtype, jnp.complexfloating):
             return x  # validated (rejected) later with a clear error
         x = x.astype(jnp.float32)
+    elif x.dtype in (jnp.bfloat16, jnp.float16):
+        # sub-f32 inputs are promoted: twiddle tables below f32 would give
+        # O(1e-2) transforms (dtype policy mirrors the reference's f32/f64)
+        x = x.astype(jnp.float32)
     return x
 
 

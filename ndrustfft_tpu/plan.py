@@ -96,11 +96,20 @@ def factorize(n: int, max_base: Optional[int] = None) -> Optional[tuple[int, ...
 
 
 def next_smooth(n: int) -> int:
-    """Smallest power of two ≥ n (Bluestein convolution length)."""
-    m = 1
-    while m < n:
-        m *= 2
-    return m
+    """Smallest 3-smooth number (2^a * 3^b) ≥ n — Bluestein convolution
+    length; 3-smooth padding wastes ≤ 1.5x vs up to 2x for pure powers of
+    two, and factors cleanly for the engine."""
+    best = 1
+    while best < n:
+        best *= 2
+    p3 = 1
+    while p3 < n:
+        p2 = 1
+        while p2 * p3 < n:
+            p2 *= 2
+        best = min(best, p2 * p3)
+        p3 *= 3
+    return best
 
 
 # --------------------------------------------------------------------------

@@ -228,3 +228,30 @@ def test_axis0_strategies_agree(strategy):
         _jitted.cache_clear()
     ref = np.fft.fft(v, axis=0)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+
+
+def test_sub_f32_inputs_promoted():
+    # bf16/f16 real inputs are promoted to f32 (dtype policy)
+    x = np.random.default_rng(20).standard_normal((4, 16)).astype(np.float32)
+    from ndrustfft_tpu import ndfft_r2c
+
+    got16 = ndfft_r2c(jnp.asarray(x, dtype=jnp.bfloat16), axis=1)
+    assert got16.dtype == jnp.complex64
+    ref = np.fft.rfft(x.astype(np.float64), axis=1)
+    # bf16 input data only has ~3 decimal digits; loose tolerance
+    np.testing.assert_allclose(np.asarray(got16), ref, rtol=0.05,
+                               atol=0.05 * np.abs(ref).max())
+
+
+def test_bluestein_three_smooth_padding():
+    from ndrustfft_tpu.plan import get_c2c_plan, next_smooth
+
+    assert next_smooth(13) == 16 or next_smooth(13) == 18
+    for n, expect in [(7, 8), (17, 18), (33, 36), (100, 108)]:
+        assert next_smooth(n) == expect, (n, next_smooth(n))
+    p = get_c2c_plan(509, -1)
+    assert p.kind == "bluestein" and p.M >= 2 * 509 - 1
+    x = np.random.default_rng(21).standard_normal(509) + 0j
+    got = np.asarray(ndfft(jnp.asarray(x), FftHandler(509), 0))
+    np.testing.assert_allclose(got, np.fft.fft(x), rtol=1e-10,
+                               atol=1e-10 * np.abs(np.fft.fft(x)).max())
