@@ -9,7 +9,9 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_enable_x64", True)  # these are f64 examples, like the reference's
+# f64 examples (like the reference's): TPUs have no f64, so run on CPU
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 from ndrustfft_tpu import FftHandler, ndfft, ndifft

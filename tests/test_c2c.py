@@ -255,3 +255,36 @@ def test_bluestein_three_smooth_padding():
     got = np.asarray(ndfft(jnp.asarray(x), FftHandler(509), 0))
     np.testing.assert_allclose(got, np.fft.fft(x), rtol=1e-10,
                                atol=1e-10 * np.abs(np.fft.fft(x)).max())
+
+
+def test_vmap_equivalence():
+    # serial == vmap (SURVEY §4 test plan): mapping over a batch dim gives
+    # the same values as the batched call
+    import jax
+
+    rng = np.random.default_rng(30)
+    x = rng.standard_normal((5, 4, 12)) + 1j * rng.standard_normal((5, 4, 12))
+    h = FftHandler(12)
+    direct = np.asarray(ndfft(jnp.asarray(x), h, axis=2))
+    mapped = np.asarray(jax.vmap(lambda v: ndfft(v, h, axis=1))(jnp.asarray(x)))
+    np.testing.assert_allclose(mapped, direct, rtol=1e-12,
+                               atol=1e-12 * np.abs(direct).max())
+
+
+def test_grad_through_r2c_pipeline():
+    import jax
+
+    from ndrustfft_tpu import R2cFftHandler, ndfft_r2c
+
+    h = R2cFftHandler(16)
+
+    def loss(x):
+        return jnp.sum(jnp.abs(ndfft_r2c(x, h, 0)) ** 2)
+
+    x = jnp.asarray(np.random.default_rng(31).standard_normal(16))
+    g = jax.grad(loss)(x)
+    # finite-difference check on one coordinate
+    eps = 1e-6
+    e0 = np.zeros(16); e0[3] = eps
+    fd = (float(loss(x + e0)) - float(loss(x - e0))) / (2 * eps)
+    np.testing.assert_allclose(float(g[3]), fd, rtol=1e-4)
