@@ -179,15 +179,24 @@ _IMPLS = {
 }
 
 
+def _config_key():
+    # runtime config toggles must invalidate the eager jit cache — otherwise
+    # flipping e.g. use_pallas after a first call is a silent no-op
+    from .config import config as _cfg
+
+    return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.axis0_strategy,
+            _cfg.matmul_precision, _cfg.max_base_radix)
+
+
 @lru_cache(maxsize=4096)
-def _jitted(kind, handler, axis):
+def _jitted(kind, handler, axis, cfg_key=None):
     return jax.jit(lambda x: _IMPLS[kind](x, handler, axis))
 
 
 def _dispatch(kind, x, handler, axis):
     if isinstance(x, jax.core.Tracer):
         return _IMPLS[kind](x, handler, axis)  # already inside a user jit
-    return _jitted(kind, handler, axis)(x)
+    return _jitted(kind, handler, axis, _config_key())(x)
 
 
 def _prep_complex(x):
@@ -296,7 +305,13 @@ nddct4 = _make_dct(4)
 
 
 def _make_par(kind, serial_fn, handler_cls):
+    real_input = kind in ("r2c", "dct1", "dct2", "dct3", "dct4")
+
     def f(x, handler=None, axis: int = -1, **kw):
+        # same dtype coercion as the serial twins (promote bf16/int, build
+        # complex) BEFORE the sharding check, so sharded inputs behave
+        # identically
+        x = _prep_real(x) if real_input else _prep_complex(x)
         sharded = (
             not isinstance(x, jax.core.Tracer)
             and hasattr(x, "sharding")

@@ -94,11 +94,19 @@ int nd_factorize(int64_t n, int64_t max_base, int64_t* out, int out_cap) {
     return -1;
 }
 
-// Smallest power of two >= n.
+// Smallest 3-smooth number (2^a * 3^b) >= n (Bluestein padding; twin of
+// plan.next_smooth).
 int64_t nd_next_smooth(int64_t n) {
-    int64_t m = 1;
-    while (m < n) m *= 2;
-    return m;
+    int64_t best = 1;
+    while (best < n) best *= 2;
+    for (int64_t p3 = 1;; p3 *= 3) {
+        int64_t p2 = 1;
+        while (p2 * p3 < n) p2 *= 2;
+        int64_t cand = p2 * p3;
+        if (cand < best) best = cand;
+        if (p3 >= n) break;
+    }
+    return best;
 }
 
 // cos/sin of pi * num / den with integer phase reduction (num mod 2*den),

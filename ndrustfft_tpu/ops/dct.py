@@ -10,7 +10,8 @@ normalization multiplies by 2 to produce scipy values, src/lib.rs:736-741):
   DCT-II  y[k] = sum_t x_t cos(pi k (2t+1) / (2n))
           == Re( e^{-i pi k/(2n)} * FFT_n(even-odd permuted x)[k] )   (Makhoul)
   DCT-III y[k] = x0/2 + sum_{t>=1} x_t cos(pi t (2k+1) / (2n))
-          == Re( FFT_{4n}([x0/2, x1.., 0..])[2k+1] )
+          == unperm( Re( FFT_n((c, c0/2) * e^{-i pi t/(2n)}) ) )  (transpose
+          of the Makhoul DCT-II algorithm; n-point)
   DCT-IV  y[k] = sum_t x_t cos(pi (2k+1)(2t+1) / (4n))
           == Re( e^{-i pi (2k+1)/(4n)} * FFT_{2n}(x_t e^{-i pi t/(2n)}, pad)[k] )
 
@@ -30,11 +31,13 @@ from .engine import _cmul, _const, c2c, r2c
 
 @lru_cache(maxsize=512)
 def _dct2_consts(n: int):
-    perm = np.concatenate(
-        [np.arange(0, n, 2), np.arange(n - 1 if n % 2 == 0 else n - 2, 0, -2)]
-    )
-    w = _cis(np.arange(n, dtype=np.int64), 2 * n, -1)  # e^{-i pi k/(2n)}
-    return perm, w
+    return _cis(np.arange(n, dtype=np.int64), 2 * n, -1)  # e^{-i pi k/(2n)}
+
+
+def _evenodd_perm(x):
+    """Makhoul permutation [x0, x2, .., x_odd desc] via slice+flip (no
+    TPU gather): evens ascending then odds descending."""
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
 
 
 def dct2(x):
@@ -42,9 +45,9 @@ def dct2(x):
     n = x.shape[-1]
     if n == 1:
         return x
-    perm, w = _dct2_consts(n)
+    w = _dct2_consts(n)
     m = n // 2 + 1
-    v = x[..., perm]
+    v = _evenodd_perm(x)
     vr, vi = r2c(v, get_r2c_plan(n))
     # Hermitian unfold V[k] = conj(V[n-k]) for k >= m via flip/concat
     # (fuses on TPU, unlike a gather): tail indices n-1..m == flip(1..n-m)
@@ -58,13 +61,20 @@ def dct2(x):
 def _dct3_consts(n: int):
     # inverse-Makhoul: DCT-III is the transpose of the DCT-II algorithm:
     #   z[perm] = Re( FFT_n( (c with c0/2) * e^{-i pi t/(2n)} ) )
-    t = np.arange(n, dtype=np.int64)
-    pre = _cis(t, 2 * n, -1)  # e^{-i pi t/(2n)}
-    perm = np.concatenate(
-        [np.arange(0, n, 2), np.arange(n - 1 if n % 2 == 0 else n - 2, 0, -2)]
-    )
-    inv_perm = np.argsort(perm)  # z[perm[i]] = Re(U)[i]  <=>  z = ReU[inv]
-    return pre, inv_perm
+    return _cis(np.arange(n, dtype=np.int64), 2 * n, -1)  # e^{-i pi t/(2n)}
+
+
+def _evenodd_unperm(u, n):
+    """Scatter z[perm] = u without a TPU gather: z[2t] = u[t] (t < ceil),
+    z[2t+1] = flip(u[ceil:]) — interleave via stack+reshape (odd n pads one
+    dummy slot that the final slice drops)."""
+    ceil = (n + 1) // 2
+    evens = u[..., :ceil]
+    odds = u[..., ceil:][..., ::-1]
+    if n % 2 == 1:
+        odds = jnp.concatenate([odds, odds[..., :1]], axis=-1)  # dummy
+    z = jnp.stack([evens, odds], axis=-1).reshape(u.shape[:-1] + (2 * ceil,))
+    return z[..., :n]
 
 
 def dct3(x):
@@ -75,12 +85,12 @@ def dct3(x):
     n = x.shape[-1]
     if n == 1:
         return 0.5 * x
-    pre, inv_perm = _dct3_consts(n)
+    pre = _dct3_consts(n)
     c = jnp.concatenate([x[..., :1] * 0.5, x[..., 1:]], axis=-1)
     prer, prei = _const(pre, x.dtype)
     ur, ui = c * prer, c * prei
     zr, _ = c2c(ur, ui, get_c2c_plan(n, -1))
-    return zr[..., inv_perm]
+    return _evenodd_unperm(zr, n)
 
 
 def dct1(x):

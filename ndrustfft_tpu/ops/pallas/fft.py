@@ -59,8 +59,10 @@ def matmul_precision():
     p = _cfg_precision()
     return jax.lax.Precision.HIGHEST if p == jax.lax.Precision.HIGH else p
 
-# per-tile VMEM working-set budget (bytes)
+# per-tile VMEM working-set budget (bytes) and the Mosaic scoped-vmem limit
+# requested via CompilerParams (see _build_call)
 _VMEM_BUDGET = 8 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 _LIVE_COPIES = 8
 _MAX_LANE_FACTOR = 256  # dense lane DFT cost: f MACs/element
 _MAX_N = 65536
@@ -103,6 +105,11 @@ def pallas_supported(plan: C2CPlan, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if plan.n < 2 or plan.n > _MAX_N:
+        return False
+    # tiles are forced to >=128 wide (narrow tiles hit Mosaic shape-cast
+    # limits), so the working set at tile=128 must fit the kernel VMEM limit
+    if _LIVE_COPIES * 128 * plan.n * jnp.dtype(dtype).itemsize > int(
+            0.8 * _VMEM_LIMIT):
         return False
     if _lane_factor(plan.n) is None:
         return False
@@ -345,7 +352,7 @@ def _build_call(n: int, sign: int, batch: int, dtype_str: str,
             bytes_accessed=int(4 * batch * n * dtype.itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 
@@ -388,7 +395,7 @@ def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
             bytes_accessed=int(4 * cols * n * dtype.itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 

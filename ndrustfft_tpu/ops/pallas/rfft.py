@@ -133,7 +133,7 @@ def _build_r2c(n: int, batch: int, dtype_str: str, interpret: bool):
     grid = (pl.cdiv(batch, tile),)
     in_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    const_specs = [pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim,
+    const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
         partial(_r2c_kernel, struct, n),
@@ -162,7 +162,7 @@ def _build_c2r(n: int, batch: int, dtype_str: str, interpret: bool):
     grid = (pl.cdiv(batch, tile),)
     in_spec = pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    const_specs = [pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim,
+    const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
         partial(_c2r_kernel, struct, n),

@@ -103,11 +103,13 @@ def next_smooth(n: int) -> int:
     while best < n:
         best *= 2
     p3 = 1
-    while p3 < n:
+    while True:
         p2 = 1
         while p2 * p3 < n:
             p2 *= 2
         best = min(best, p2 * p3)
+        if p3 >= n:  # include the pure power of 3 ≥ n, then stop
+            break
         p3 *= 3
     return best
 

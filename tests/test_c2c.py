@@ -217,14 +217,17 @@ def test_axis0_strategies_agree(strategy):
     rng = np.random.default_rng(13)
     v = (rng.standard_normal((64, 16)) + 1j * rng.standard_normal((64, 16))
          ).astype(np.complex64)
-    old_s, old_i = config.axis0_strategy, config.pallas_interpret
+    old_s, old_i, old_u = (config.axis0_strategy, config.pallas_interpret,
+                           config.use_pallas)
     try:
         config.axis0_strategy = strategy
         config.pallas_interpret = strategy == "pallas"
+        config.use_pallas = strategy == "pallas"
         _jitted.cache_clear()
         got = np.asarray(ndfft(jnp.asarray(v), FftHandler(64), axis=0))
     finally:
         config.axis0_strategy, config.pallas_interpret = old_s, old_i
+        config.use_pallas = old_u
         _jitted.cache_clear()
     ref = np.fft.fft(v, axis=0)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())

@@ -72,6 +72,8 @@ def test_chirp_matches_python():
         np.testing.assert_allclose(nim, pim, atol=1e-15)
 
 
-def test_next_smooth():
-    for n, want in [(1, 1), (2, 2), (3, 4), (1023, 1024), (1025, 2048)]:
-        assert lib.nd_next_smooth(n) == want
+def test_next_smooth_matches_python_twin():
+    from ndrustfft_tpu.plan import next_smooth
+
+    for n in list(range(1, 200)) + [729, 1023, 1025, 4097]:
+        assert lib.nd_next_smooth(n) == next_smooth(n), n

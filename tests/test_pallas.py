@@ -77,16 +77,25 @@ def test_pallas_matches_xla_engine_exactly_disabled():
 
 
 def test_pallas_axis0_kernel():
-    # transpose-free axis-0 kernel flavor
+    # transpose-free axis-0 kernel flavor (needs the 'pallas' strategy —
+    # the default moveaxis strategy routes through the lane-last kernel)
+    config.axis0_strategy = "pallas"
+    from ndrustfft_tpu.api import _jitted
+
+    _jitted.cache_clear()
     rng = np.random.default_rng(3)
     x = (rng.standard_normal((264, 32)) + 1j * rng.standard_normal((264, 32))
          ).astype(np.complex64)
     h = FftHandler(264)
-    got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
-    ref = np.fft.fft(x, axis=0)
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
-    back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 0), h, 0))
-    assert np.abs(back - x).max() < 1e-4
+    try:
+        got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
+        ref = np.fft.fft(x, axis=0)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+        back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 0), h, 0))
+        assert np.abs(back - x).max() < 1e-4
+    finally:
+        config.axis0_strategy = "moveaxis"
+        _jitted.cache_clear()
 
 
 def test_pallas_fused_r2c_c2r():
