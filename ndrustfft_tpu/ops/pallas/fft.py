@@ -28,13 +28,17 @@ matmuls use the 3-multiplication form. Plans whose shapes don't fit
 (Bluestein sizes, f64, n with no suitable lane factor) fall back to the XLA
 engine.
 
-STATUS (measured on v5e, 1024^2): both kernel flavors run ~127-145 us per
-transform regardless of dot precision (DEFAULT vs HIGHEST changes <15%),
-while the XLA-engine lowering runs ~40-50 us — the gap is structural (the
-_con_mid leading-dim permutes and per-stage relayouts dominate, not MXU
-passes). Kernels are therefore OPT-IN (config.use_pallas) until the
-dataflow is redesigned; they remain correctness-tested in interpreter mode
-and compile-verified against the real Mosaic toolchain.
+STATUS (measured on v5e, 1024^2 per transform): the recursive flavors run
+~127-145 us regardless of dot precision; the 'twostep' flavor below (2-D
+matmuls only, no narrow-lane intermediates) runs ~73-87 us; the XLA-engine
+lowering runs ~22-50 us. The remaining gap is fundamental to the kernel
+constraints: Mosaic only offers DEFAULT/HIGHEST dot precisions, and
+HIGHEST's 6 bf16 passes x 3M complex form over the m+f dense MACs/element
+is MXU-bound (~26 us of pure MXU at n=1024), while the XLA path runs
+3-pass HIGH precision over smaller [32,32] factors inside the HBM shadow.
+Kernels are therefore OPT-IN (config.use_pallas) and the XLA engine is the
+shipping default; kernels stay correctness-tested in interpreter mode and
+compile-verified against the real toolchain.
 """
 
 from __future__ import annotations
@@ -408,9 +412,132 @@ def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
     return run
 
 
+# --------------------------------------------------------------------------
+# Two-step flavor ("twostep"): every heavy op is a plain 2-D matmul or a
+# leading-split dot, and no intermediate carries a narrow (<128) lane dim —
+# the two Mosaic codegen traps measured on v5e. Dataflow for one (T, n) tile,
+# n = m * f with the SUBLANE DFT factor m >= 128 and the residue factor
+# f = n/m <= 256 (t = f*t' + j):
+#
+#   (T, n) --transpose--> (n, T) --reshape--> (m, f*T)          [lane >= 128]
+#   S1 = Wm^T . x          : contract m, leading-output         [MXU 2-D]
+#   S1 *= TW[p, (j,t)]      : precomputed (m, f*T) constant     [VPU]
+#   --transpose--> (f*T, m) --reshape--> (f, T, m)              [lane = m]
+#   Z = Wf^T . y            : contract f, leading-output        [MXU]
+#   (q, T, m) --perm--> (T, q, m) --lane-merge--> (T, n)        [k = q*m + p]
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _twostep_split(n: int):
+    """(m, f) with m in [128, 256] dividing n and f = n/m <= 256, or None.
+
+    m must be a multiple of 128: other sublane extents hit Mosaic's
+    unsupported-shape-cast on the (n, T) -> (m, f*T) view (m=132 measured to
+    fail); among {128, 256} prefer minimal m + f (dense MACs/element)."""
+    cands = [d for d in (128, 256) if n % d == 0 and n // d <= 256]
+    if not cands:
+        return None
+    m = min(cands, key=lambda d: d + n // d)
+    return m, n // m
+
+
+def twostep_supported(plan: C2CPlan, dtype) -> bool:
+    if not config.use_pallas or config.pallas_flavor != "twostep":
+        return False
+    if plan.kind != "ct" or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if plan.n <= 256:
+        return pallas_supported(plan, dtype)  # dense single-matmul path
+    if _twostep_split(plan.n) is None:
+        return False
+    if _LIVE_COPIES * 128 * plan.n * 4 > int(0.8 * _VMEM_LIMIT):
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or config.pallas_interpret
+
+
+def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
+    (wm_r, wm_i, tw_r, tw_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    prec = matmul_precision()
+    n = m * f
+
+    def stage(xr2, xi2):
+        # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
+        def con1(x, w):
+            return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                                       precision=prec)
+
+        yr, yi = _cdot(prec, xr2, xi2, wm_r, wm_i, con1)   # (m, f*T)
+        yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
+        yr = yr.T.reshape(f, tile, m)                      # (j, t, p)
+        yi = yi.T.reshape(f, tile, m)
+
+        def con2(x, w):
+            return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                                       precision=prec)
+
+        zr, zi = _cdot(prec, yr, yi, wf_r, wf_i, con2)     # (q, t, p)
+        zr = jnp.transpose(zr, (1, 0, 2)).reshape(tile, n)
+        zi = jnp.transpose(zi, (1, 0, 2)).reshape(tile, n)
+        return zr, zi
+
+    xr2 = xr_ref[:].T.reshape(m, f * tile)
+    xi2 = xi_ref[:].T.reshape(m, f * tile)
+    or_ref[:], oi_ref[:] = stage(xr2, xi2)
+
+
+@lru_cache(maxsize=256)
+def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
+                        interpret: bool):
+    dtype = jnp.dtype(dtype_str)
+    m, f = _twostep_split(n)
+    wm = dft_matrix(m, sign)
+    wf = dft_matrix(f, sign)
+    twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
+    tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
+    if batch >= 128:
+        tile = max(tile, 128)
+    # TW[p, (j, t)] = W_n^{j p} repeated over the tile batch t
+    tw_r = np.repeat(np.asarray(twi_[0].T, dtype), tile, axis=1)  # (m, f*tile)
+    tw_i = np.repeat(np.asarray(twi_[1].T, dtype), tile, axis=1)
+    consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
+              tw_r, tw_i,
+              np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+    grid = (pl.cdiv(batch, tile),)
+    spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_kernel_twostep, m, f, tile),
+        out_shape=(jax.ShapeDtypeStruct((batch, n), dtype),
+                   jax.ShapeDtypeStruct((batch, n), dtype)),
+        grid=grid,
+        in_specs=[spec, spec] + const_specs,
+        out_specs=(spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * n * np.log2(max(n, 2)) * batch),
+            bytes_accessed=int(4 * batch * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        return call(xr, xi, *consts)
+
+    return run
+
+
 def c2c_pallas(xr, xi, plan: C2CPlan):
     """Batched lane-last C2C on (B, n) split re/im arrays via the fused kernel."""
     batch, n = xr.shape
+    if (config.pallas_flavor == "twostep" and n > 256
+            and _twostep_split(n) is not None):
+        run = _build_call_twostep(n, plan.sign, batch, str(xr.dtype),
+                                  bool(config.pallas_interpret))
+        return run(xr, xi)
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
                       bool(config.pallas_interpret))
     return run(xr, xi)
