@@ -48,7 +48,18 @@ class _HandlerBase:
 
 
 class FftHandler(_HandlerBase):
-    """C2C FFT plan for axis length n (reference src/lib.rs:269-348)."""
+    """C2C FFT plan for axis length n (reference src/lib.rs:269-348).
+
+    Example (reference doc example, src/lib.rs:253-268)::
+
+        import jax.numpy as jnp
+        from ndrustfft_tpu import FftHandler, ndfft
+
+        nx, ny = 6, 4
+        data = jnp.zeros((nx, ny), jnp.complex64)
+        handler = FftHandler(nx)
+        vhat = ndfft(data, handler, axis=0)
+    """
 
     def __init__(self, n: int):
         super().__init__(n)
@@ -58,7 +69,17 @@ class FftHandler(_HandlerBase):
 
 class R2cFftHandler(_HandlerBase):
     """R2C/C2R plan for REAL axis length n; spectrum length m = n//2 + 1
-    (reference src/lib.rs:451-541)."""
+    (reference src/lib.rs:451-541).
+
+    Example (reference doc example, src/lib.rs:436-450)::
+
+        import jax.numpy as jnp
+        from ndrustfft_tpu import R2cFftHandler, ndfft_r2c
+
+        v = jnp.zeros((6, 4))
+        handler = R2cFftHandler(4)
+        vhat = ndfft_r2c(v, handler, axis=1)   # (6, 3)
+    """
 
     __slots__ = ("m",)
 
@@ -73,5 +94,14 @@ class DctHandler(_HandlerBase):
     """DCT-1/2/3/4 plans for axis length n (reference src/lib.rs:640-751).
 
     Like the reference, all four types are planned by one handler; the engine
-    caches the underlying FFT schedules (2n-2, n, 4n, 2n) lazily on first use.
+    caches the underlying FFT schedules (2n-2, n, n, 2n) lazily on first use.
+
+    Example (reference doc example, src/lib.rs:625-639)::
+
+        import jax.numpy as jnp
+        from ndrustfft_tpu import DctHandler, nddct1
+
+        data = jnp.zeros((6, 4))
+        handler = DctHandler(4)
+        vhat = nddct1(data, handler, axis=1)
     """

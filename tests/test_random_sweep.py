@@ -1,0 +1,63 @@
+"""Seeded randomized consistency sweep across the whole public surface.
+
+A cheap property-style net: random shapes/axes/kinds/dtypes, all checked
+against numpy/scipy oracles. Failures print the exact configuration.
+"""
+
+import numpy as np
+import pytest
+import scipy.fft as sf
+
+import jax.numpy as jnp
+from ndrustfft_tpu import (
+    DctHandler, FftHandler, R2cFftHandler, nddct1, nddct2, nddct3, nddct4,
+    ndfft, ndfft_r2c, ndifft, ndifft_r2c,
+)
+
+RNG = np.random.default_rng(2026)
+
+
+def _random_case(i):
+    ndim = RNG.integers(1, 4)
+    shape = tuple(int(RNG.integers(2, 20)) for _ in range(ndim))
+    axis = int(RNG.integers(0, ndim))
+    kind = ["fft", "ifft", "r2c", "c2r", "dct1", "dct2", "dct3", "dct4"][i % 8]
+    f64 = bool(RNG.integers(0, 2))
+    return shape, axis, kind, f64
+
+
+@pytest.mark.parametrize("i", range(48))
+def test_random_case(i):
+    shape, axis, kind, f64 = _random_case(i)
+    n = shape[axis]
+    rdt = np.float64 if f64 else np.float32
+    rtol = 1e-10 if f64 else 2e-4
+    x = RNG.standard_normal(shape).astype(rdt)
+    if kind in ("fft", "ifft"):
+        xc = (x + 1j * RNG.standard_normal(shape)).astype(
+            np.complex128 if f64 else np.complex64)
+        h = FftHandler(n)
+        if kind == "fft":
+            got = np.asarray(ndfft(jnp.asarray(xc), h, axis=axis))
+            ref = np.fft.fft(xc, axis=axis)
+        else:
+            got = np.asarray(ndifft(jnp.asarray(xc), h, axis=axis))
+            ref = np.fft.ifft(xc, axis=axis)
+    elif kind == "r2c":
+        got = np.asarray(ndfft_r2c(jnp.asarray(x), R2cFftHandler(n), axis=axis))
+        ref = np.fft.rfft(x.astype(np.float64), axis=axis)
+    elif kind == "c2r":
+        spec = np.fft.rfft(x.astype(np.float64), axis=axis)
+        h = R2cFftHandler(n)
+        sdt = np.complex128 if f64 else np.complex64
+        got = np.asarray(ndifft_r2c(jnp.asarray(spec.astype(sdt)), h, axis=axis))
+        ref = x.astype(np.float64)
+    else:
+        t = int(kind[-1])
+        if t == 1 and n < 2:
+            pytest.skip("DCT-I needs n >= 2")
+        fn = {1: nddct1, 2: nddct2, 3: nddct3, 4: nddct4}[t]
+        got = np.asarray(fn(jnp.asarray(x), DctHandler(n), axis=axis))
+        ref = sf.dct(x.astype(np.float64), type=t, axis=axis)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < rtol, (shape, axis, kind, f64)
