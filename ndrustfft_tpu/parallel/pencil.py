@@ -126,7 +126,8 @@ def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
     return plan, tuple(spec), tuple(true_len), tuple(pad_len), in_pad_shape
 
 
-def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec):
+def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
+                     pipeline_chunks: int = 1):
     """Apply a sequence of axis transforms to a mesh-sharded global array.
 
     ``in_spec`` is a PartitionSpec (or tuple) mapping each array dim to at
@@ -135,6 +136,13 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec):
     onto a local dim (a global transpose over ICI), padding uneven dims as
     needed. Returns ``(out, out_spec)``: the transformed GLOBAL array (true,
     unpadded shape) and its PartitionSpec.
+
+    ``pipeline_chunks > 1`` splits each global transpose + local transform
+    into that many independent chunks along a bystander local dim, letting
+    XLA's async collective scheduler overlap the ICI all_to_all of one chunk
+    with the on-chip transform of the previous one (compute/communication
+    overlap — the lever for the weak-scaling target; a step with no
+    bystander dim runs unchunked).
 
     Example — 3-D R2C spectral forward on a ('y','z') pencil mesh::
 
@@ -154,20 +162,46 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec):
     in_spec_p = P(*_spec_tuple(in_spec, ndim))
     out_spec_p = P(*out_spec)
 
+    def reshard(lx, rs):
+        b, a = rs["split"], rs["concat"]
+        pad_to = rs["pad_b_to"]
+        if pad_to != lx.shape[b]:
+            pads = [(0, 0)] * lx.ndim
+            pads[b] = (0, pad_to - lx.shape[b])
+            lx = jax.numpy.pad(lx, pads)
+        lx = jax.lax.all_to_all(lx, rs["name"], split_axis=b,
+                                concat_axis=a, tiled=True)
+        if lx.shape[a] != rs["slice_a_to"]:
+            lx = jax.lax.slice_in_dim(lx, 0, rs["slice_a_to"], axis=a)
+        return lx
+
     def local_fn(lx):
         for step, rs in zip(steps, plan):
-            if rs is not None:
-                b, a = rs["split"], rs["concat"]
-                pad_to = rs["pad_b_to"]
-                if pad_to != lx.shape[b]:
-                    pads = [(0, 0)] * ndim
-                    pads[b] = (0, pad_to - lx.shape[b])
-                    lx = jax.numpy.pad(lx, pads)
-                lx = jax.lax.all_to_all(lx, rs["name"], split_axis=b,
-                                        concat_axis=a, tiled=True)
-                if lx.shape[a] != rs["slice_a_to"]:
-                    lx = jax.lax.slice_in_dim(lx, 0, rs["slice_a_to"], axis=a)
-            lx = _IMPLS[step.kind](lx, step.handler, step.axis % ndim)
+            apply = lambda v, _s=step: _IMPLS[_s.kind](v, _s.handler,
+                                                       _s.axis % ndim)
+            if rs is None:
+                lx = apply(lx)
+                continue
+            b, a = rs["split"], rs["concat"]
+            # bystander dim for pipelining: uninvolved in the transpose and
+            # big enough locally (a sharded bystander chunks its local part)
+            cands = [d for d in range(ndim)
+                     if d not in (a, b) and lx.shape[d] >= pipeline_chunks]
+            c = cands[0] if (pipeline_chunks > 1 and cands) else None
+            if c is None:
+                lx = apply(reshard(lx, rs))
+                continue
+            # unrolled chunks: chunk i's all_to_all is independent of chunk
+            # i-1's transform, so XLA can overlap them (async collectives)
+            L = lx.shape[c]
+            bounds = [round(i * L / pipeline_chunks)
+                      for i in range(pipeline_chunks + 1)]
+            outs = []
+            for i in range(pipeline_chunks):
+                piece = jax.lax.slice_in_dim(lx, bounds[i], bounds[i + 1],
+                                             axis=c)
+                outs.append(apply(reshard(piece, rs)))
+            lx = jax.numpy.concatenate(outs, axis=c)
         return lx
 
     f = jax.shard_map(local_fn, mesh=mesh, in_specs=in_spec_p,

@@ -213,3 +213,34 @@ def test_pencil_bluestein_size():
     ref = np.fft.fft(v, axis=1)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
                                atol=1e-11 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("chunks", [2, 3])
+def test_pencil_pipeline_chunks_equivalence(chunks):
+    # compute/communication-overlap chunking must not change results
+    rng = np.random.default_rng(11)
+    nz, ny, nx = 8, 16, 12
+    v = rng.standard_normal((nz, ny, nx))
+    mesh = mesh_2d()
+    x = shard(jnp.asarray(v), mesh, P("y", "z", None))
+    steps = [Step("r2c", 2, R2cFftHandler(nx)),
+             Step("fft", 1, FftHandler(ny)),
+             Step("fft", 0, FftHandler(nz))]
+    base, _ = pencil_transform(x, steps, mesh, P("y", "z", None))
+    piped, _ = pencil_transform(x, steps, mesh, P("y", "z", None),
+                                pipeline_chunks=chunks)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(base),
+                               rtol=1e-12, atol=1e-12 * np.abs(base).max())
+
+
+def test_pencil_pipeline_no_bystander_falls_back():
+    # 2-D case: both dims are involved in the transpose -> unchunked path
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal((16, 8)) + 1j * rng.standard_normal((16, 8))
+    mesh = mesh_1d()
+    x = shard(jnp.asarray(v), mesh, P("d", None))
+    out, _ = pencil_transform(x, [Step("fft", 0, FftHandler(16))], mesh,
+                              P("d", None), pipeline_chunks=4)
+    ref = np.fft.fft(v, axis=0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
