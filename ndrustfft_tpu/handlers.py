@@ -46,6 +46,36 @@ class _HandlerBase:
     def __repr__(self):
         return f"{type(self).__name__}(n={self.n}, norm={self.norm!r})"
 
+    # transform kinds this handler serves: (kind, input_is_complex)
+    _kinds: tuple = ()
+
+    def warmup(self, shape, axis: int = -1, float64: bool = False):
+        """AOT-compile this handler's transforms for a forward-input shape.
+
+        Serving-style precompilation: compiles every transform kind the
+        handler serves (forward AND inverse, with the inverse input shape
+        derived on the transform axis) without running anything. Combined
+        with utils.cache.enable_persistent_cache the compilations survive
+        process restarts — the deployment analog of the reference's
+        plan-once-use-forever handlers.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from . import api
+
+        shape = tuple(shape)
+        ax = axis % len(shape)
+        cdt = jnp.complex128 if float64 else jnp.complex64
+        rdt = jnp.float64 if float64 else jnp.float32
+        for kind, is_cplx in self._kinds:
+            s = list(shape)
+            if kind == "c2r":
+                s[ax] = getattr(self, "m")
+            x = jax.ShapeDtypeStruct(tuple(s), cdt if is_cplx else rdt)
+            api._jitted(kind, self, ax, api._config_key()).lower(x).compile()
+        return self
+
 
 class FftHandler(_HandlerBase):
     """C2C FFT plan for axis length n (reference src/lib.rs:269-348).
@@ -60,6 +90,8 @@ class FftHandler(_HandlerBase):
         handler = FftHandler(nx)
         vhat = ndfft(data, handler, axis=0)
     """
+
+    _kinds = (("fft", True), ("ifft", True))
 
     def __init__(self, n: int):
         super().__init__(n)
@@ -82,6 +114,7 @@ class R2cFftHandler(_HandlerBase):
     """
 
     __slots__ = ("m",)
+    _kinds = (("r2c", False), ("c2r", True))
 
     def __init__(self, n: int):
         super().__init__(n)
@@ -105,3 +138,6 @@ class DctHandler(_HandlerBase):
         handler = DctHandler(4)
         vhat = nddct1(data, handler, axis=1)
     """
+
+    _kinds = (("dct1", False), ("dct2", False), ("dct3", False),
+              ("dct4", False))

@@ -44,3 +44,22 @@ def test_persistent_cache(tmp_path):
     p = enable_persistent_cache(str(tmp_path / "xla_cache"))
     assert os.path.isdir(p)
     assert jax.config.jax_compilation_cache_dir == p
+
+
+def test_handler_warmup_precompiles():
+    from ndrustfft_tpu import DctHandler, FftHandler, R2cFftHandler
+    from ndrustfft_tpu.api import _config_key, _jitted
+
+    _jitted.cache_clear()
+    FftHandler(16).warmup((4, 16), axis=1)
+    R2cFftHandler(16).warmup((4, 16), axis=1)
+    DctHandler(16).warmup((4, 16), axis=1)
+    # every kind compiled into the eager jit cache
+    assert _jitted.cache_info().currsize >= 8
+    # and the compiled fns produce correct results without re-tracing
+    x = np.random.default_rng(0).standard_normal((4, 16)).astype(np.float32)
+    from ndrustfft_tpu import ndfft_r2c
+
+    got = np.asarray(ndfft_r2c(jnp.asarray(x), R2cFftHandler(16), axis=1))
+    np.testing.assert_allclose(got, np.fft.rfft(x.astype(np.float64), axis=1),
+                               rtol=1e-4, atol=1e-4)
