@@ -88,6 +88,10 @@ def per_transform(pair_step, x, K1=2, K2=34):
     return max((b - a) / ((K2 - K1) * 2), 1e-9)
 
 
+def _med(v):
+    return sorted(v)[len(v) // 2]
+
+
 def compare(step_a, step_b, x, K1=2, K2=34, rounds=7):
     """(t_a, t_b, median ratio t_b/t_a) with the two steps measured
     back-to-back inside each round — the tunnel's throughput drifts on a
@@ -115,7 +119,7 @@ def compare(step_a, step_b, x, K1=2, K2=34, rounds=7):
         tbs.append(tb)
         ratios.append(tb / ta)
     if not ratios:
-        return 1e-9, 1e-9, 1.0
+        return None, None, None  # every round failed / drift-swamped
 
     def med(v):
         return sorted(v)[len(v) // 2]
@@ -155,18 +159,24 @@ def main():
             lambda v: jnp.fft.ifft(jnp.fft.fft(v, axis=0), axis=0),
             x)
     except Exception:
-        t_ours = per_transform(
-            lambda v: ndifft(ndfft(v, h, axis=0), h, axis=0), x)
-        vs = 1.0
+        t_ours = vs = None
+    if t_ours is None:
+        try:
+            t_ours = per_transform(
+                lambda v: ndifft(ndfft(v, h, axis=0), h, axis=0), x)
+        except Exception:
+            t_ours = None
+        vs = None  # comparison unmeasurable — do NOT fabricate parity
 
     flops = 5.0 * n * math.log2(n) * n  # 5 N log2 N per lane, n lanes
-    gflops = flops / t_ours / 1e9
+    # sub-10ns per transform is physically impossible: flag as unmeasured
+    gflops = (flops / t_ours / 1e9
+              if t_ours is not None and t_ours > 1e-8 else None)
 
     if args.all:
         # the reference's full criterion grid (benches/ndrustfft.rs:6-7)
         from ndrustfft_tpu import (
-            DctHandler, R2cFftHandler, nddct1, nddct2, nddct3, ndfft_r2c,
-            ndifft_r2c,
+            DctHandler, R2cFftHandler, nddct2, nddct3, ndfft_r2c, ndifft_r2c,
         )
 
         for m in [128, 264, 512, 1024]:
@@ -193,9 +203,9 @@ def main():
 
     print(json.dumps({
         "metric": f"fft2d_{n}_c2c_f32_axis0",
-        "value": round(gflops, 2),
+        "value": round(gflops, 2) if gflops is not None else None,
         "unit": "GFLOP/s (5NlogN)",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(vs, 3) if vs is not None else None,
     }))
 
 

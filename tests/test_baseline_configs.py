@@ -13,7 +13,7 @@ from jax.sharding import PartitionSpec as P
 
 from ndrustfft_tpu import (
     DctHandler, FftHandler, Normalization, R2cFftHandler, nddct1, nddct2,
-    nddct3, nddct4, ndfft, ndfft_r2c, ndifft, ndifft_r2c,
+    nddct3, nddct4, ndfft, ndfft_r2c, ndifft,
 )
 
 

@@ -52,9 +52,8 @@ def test_pencil_3d_rfftn_roundtrip():
     mesh = mesh_2d()
     x = shard(jnp.asarray(v), mesh, P("y", "z", None))
     vhat, spec = rfftn_pencil(x, mesh, P("y", "z", None))
-    ref = np.fft.rfftn(v, axes=(2, 1, 0))  # r2c last axis, then fft 1, 0
-    # numpy rfftn transforms axes in the given order with r2c on the LAST
-    # listed axis; ours transforms axis 2 (r2c) then 1 then 0:
+    # oracle: r2c along the last axis, then C2C along axes 1 and 0 (note:
+    # np.fft.rfftn(axes=(2,1,0)) would apply r2c to axis 0 — NOT equivalent)
     ref = np.fft.fft(np.fft.fft(np.fft.rfft(v, axis=2), axis=1), axis=0)
     np.testing.assert_allclose(np.asarray(vhat), ref, rtol=1e-10,
                                atol=1e-10 * np.abs(ref).max())

@@ -48,7 +48,7 @@ def test_persistent_cache(tmp_path):
 
 def test_handler_warmup_precompiles():
     from ndrustfft_tpu import DctHandler, FftHandler, R2cFftHandler
-    from ndrustfft_tpu.api import _config_key, _jitted
+    from ndrustfft_tpu.api import _jitted
 
     _jitted.cache_clear()
     FftHandler(16).warmup((4, 16), axis=1)
