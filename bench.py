@@ -176,7 +176,8 @@ def main():
     if args.all:
         # the reference's full criterion grid (benches/ndrustfft.rs:6-7)
         from ndrustfft_tpu import (
-            DctHandler, R2cFftHandler, nddct2, nddct3, ndfft_r2c, ndifft_r2c,
+            DctHandler, R2cFftHandler, nddct1, nddct2, nddct3, ndfft_r2c,
+            ndifft_r2c,
         )
 
         for m in [128, 264, 512, 1024]:
@@ -199,7 +200,12 @@ def main():
             t = per_transform(
                 lambda v, _h=hd, _d=d: nddct3(nddct2(v, _h, axis=0), _h,
                                               axis=0) / (2.0 * _d), xd)
-            print(f"# dct2d n={d}: {t*1e6:.1f} us", file=sys.stderr)
+            print(f"# dct2d-II/III n={d}: {t*1e6:.1f} us", file=sys.stderr)
+            # the reference's dct2d group benches DCT-I (self-inverse scaled)
+            t = per_transform(
+                lambda v, _h=hd, _d=d: nddct1(nddct1(v, _h, axis=0), _h,
+                                              axis=0) / (2.0 * (_d - 1)), xd)
+            print(f"# dct2d-I n={d}: {t*1e6:.1f} us", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"fft2d_{n}_c2c_f32_axis0",
