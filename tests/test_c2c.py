@@ -301,3 +301,18 @@ def test_grad_through_r2c_pipeline():
     e0 = np.zeros(16); e0[3] = eps
     fd = (float(loss(x + e0)) - float(loss(x - e0))) / (2 * eps)
     np.testing.assert_allclose(float(g[3]), fd, rtol=1e-4)
+
+
+def test_long_transform_1m_points():
+    # single long transform stays on-chip (SURVEY §5 long-context analog):
+    # n = 2^20 through the 3-level engine recursion
+    n = 1 << 20
+    rng = np.random.default_rng(50)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    h = FftHandler(n)
+    got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
+    ref = np.fft.fft(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    back = np.asarray(ndifft(jnp.asarray(got), h, axis=0))
+    assert np.abs(back - x).max() < 1e-2  # f32 roundtrip at n=2^20

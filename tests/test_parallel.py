@@ -243,3 +243,27 @@ def test_pencil_pipeline_no_bystander_falls_back():
     ref = np.fft.fft(v, axis=0)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11,
                                atol=1e-11 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("i", range(6))
+def test_pencil_fuzz_vs_serial(i):
+    # random shapes/specs/step-orders: sharded == serial
+    from ndrustfft_tpu.api import _IMPLS
+
+    rng = np.random.default_rng(100 + i)
+    ndim = int(rng.integers(2, 4))
+    shape = tuple(int(rng.integers(2, 5)) * 4 for _ in range(ndim))
+    v = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    mesh = mesh_1d() if rng.integers(0, 2) else mesh_2d()
+    names = list(mesh.axis_names)
+    spec = [None] * ndim
+    for d, nm in enumerate(names[:ndim - 1]):
+        spec[d] = nm
+    axes = list(rng.permutation(ndim))
+    steps = [Step("fft", int(a), FftHandler(shape[int(a)])) for a in axes]
+    out, _ = pencil_transform(jnp.asarray(v), steps, mesh, P(*spec))
+    ref = v
+    for a in axes:
+        ref = np.fft.fft(ref, axis=int(a))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10,
+                               atol=1e-10 * np.abs(ref).max())
