@@ -32,20 +32,6 @@ def _const(pair, dtype):
     return jnp.asarray(pair[0], dtype), jnp.asarray(pair[1], dtype)
 
 
-def _cmatmul_last(xr, xi, wr, wi):
-    """(..., f) x (f, f) complex matmul over the last axis.
-
-    3-multiplication form:
-      t1 = xr @ wr ; t2 = xi @ wi ; t3 = (xr + xi) @ (wr + wi)
-      yr = t1 - t2 ; yi = t3 - t1 - t2
-    """
-    prec = matmul_precision()
-    t1 = jnp.matmul(xr, wr, precision=prec)
-    t2 = jnp.matmul(xi, wi, precision=prec)
-    t3 = jnp.matmul(xr + xi, wr + wi, precision=prec)
-    return t1 - t2, t3 - t1 - t2
-
-
 def _cmul(ar, ai, br, bi):
     """Elementwise complex multiply (VPU)."""
     return ar * br - ai * bi, ar * bi + ai * br
@@ -77,36 +63,63 @@ def c2c(xr, xi, plan: C2CPlan):
     return ct_valued(xr, xi, stage_vals, base_vals)
 
 
+_TRAIL = "abcde"  # einsum letters for trailing residue dims (depth <= 5)
+
+
 def ct_valued(xr, xi, stages, base):
     """Recursive Cooley-Tukey over stage constants given as jnp VALUES —
-    shared by the XLA path (constants folded by jit) and the Pallas kernels
-    (constants read from VMEM refs).
+    shared by the XLA path (constants folded by jit) and the (interpret-only)
+    fused rfft kernels.
 
     Derivation (DIT, k = q*m + p, t = f*t' + j):
       X[q*m + p] = sum_j W_f^{jq} * ( W_n^{jp} * FFT_m(x[j::f])[p] )
+
+    TRANSPOSE-FREE: each level splits its axis in place and the residue dims
+    accumulate as TRAILING batch dims; all data movement is expressed inside
+    einsums, whose output ordering XLA folds into the dot_generals rather
+    than materializing transposes. (An explicit-swapaxes formulation
+    measured equal at the package level — XLA already folded it — but this
+    form guarantees the folding instead of relying on the optimizer.)
     """
-    if not stages:
-        return _cmatmul_last(xr, xi, *base)
-    f, m, (wfr, wfi), (twr, twi) = stages[0]
-    batch = xr.shape[:-1]
-    # x[f*t' + j] -> xs[..., t', j]; sub-FFT runs along t' so move j out front
-    xr = jnp.swapaxes(xr.reshape(batch + (m, f)), -1, -2)
-    xi = jnp.swapaxes(xi.reshape(batch + (m, f)), -1, -2)
-    yr, yi = ct_valued(xr, xi, stages[1:], base)  # (..., f, m)
-    yr, yi = _cmul(yr, yi, twr, twi)
-    # combine: out[..., q, p] = sum_j wf[j, q] * y[..., j, p]
+    return _ct_at(xr, xi, stages, base, 0)
+
+
+def _ct_at(xr, xi, stages, base, depth):
     prec = matmul_precision()
+    trail = _TRAIL[:depth]
+    if not stages:
+        # contract the transform dim (position -1-depth) with the base DFT
+        spec = f"tp,...t{trail}->...p{trail}"
 
-    def comb(wj):
-        return jnp.einsum("jq,...jp->...qp", wj, yr, precision=prec), jnp.einsum(
-            "jq,...jp->...qp", wj, yi, precision=prec
-        )
+        def con(a, w):
+            return jnp.einsum(spec, w, a, precision=prec)
 
-    t1r, t1i = comb(wfr)
-    t2r, t2i = comb(wfi)
+        t1r, t1i = con(xr, base[0]), con(xi, base[0])
+        t2r, t2i = con(xr, base[1]), con(xi, base[1])
+        return t1r - t2i, t1i + t2r
+    f, m, (wfr, wfi), (twr, twi) = stages[0]
+    ax = xr.ndim - 1 - depth
+    shape = xr.shape
+    split = shape[:ax] + (m, f) + shape[ax + 1:]
+    # x[f*t' + j] -> xs[..., t', j, <trail>]; sub-FFT runs along t' with the
+    # residue j joining the trailing batch dims
+    yr, yi = _ct_at(xr.reshape(split), xi.reshape(split), stages[1:], base,
+                    depth + 1)                     # (..., p, j, <trail>)
+    twb = (m, f) + (1,) * depth
+    yr, yi = _cmul(yr, yi, jnp.swapaxes(twr, 0, 1).reshape(twb),
+                   jnp.swapaxes(twi, 0, 1).reshape(twb))
+    # combine over j, landing q BEFORE p so (q, p) merges to k = q*m + p
+    spec = f"jq,...pj{trail}->...qp{trail}"
+
+    def con(a, w):
+        return jnp.einsum(spec, w, a, precision=prec)
+
+    t1r, t1i = con(yr, wfr), con(yi, wfr)
+    t2r, t2i = con(yr, wfi), con(yi, wfi)
     outr = t1r - t2i
     outi = t1i + t2r
-    return outr.reshape(batch + (f * m,)), outi.reshape(batch + (f * m,))
+    merged = shape[:ax] + (f * m,) + shape[ax + 1:]
+    return outr.reshape(merged), outi.reshape(merged)
 
 
 def ct_first_valued(xr, xi, stages, base):
