@@ -184,8 +184,8 @@ def _config_key():
     # flipping e.g. use_pallas after a first call is a silent no-op
     from .config import config as _cfg
 
-    return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.axis0_strategy,
-            _cfg.matmul_precision, _cfg.max_base_radix)
+    return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.pallas_flavor,
+            _cfg.axis0_strategy, _cfg.matmul_precision, _cfg.max_base_radix)
 
 
 @lru_cache(maxsize=4096)

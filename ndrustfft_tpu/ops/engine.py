@@ -8,9 +8,9 @@ op set XLA maps well onto the MXU/VPU; the fused Pallas kernels in
 ``ops/pallas`` implement the same schedules with explicit VMEM staging.
 
 Complex numbers are carried as (re, im) float array pairs: TPU has no complex
-registers, and split layout lets every complex matmul lower to 4 real MXU
-matmuls (or 3 with Karatsuba, used here) without XLA's complex->real
-legalization getting in the way.
+registers, and split layout lets every complex contraction lower to 4 real
+MXU einsums without XLA's complex->real legalization getting in the way
+(the Pallas kernels use the 3-multiplication form instead).
 
 Layout convention: the transformed axis is always the LAST axis here; axis
 generality (the reference dispatcher's swap_axes/copy machinery,
@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import config as _config
 from ..config import matmul_precision
 from ..plan import C2CPlan, R2CPlan, get_c2c_plan
 
@@ -47,9 +48,11 @@ def c2c(xr, xi, plan: C2CPlan):
     if plan.kind == "bluestein":
         return _bluestein(xr, xi, plan)
     dtype = xr.dtype
-    # fused Pallas kernel path (TPU, f32, ct plans): one HBM round trip
+    # fused Pallas kernel path (TPU, f32, ct plans). Real Mosaic needs
+    # batch >= 128 (narrower lane tiles hit unsupported-shape-cast, found
+    # empirically); the interpreter has no such limit
     batch = int(np.prod(xr.shape[:-1])) if xr.ndim > 1 else 1
-    if batch >= 8:
+    if batch >= (8 if _config.pallas_interpret else 128):
         from .pallas.fft import c2c_pallas, pallas_supported
 
         if pallas_supported(plan, dtype):
@@ -63,7 +66,10 @@ def c2c(xr, xi, plan: C2CPlan):
     return ct_valued(xr, xi, stage_vals, base_vals)
 
 
-_TRAIL = "abcde"  # einsum letters for trailing residue dims (depth <= 5)
+# einsum letters for trailing residue dims (excludes the t/p/j/q used by the
+# contraction specs); deep plans (e.g. max_base_radix=2, n=2^20) need one per
+# stage
+_TRAIL = "abcdeghiklmnorsuvwxyz"
 
 
 def ct_valued(xr, xi, stages, base):
@@ -81,6 +87,10 @@ def ct_valued(xr, xi, stages, base):
     measured equal at the package level — XLA already folded it — but this
     form guarantees the folding instead of relying on the optimizer.)
     """
+    if len(stages) > len(_TRAIL):
+        raise ValueError(
+            f"plan with {len(stages)} stages exceeds the engine's "
+            f"{len(_TRAIL)}-level recursion support; raise max_base_radix")
     return _ct_at(xr, xi, stages, base, 0)
 
 
@@ -175,7 +185,8 @@ def c2c_axis0(xr, xi, plan: C2CPlan):
     cols = int(np.prod(xr.shape[1:])) if xr.ndim > 1 else 1
     from ..config import config as _cfg
 
-    if cols >= 8 and _cfg.axis0_strategy == "pallas":
+    if (cols >= (8 if _cfg.pallas_interpret else 128)
+            and _cfg.axis0_strategy == "pallas"):
         from .pallas.fft import c2c_pallas_axis0, pallas_supported
 
         if pallas_supported(plan, dtype):
@@ -227,7 +238,7 @@ def r2c(x, plan: R2CPlan):
         zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
         return zr[..., :m], zi[..., :m]
     batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-    if batch >= 8:
+    if batch >= (8 if _config.pallas_interpret else 128):
         from .pallas.rfft import r2c_pallas, rfft_pallas_supported
 
         if rfft_pallas_supported(plan, x.dtype):
@@ -270,10 +281,12 @@ def c2r(sr, si, n: int):
     if n % 2 == 0:
         batch = int(np.prod(sr.shape[:-1])) if sr.ndim > 1 else 1
         if batch >= 8:
-            from .pallas.fft import pallas_supported
-            from .pallas.rfft import c2r_pallas
+            from ..plan import get_r2c_plan
+            from .pallas.rfft import c2r_pallas, rfft_pallas_supported
 
-            if pallas_supported(get_c2c_plan(n // 2, +1), sr.dtype):
+            # interpret-only, like the fused r2c kernel: the c2r kernel's
+            # lane flips/merges are Mosaic-rejected on real TPU
+            if rfft_pallas_supported(get_r2c_plan(n), sr.dtype):
                 shape = sr.shape[:-1]
                 y = c2r_pallas(sr.reshape(batch, m), si.reshape(batch, m), n)
                 return y.reshape(shape + (n,))

@@ -80,8 +80,12 @@ def _lane_tile(n: int, itemsize: int) -> int:
     return t
 
 
-@lru_cache(maxsize=None)
 def _lane_factor(n: int) -> Optional[int]:
+    return _lane_factor_cached(n, config.max_base_radix)
+
+
+@lru_cache(maxsize=None)
+def _lane_factor_cached(n: int, _max_base: int) -> Optional[int]:
     """Pick the lane DFT factor f (m = n // f runs on sublane dims).
 
     Preference: f a multiple of 128 in [128, 256] (native lane width), then
@@ -126,7 +130,7 @@ def pallas_supported(plan: C2CPlan, dtype) -> bool:
 # --------------------------------------------------------------------------
 
 
-def _cdot(prec, ar, ai, br, bi, contract):
+def _cdot(ar, ai, br, bi, contract):
     """Complex contraction via 3 real contractions (3M form)."""
     t1 = contract(ar, br)
     t2 = contract(ai, bi)
@@ -188,7 +192,7 @@ def _fft_mid(xr, xi, axis, stages, base, prec):
         def con(x, w):
             return _con_mid(w, x, axis, axis, prec)
 
-        return _cdot(prec, xr, xi, base[0], base[1], con)
+        return _cdot(xr, xi, base[0], base[1], con)
 
     g, rem, (wr, wi), (twr, twi) = stages[0]
     shape = xr.shape
@@ -205,7 +209,7 @@ def _fft_mid(xr, xi, axis, stages, base, prec):
     def con(x, w):
         return _con_mid(w, x, axis + 1, axis, prec)
 
-    or_, oi = _cdot(prec, yr, yi, wr, wi, con)
+    or_, oi = _cdot(yr, yi, wr, wi, con)
     merged = shape[:axis] + (g * rem,) + shape[axis + 1:]
     return or_.reshape(merged), oi.reshape(merged)
 
@@ -272,7 +276,7 @@ def _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec):
     def con(x, w):
         return _con_mid(w, x, 1, 0, prec)
 
-    return _cdot(prec, yr, yi, lane[0], lane[1], con)      # (q, p, L)
+    return _cdot(yr, yi, lane[0], lane[1], con)      # (q, p, L)
 
 
 def _kernel_lane_last(struct, has_base, has_tw, m, f,
@@ -294,7 +298,7 @@ def _kernel_lane_last(struct, has_base, has_tw, m, f,
         def con(x, w):
             return jnp.dot(x, w, precision=prec)
 
-        yr, yi = _cdot(prec, xr, xi, lane[0], lane[1], con)
+        yr, yi = _cdot(xr, xi, lane[0], lane[1], con)
         or_ref[:] = yr
         oi_ref[:] = yi
         return
@@ -320,7 +324,7 @@ def _kernel_axis0(struct, has_base, has_tw, m, f,
         def con3(x, w):
             return _con_mid(w, x, 1, 1, prec)
 
-        yr, yi = _cdot(prec, xr, xi, lane[0], lane[1], con3)
+        yr, yi = _cdot(xr, xi, lane[0], lane[1], con3)
         or_ref[:] = jnp.swapaxes(yr, 0, 1)     # (f, 1, TL): k = q
         oi_ref[:] = jnp.swapaxes(yi, 0, 1)
         return
@@ -442,21 +446,6 @@ def _twostep_split(n: int):
     return m, n // m
 
 
-def twostep_supported(plan: C2CPlan, dtype) -> bool:
-    if not config.use_pallas or config.pallas_flavor != "twostep":
-        return False
-    if plan.kind != "ct" or jnp.dtype(dtype) != jnp.float32:
-        return False
-    if plan.n <= 256:
-        return pallas_supported(plan, dtype)  # dense single-matmul path
-    if _twostep_split(plan.n) is None:
-        return False
-    if _LIVE_COPIES * 128 * plan.n * 4 > int(0.8 * _VMEM_LIMIT):
-        return False
-    backend = jax.default_backend()
-    return backend == "tpu" or config.pallas_interpret
-
-
 def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
     (wm_r, wm_i, tw_r, tw_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
@@ -469,7 +458,7 @@ def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
             return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
                                        precision=prec)
 
-        yr, yi = _cdot(prec, xr2, xi2, wm_r, wm_i, con1)   # (m, f*T)
+        yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con1)   # (m, f*T)
         yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
         yr = yr.T.reshape(f, tile, m)                      # (j, t, p)
         yi = yi.T.reshape(f, tile, m)
@@ -478,7 +467,7 @@ def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
             return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
                                        precision=prec)
 
-        zr, zi = _cdot(prec, yr, yi, wf_r, wf_i, con2)     # (q, t, p)
+        zr, zi = _cdot(yr, yi, wf_r, wf_i, con2)     # (q, t, p)
         zr = jnp.transpose(zr, (1, 0, 2)).reshape(tile, n)
         zi = jnp.transpose(zi, (1, 0, 2)).reshape(tile, n)
         return zr, zi

@@ -64,15 +64,19 @@ def _greedy_partition(primes: list[int], k: int, max_base: int) -> Optional[list
     return [b for b in buckets if b > 1] or [1]
 
 
-@lru_cache(maxsize=None)
 def factorize(n: int, max_base: Optional[int] = None) -> Optional[tuple[int, ...]]:
     """Factor n into a few factors each ≤ max_base (largest first).
 
     Returns None when n has a prime factor > max_base (Bluestein territory).
     Uses the native C++ planner (native/planner.cpp) when built; the Python
-    path below is the exact algorithmic twin.
+    path below is the exact algorithmic twin. The config.max_base_radix
+    toggle is resolved BEFORE the cache so runtime changes take effect.
     """
-    max_base = max_base or config.max_base_radix
+    return _factorize(n, max_base or config.max_base_radix)
+
+
+@lru_cache(maxsize=None)
+def _factorize(n: int, max_base: int) -> Optional[tuple[int, ...]]:
     if n <= 0:
         raise ValueError(f"transform length must be positive, got {n}")
     from . import native
@@ -169,6 +173,7 @@ def chirp(n: int, sign: int, length: Optional[int] = None):
 
 class C2CPlan:
     """Static schedule for a length-n C2C FFT in one direction.
+    (Cached per (n, sign, max_base_radix) via get_c2c_plan.)
 
     kind == 'ct':        `stages` is a list of (f, m, Wf(re,im), tw(re,im));
                          `base` is the (re, im) dense DFT matrix of the last
@@ -226,8 +231,13 @@ class C2CPlan:
         return f"C2CPlan(n={self.n}, sign={self.sign}, bluestein M={self.M})"
 
 
-@lru_cache(maxsize=512)
 def get_c2c_plan(n: int, sign: int) -> C2CPlan:
+    # resolve the radix toggle before the cache so runtime changes apply
+    return _get_c2c_plan(n, sign, config.max_base_radix)
+
+
+@lru_cache(maxsize=512)
+def _get_c2c_plan(n: int, sign: int, _max_base: int) -> C2CPlan:
     return C2CPlan(n, sign)
 
 
@@ -252,6 +262,10 @@ class R2CPlan:
             self.unpack_tw = None
 
 
-@lru_cache(maxsize=512)
 def get_r2c_plan(n: int) -> R2CPlan:
+    return _get_r2c_plan(n, config.max_base_radix)
+
+
+@lru_cache(maxsize=512)
+def _get_r2c_plan(n: int, _max_base: int) -> R2CPlan:
     return R2CPlan(n)
