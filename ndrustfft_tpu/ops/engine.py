@@ -237,17 +237,18 @@ def r2c(x, plan: R2CPlan):
     if not plan.half:
         zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
         return zr[..., :m], zi[..., :m]
+    h = n // 2
+    xe = x[..., 0::2]
+    xo = x[..., 1::2]
     batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     if batch >= (8 if _config.pallas_interpret else 128):
         from .pallas.rfft import r2c_pallas, rfft_pallas_supported
 
         if rfft_pallas_supported(plan, x.dtype):
             shape = x.shape[:-1]
-            sr, si = r2c_pallas(x.reshape(batch, n), plan)
+            sr, si = r2c_pallas(xe.reshape(batch, h), xo.reshape(batch, h),
+                                plan)
             return sr.reshape(shape + (m,)), si.reshape(shape + (m,))
-    h = n // 2
-    xe = x[..., 0::2]
-    xo = x[..., 1::2]
     zr, zi = c2c(xe, xo, plan.sub)  # FFT of z = xe + i*xo, length h
     # Z[k] for k = 0..h and the mirror Z[(h-k) mod h], built with
     # flip/concat (fuses on TPU) instead of a gather:
@@ -280,15 +281,17 @@ def c2r(sr, si, n: int):
         return sr[..., :1]
     if n % 2 == 0:
         batch = int(np.prod(sr.shape[:-1])) if sr.ndim > 1 else 1
-        if batch >= 8:
+        if batch >= (8 if _config.pallas_interpret else 128):
             from ..plan import get_r2c_plan
             from .pallas.rfft import c2r_pallas, rfft_pallas_supported
 
-            # interpret-only, like the fused r2c kernel: the c2r kernel's
-            # lane flips/merges are Mosaic-rejected on real TPU
             if rfft_pallas_supported(get_r2c_plan(n), sr.dtype):
                 shape = sr.shape[:-1]
-                y = c2r_pallas(sr.reshape(batch, m), si.reshape(batch, m), n)
+                ev, od = c2r_pallas(sr.reshape(batch, m),
+                                    si.reshape(batch, m), n)
+                # interleave even/odd sample streams (XLA relayout; the
+                # stack+reshape form is not Mosaic-representable in-kernel)
+                y = jnp.stack([ev, od], axis=-1).reshape(batch, n)
                 return y.reshape(shape + (n,))
     # bins m..n-1 are conj(X[n-k]): indices n-m..1 == flip of bins 1..n-m
     er = jnp.concatenate([sr, sr[..., 1:n - m + 1][..., ::-1]], axis=-1)

@@ -57,11 +57,44 @@ from ...config import matmul_precision as _cfg_precision
 from ...plan import C2CPlan, dft_matrix, factorize, stage_twiddle
 
 
-def matmul_precision():
-    """Kernel-side precision: Mosaic rejects Precision.HIGH, so the 'high'
-    config clamps to HIGHEST inside Pallas kernels."""
+def dot_mode() -> str:
+    """Kernel-side dot strategy for the configured precision.
+
+    Mosaic rejects ``Precision.HIGH``, so the 'high' config is implemented
+    MANUALLY as bf16x3: split each f32 operand into a bf16 hi + bf16 lo
+    part and take three DEFAULT-precision bf16 dots with f32 accumulation
+    (dropping the lo*lo term) — the exact arithmetic XLA's HIGH performs.
+    This is 2x fewer MXU passes than the round-1 clamp to HIGHEST (6-pass).
+    """
     p = _cfg_precision()
-    return jax.lax.Precision.HIGHEST if p == jax.lax.Precision.HIGH else p
+    if p == jax.lax.Precision.HIGH:
+        return "bf16x3"
+    if p == jax.lax.Precision.HIGHEST:
+        return "highest"
+    return "default"
+
+
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dg(w, x, dims, mode):
+    """dot_general(w, x, dims) under the kernel dot strategy; f32 output."""
+    if mode == "bf16x3":
+        whi, wlo = _bf16_split(w)
+        xhi, xlo = _bf16_split(x)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+
+        return d(whi, xhi) + d(whi, xlo) + d(wlo, xhi)
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(w, x, dims, precision=prec,
+                               preferred_element_type=jnp.float32)
 
 # per-tile VMEM working-set budget (bytes) and the Mosaic scoped-vmem limit
 # requested via CompilerParams (see _build_call)
@@ -161,7 +194,7 @@ def _mid_stages(m: int, sign: int, dtype):
     return stages, base
 
 
-def _con_mid(w, x, contract_axis, place_axis, prec):
+def _con_mid(w, x, contract_axis, place_axis, mode):
     """Contract x's dim `contract_axis` with w's dim 0; put w's dim 1 at
     `place_axis`.
 
@@ -170,8 +203,7 @@ def _con_mid(w, x, contract_axis, place_axis, prec):
     for large batch tiles — found empirically); the fix-up permute only
     moves LEADING dims, never the lane, which is a cheap relayout.
     """
-    y = jax.lax.dot_general(w, x, (((0,), (contract_axis,)), ((), ())),
-                            precision=prec)
+    y = _dg(w, x, (((0,), (contract_axis,)), ((), ())), mode)
     if place_axis == 0:
         return y
     perm = tuple(range(1, place_axis + 1)) + (0,) + tuple(
@@ -179,7 +211,7 @@ def _con_mid(w, x, contract_axis, place_axis, prec):
     return jnp.transpose(y, perm)
 
 
-def _fft_mid(xr, xi, axis, stages, base, prec):
+def _fft_mid(xr, xi, axis, stages, base, mode):
     """FFT along a middle axis `axis`; all other dims are batch.
 
     Every op is Mosaic-legal: middle-dim reshapes, leading-output
@@ -190,7 +222,7 @@ def _fft_mid(xr, xi, axis, stages, base, prec):
     """
     if not stages:
         def con(x, w):
-            return _con_mid(w, x, axis, axis, prec)
+            return _con_mid(w, x, axis, axis, mode)
 
         return _cdot(xr, xi, base[0], base[1], con)
 
@@ -198,7 +230,7 @@ def _fft_mid(xr, xi, axis, stages, base, prec):
     shape = xr.shape
     split = shape[:axis] + (rem, g) + shape[axis + 1:]
     yr, yi = _fft_mid(xr.reshape(split), xi.reshape(split),
-                      axis, stages[1:], base, prec)      # (.., p, j, ..)
+                      axis, stages[1:], base, mode)      # (.., p, j, ..)
     bshape = (1,) * axis + (rem, g) + (1,) * (len(shape) - axis - 1)
     tr = twr.reshape(bshape)   # pre-transposed (rem, g) = tw[p, j]
     ti = twi.reshape(bshape)
@@ -207,7 +239,7 @@ def _fft_mid(xr, xi, axis, stages, base, prec):
     # combine over j at axis+1, landing q at axis:
     #   out[.., q, p, ..] = sum_j wf[j, q] y[.., p, j, ..]
     def con(x, w):
-        return _con_mid(w, x, axis + 1, axis, prec)
+        return _con_mid(w, x, axis + 1, axis, mode)
 
     or_, oi = _cdot(yr, yi, wr, wi, con)
     merged = shape[:axis] + (g * rem,) + shape[axis + 1:]
@@ -262,80 +294,84 @@ def _unflat(refs, struct, has_base, has_tw):
     return stages, base, lane, tw
 
 
-def _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec):
+def _axis0_core(xr, xi, stages, base, lane, tw, m, f, mode):
     """Shared schedule on (m, f, L) values -> (f, m, L): the transform runs
     entirely on leading dims; the minor (lane) axis is pure batch. This is
     the Mosaic-friendliest orientation: no small-lane padding, no lane
     relayouts."""
-    yr, yi = _fft_mid(xr, xi, 0, stages, base, prec)      # (p, j, L)
+    yr, yi = _fft_mid(xr, xi, 0, stages, base, mode)      # (p, j, L)
     twr = tw[0][:, :, None]                                # (m, f, 1)
     twi = tw[1][:, :, None]
     yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
 
     # combine over j (dim 1), q lands at dim 0: out[q, p, l]
     def con(x, w):
-        return _con_mid(w, x, 1, 0, prec)
+        return _con_mid(w, x, 1, 0, mode)
 
     return _cdot(yr, yi, lane[0], lane[1], con)      # (q, p, L)
 
 
-def _kernel_lane_last(struct, has_base, has_tw, m, f,
-                      xr_ref, xi_ref, *refs):
-    """x block (T, n) -> out block (T, n), transform along lanes.
+def _lane_last_math(xr, xi, stages, base, lane, tw, m, f, mode):
+    """In-kernel lane-last FFT math on (T, n) values -> (T, n).
 
     For m == 1 this is a single dense lane matmul. Otherwise the tile is
     transposed once in VMEM to (n, T), leading-dim reshaped to (m, f, T)
     (legal — only the lane dim may not be split), run through the axis-0
     schedule, merged back to (n, T) and transposed out. 2-D (tile, n)
     blocks keep perfect (8,128) layouts; small-minor-dim 3-D blocks padded
-    32x the logical size and blew the VMEM budget (found empirically)."""
-    const_refs = refs[:-2]
-    or_ref, oi_ref = refs[-2:]
-    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
-    prec = matmul_precision()
-    xr, xi = xr_ref[:], xi_ref[:]
+    32x the logical size and blew the VMEM budget (found empirically).
+
+    Shared by the C2C lane-last kernel and the fused R2C/C2R kernels
+    (rfft.py), which run it on a 2T-row batch."""
     if m == 1:
         def con(x, w):
-            return jnp.dot(x, w, precision=prec)
+            return _dg(x, w, (((x.ndim - 1,), (0,)), ((), ())), mode)
 
-        yr, yi = _cdot(xr, xi, lane[0], lane[1], con)
-        or_ref[:] = yr
-        oi_ref[:] = yi
-        return
+        return _cdot(xr, xi, lane[0], lane[1], con)
     t = xr.shape[0]
     n = m * f
     xr = xr.T.reshape(m, f, t)
     xi = xi.T.reshape(m, f, t)
-    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec)
-    or_ref[:] = zr.reshape(n, t).T
-    oi_ref[:] = zi.reshape(n, t).T
+    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, mode)
+    return zr.reshape(n, t).T, zi.reshape(n, t).T
 
 
-def _kernel_axis0(struct, has_base, has_tw, m, f,
+def _kernel_lane_last(struct, has_base, has_tw, m, f, mode,
+                      xr_ref, xi_ref, *refs):
+    """x block (T, n) -> out block (T, n), transform along lanes."""
+    const_refs = refs[:-2]
+    or_ref, oi_ref = refs[-2:]
+    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
+    yr, yi = _lane_last_math(xr_ref[:], xi_ref[:], stages, base, lane, tw,
+                             m, f, mode)
+    or_ref[:] = yr
+    oi_ref[:] = yi
+
+
+def _kernel_axis0(struct, has_base, has_tw, m, f, mode,
                   xr_ref, xi_ref, *refs):
     """x block (m, f, TL) -> out block (f, m, TL)."""
     const_refs = refs[:-2]
     or_ref, oi_ref = refs[-2:]
     stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
-    prec = matmul_precision()
     xr, xi = xr_ref[:], xi_ref[:]
     if m == 1:
         # dense DFT over the length-f dim of the (1, f, TL) block
         def con3(x, w):
-            return _con_mid(w, x, 1, 1, prec)
+            return _con_mid(w, x, 1, 1, mode)
 
         yr, yi = _cdot(xr, xi, lane[0], lane[1], con3)
         or_ref[:] = jnp.swapaxes(yr, 0, 1)     # (f, 1, TL): k = q
         oi_ref[:] = jnp.swapaxes(yi, 0, 1)
         return
-    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, prec)
+    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, mode)
     or_ref[:] = zr
     oi_ref[:] = zi
 
 
 @lru_cache(maxsize=256)
 def _build_call(n: int, sign: int, batch: int, dtype_str: str,
-                interpret: bool):
+                interpret: bool, mode: str):
     """Lane-last flavor: (B, n) re/im -> (B, n) re/im."""
     dtype = jnp.dtype(dtype_str)
     f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
@@ -349,7 +385,7 @@ def _build_call(n: int, sign: int, batch: int, dtype_str: str,
                                 memory_space=pltpu.VMEM) for c in consts]
     flops = 10.0 * n * np.log2(max(n, 2)) * batch
     call = pl.pallas_call(
-        partial(_kernel_lane_last, struct, has_base, has_tw, m, f),
+        partial(_kernel_lane_last, struct, has_base, has_tw, m, f, mode),
         out_shape=(jax.ShapeDtypeStruct((batch, n), dtype),
                    jax.ShapeDtypeStruct((batch, n), dtype)),
         grid=grid,
@@ -372,7 +408,7 @@ def _build_call(n: int, sign: int, batch: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
-                      interpret: bool):
+                      interpret: bool, mode: str):
     """Axis-0 flavor: (n, L) re/im -> (n, L) re/im, zero lane relayouts."""
     dtype = jnp.dtype(dtype_str)
     f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
@@ -392,7 +428,7 @@ def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
                                 memory_space=pltpu.VMEM) for c in consts]
     flops = 10.0 * n * np.log2(max(n, 2)) * cols
     call = pl.pallas_call(
-        partial(_kernel_axis0, struct, has_base, has_tw, m, f),
+        partial(_kernel_axis0, struct, has_base, has_tw, m, f, mode),
         out_shape=(jax.ShapeDtypeStruct((f, m, cols), dtype),
                    jax.ShapeDtypeStruct((f, m, cols), dtype)),
         grid=grid,
@@ -446,17 +482,15 @@ def _twostep_split(n: int):
     return m, n // m
 
 
-def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
+def _kernel_twostep(m, f, tile, mode, xr_ref, xi_ref, *refs):
     (wm_r, wm_i, tw_r, tw_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
-    prec = matmul_precision()
     n = m * f
 
     def stage(xr2, xi2):
         # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
         def con1(x, w):
-            return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
-                                       precision=prec)
+            return _dg(w, x, (((0,), (0,)), ((), ())), mode)
 
         yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con1)   # (m, f*T)
         yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
@@ -464,8 +498,7 @@ def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
         yi = yi.T.reshape(f, tile, m)
 
         def con2(x, w):
-            return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
-                                       precision=prec)
+            return _dg(w, x, (((0,), (0,)), ((), ())), mode)
 
         zr, zi = _cdot(yr, yi, wf_r, wf_i, con2)     # (q, t, p)
         zr = jnp.transpose(zr, (1, 0, 2)).reshape(tile, n)
@@ -479,7 +512,7 @@ def _kernel_twostep(m, f, tile, xr_ref, xi_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
-                        interpret: bool):
+                        interpret: bool, mode: str):
     dtype = jnp.dtype(dtype_str)
     m, f = _twostep_split(n)
     wm = dft_matrix(m, sign)
@@ -499,7 +532,7 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_kernel_twostep, m, f, tile),
+        partial(_kernel_twostep, m, f, tile, mode),
         out_shape=(jax.ShapeDtypeStruct((batch, n), dtype),
                    jax.ShapeDtypeStruct((batch, n), dtype)),
         grid=grid,
@@ -525,10 +558,10 @@ def c2c_pallas(xr, xi, plan: C2CPlan):
     if (config.pallas_flavor == "twostep" and n > 256
             and _twostep_split(n) is not None):
         run = _build_call_twostep(n, plan.sign, batch, str(xr.dtype),
-                                  bool(config.pallas_interpret))
+                                  bool(config.pallas_interpret), dot_mode())
         return run(xr, xi)
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
-                      bool(config.pallas_interpret))
+                      bool(config.pallas_interpret), dot_mode())
     return run(xr, xi)
 
 
@@ -536,5 +569,5 @@ def c2c_pallas_axis0(xr, xi, plan: C2CPlan):
     """C2C along axis 0 of (n, cols) split re/im arrays, transpose-free."""
     n, cols = xr.shape
     run = _build_call_axis0(n, plan.sign, cols, str(xr.dtype),
-                            bool(config.pallas_interpret))
+                            bool(config.pallas_interpret), dot_mode())
     return run(xr, xi)

@@ -3,7 +3,13 @@
 The fused kernel must be bit-compatible-at-tolerance with the XLA engine and
 the numpy oracle for every plan shape it claims to support, including partial
 lane tiles. On real TPU the same kernels compile natively (exercised by
-bench.py / the driver's TPU runs).
+bench.py --compile-check / the driver's TPU runs).
+
+Tolerances: the default 'high' precision runs the kernels' manual bf16x3
+dots (the same arithmetic as XLA's Precision.HIGH — measured ~2e-5 max-rel
+at n=1024, BASELINE.md), which interpret mode reproduces bit-honestly on
+CPU; tests therefore assert the HIGH-tier tolerance, plus one HIGHEST-mode
+test pinning the strict tier.
 """
 
 import numpy as np
@@ -36,7 +42,26 @@ def test_pallas_c2c_matches_numpy(n):
          ).astype(np.complex64)
     got = np.asarray(ndfft(jnp.asarray(x), FftHandler(n), axis=1))
     ref = np.fft.fft(x, axis=1)
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_highest_precision_tier():
+    # strict tier: HIGHEST-mode dots must stay at f32-exact-level error
+    config.matmul_precision = "highest"
+    from ndrustfft_tpu.api import _jitted
+
+    _jitted.cache_clear()
+    try:
+        rng = np.random.default_rng(77)
+        n = 1024
+        x = (rng.standard_normal((32, n)) + 1j * rng.standard_normal((32, n))
+             ).astype(np.complex64)
+        got = np.asarray(ndfft(jnp.asarray(x), FftHandler(n), axis=1))
+        ref = np.fft.fft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    finally:
+        config.matmul_precision = "high"
+        _jitted.cache_clear()
 
 
 def test_pallas_partial_tile():
@@ -45,7 +70,7 @@ def test_pallas_partial_tile():
          ).astype(np.complex64)
     got = np.asarray(ndfft(jnp.asarray(x), FftHandler(64), axis=1))
     ref = np.fft.fft(x, axis=1)
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
 def test_pallas_inverse_and_r2c():
@@ -54,11 +79,11 @@ def test_pallas_inverse_and_r2c():
          ).astype(np.complex64)
     h = FftHandler(128)
     back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 1), h, 1))
-    assert np.abs(back - x).max() < 1e-5
+    assert np.abs(back - x).max() < 2e-4
     xr = rng.standard_normal((16, 128)).astype(np.float32)
     got = np.asarray(ndfft_r2c(jnp.asarray(xr), R2cFftHandler(128), axis=1))
     ref = np.fft.rfft(xr, axis=1)
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
 def test_pallas_matches_xla_engine_exactly_disabled():
@@ -90,9 +115,9 @@ def test_pallas_axis0_kernel():
     try:
         got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
         ref = np.fft.fft(x, axis=0)
-        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
         back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 0), h, 0))
-        assert np.abs(back - x).max() < 1e-4
+        assert np.abs(back - x).max() < 5e-4
     finally:
         config.axis0_strategy = "moveaxis"
         _jitted.cache_clear()
@@ -107,9 +132,9 @@ def test_pallas_fused_r2c_c2r():
         h = R2cFftHandler(n)
         got = np.asarray(ndfft_r2c(jnp.asarray(x), h, axis=1))
         ref = np.fft.rfft(x, axis=1)
-        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5, n
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, n
         back = np.asarray(ndifft_r2c(jnp.asarray(got), h, axis=1))
-        assert np.abs(back - x).max() < 1e-4, n
+        assert np.abs(back - x).max() < 5e-4, n
 
 
 def test_pallas_fused_c2r_dc_nyquist_pin():
@@ -123,4 +148,4 @@ def test_pallas_fused_c2r_dc_nyquist_pin():
     spec[:, -1] += 100j
     got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
     ref = np.fft.irfft(spec, n=n, axis=1)
-    assert np.abs(got - ref).max() < 1e-5
+    assert np.abs(got - ref).max() < 1e-4
