@@ -20,6 +20,17 @@ Normalization enum, src/lib.rs:83-85, 115-124):
     h = FftHandler(1024).normalization(Normalization.DEFAULT)
     vhat = ndfft(v, h, axis=0)          # returns the output (functional)
     v2 = ndifft(vhat, h, axis=0)
+
+Scalar/complex vocabulary (the reference re-exports ``Complex``, ``Zero``,
+``FftNum`` from rustfft, src/lib.rs:83-85, so user code needs one import;
+the dtype mapping here is ``Complex<f32>`` -> ``complex64``, ``Complex<f64>``
+-> ``complex128``, ``T: FftNum`` -> ``float32 | float64``):
+
+    >>> import ndrustfft_tpu as nd
+    >>> nd.complex_dtype(nd.float32) == nd.complex64
+    True
+    >>> nd.real_dtype(nd.complex128) == nd.float64
+    True
 """
 
 from .api import (  # noqa: F401
@@ -32,6 +43,31 @@ from .handlers import DctHandler, FftHandler, R2cFftHandler  # noqa: F401
 from .ndapi import dctn, fftn, idctn, ifftn, irfftn, rfftn  # noqa: F401
 from .normalization import Normalization  # noqa: F401
 
+# Scalar/complex vocabulary re-exports (reference src/lib.rs:83-85): one
+# import serves user code, like the reference's `Complex`, `Zero`, `FftNum`.
+import jax.numpy as _jnp  # noqa: E402
+
+float32 = _jnp.float32
+float64 = _jnp.float64
+complex64 = _jnp.complex64
+complex128 = _jnp.complex128
+
+
+def complex_dtype(real):
+    """Complex dtype paired with a real dtype (f32 -> c64, f64 -> c128)."""
+    import jax.numpy as jnp
+
+    return jnp.complex128 if jnp.dtype(real) == jnp.float64 else jnp.complex64
+
+
+def real_dtype(cplx):
+    """Real dtype paired with a (possibly complex) dtype (c128 -> f64)."""
+    import jax.numpy as jnp
+
+    d = jnp.dtype(cplx)
+    return jnp.finfo(d).dtype if jnp.issubdtype(d, jnp.complexfloating) else d
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -42,4 +78,6 @@ __all__ = [
     "FftHandler", "R2cFftHandler", "DctHandler", "Normalization",
     "fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn",
     "config",
+    "float32", "float64", "complex64", "complex128",
+    "complex_dtype", "real_dtype",
 ]

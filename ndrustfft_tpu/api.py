@@ -193,9 +193,39 @@ def _jitted(kind, handler, axis, cfg_key=None):
     return jax.jit(lambda x: _IMPLS[kind](x, handler, axis))
 
 
+def _is_tpu_device(d) -> bool:
+    return (getattr(d, "platform", "").lower() in ("tpu", "axon")
+            or "tpu" in str(getattr(d, "device_kind", "")).lower())
+
+
+def _check_tpu_f64(dtype, devices):
+    """Refuse f64/c128 work headed for a TPU (config.tpu_f64 policy).
+
+    TPU has no native float64 (SURVEY.md §7 hard part 2); in this image an
+    f64 program SIGABRTs the TPU compile helper with no clean error
+    (NOTES_TPU.md), so the library fails fast with guidance instead.
+    """
+    if jnp.dtype(dtype) not in (jnp.float64, jnp.complex128):
+        return
+    from .config import config as _cfg
+
+    if _cfg.tpu_f64 == "allow":
+        return
+    if any(_is_tpu_device(d) for d in devices):
+        raise ValueError(
+            f"{jnp.dtype(dtype).name} transforms are not supported on TPU "
+            "(no native float64). Run f64 work on CPU "
+            "(jax.config.update('jax_platforms', 'cpu') before first JAX "
+            "use), cast to float32/complex64 for the TPU perf path, or set "
+            "config.tpu_f64 = 'allow' to bypass this check.")
+
+
 def _dispatch(kind, x, handler, axis):
     if isinstance(x, jax.core.Tracer):
         return _IMPLS[kind](x, handler, axis)  # already inside a user jit
+    devs = getattr(x, "devices", None)
+    if callable(devs):
+        _check_tpu_f64(x.dtype, devs())
     return _jitted(kind, handler, axis, _config_key())(x)
 
 
@@ -231,6 +261,19 @@ def ndfft(x, handler: FftHandler | None = None, axis: int = -1):
     Functional form of the reference's ``ndfft(&input, &mut output, &handler,
     axis)`` (src/lib.rs:350-372): returns the transformed array.
     ``handler=None`` auto-plans for ``x.shape[axis]``.
+
+    Example (reference doc-test, src/lib.rs:353-366)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import FftHandler, ndfft, ndifft
+        >>> x = jnp.arange(8.0).astype(jnp.complex64)
+        >>> h = FftHandler(8)
+        >>> y = ndfft(x, h, axis=0)
+        >>> bool(abs(y[0] - 28.0) < 1e-5)   # DC = sum(0..7)
+        True
+        >>> roundtrip = ndifft(y, h, axis=0)
+        >>> bool(jnp.max(jnp.abs(roundtrip - x)) < 1e-5)
+        True
     """
     x = _prep_complex(x)
     h = handler or _auto_handler(FftHandler, x.shape[_norm_axis(axis, x.ndim)])
@@ -239,7 +282,21 @@ def ndfft(x, handler: FftHandler | None = None, axis: int = -1):
 
 def ndifft(x, handler: FftHandler | None = None, axis: int = -1):
     """n-D C2C inverse FFT along ``axis``; normalization per handler policy
-    applied after the transform (Default = 1/n; src/lib.rs:321-338)."""
+    applied after the transform (Default = 1/n; src/lib.rs:321-338).
+
+    Example (normalization policies, reference examples/fft_norm.rs)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import FftHandler, Normalization, ndifft
+        >>> x = jnp.ones(4, jnp.complex64)
+        >>> none = FftHandler(4).normalization(Normalization.NONE)
+        >>> bool(abs(ndifft(x, none, axis=0)[0] - 4.0) < 1e-5)  # no 1/n
+        True
+        >>> half = FftHandler(4).normalization(Normalization.custom(
+        ...     lambda v: v * 0.5))
+        >>> bool(abs(ndifft(x, half, axis=0)[0] - 2.0) < 1e-5)
+        True
+    """
     x = _prep_complex(x)
     h = handler or _auto_handler(FftHandler, x.shape[_norm_axis(axis, x.ndim)])
     return _dispatch("ifft", x, h, axis)
@@ -247,7 +304,16 @@ def ndifft(x, handler: FftHandler | None = None, axis: int = -1):
 
 def ndfft_r2c(x, handler: R2cFftHandler | None = None, axis: int = -1):
     """Real-to-complex FFT along ``axis``: real length n -> m = n//2 + 1
-    spectrum bins (src/lib.rs:543-564)."""
+    spectrum bins (src/lib.rs:543-564).
+
+    Example (reference doc-test, src/lib.rs:545-558)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import R2cFftHandler, ndfft_r2c
+        >>> v = jnp.ones((6, 4))
+        >>> ndfft_r2c(v, R2cFftHandler(4), axis=1).shape
+        (6, 3)
+    """
     x = _prep_real(x)
     h = handler or _auto_handler(R2cFftHandler, x.shape[_norm_axis(axis, x.ndim)])
     return _dispatch("r2c", x, h, axis)
@@ -264,6 +330,16 @@ def ndifft_r2c(x, handler: R2cFftHandler | None = None, axis: int = -1,
 
     Without a handler, ``n`` may be given explicitly; it defaults to the
     even-length reconstruction 2*(m-1), like numpy ``irfft``.
+
+    Example (roundtrip, reference doc-test src/lib.rs:568-581)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import R2cFftHandler, ndfft_r2c, ndifft_r2c
+        >>> x = jnp.asarray([0.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+        >>> h = R2cFftHandler(6)
+        >>> back = ndifft_r2c(ndfft_r2c(x, h, axis=0), h, axis=0)
+        >>> bool(jnp.max(jnp.abs(back - x)) < 1e-5)
+        True
     """
     x = _prep_complex(x)
     if handler is None:
@@ -285,7 +361,15 @@ def _make_dct(dct_type):
         f"(type {dct_type}) along ``axis`` (src/lib.rs:753-844). With the "
         f"Default normalization the output equals scipy.fft.dct(x, type="
         f"{dct_type}); with Normalization.NONE it equals the rustdct "
-        f"convention (scipy / 2)."
+        f"convention (scipy / 2).\n\n"
+        f"Example (scipy parity; reference doc-test src/lib.rs:754-769)::\n\n"
+        f"    >>> import numpy as np, scipy.fft, jax.numpy as jnp\n"
+        f"    >>> from ndrustfft_tpu import nddct{dct_type}\n"
+        f"    >>> x = np.linspace(0.0, 1.0, 8)\n"
+        f"    >>> got = nddct{dct_type}(jnp.asarray(x), axis=0)\n"
+        f"    >>> want = scipy.fft.dct(x, type={dct_type})\n"
+        f"    >>> bool(np.abs(np.asarray(got) - want).max() < 1e-4)\n"
+        f"    True\n"
     )
     return f
 

@@ -39,6 +39,14 @@ class _Config:
     # Run Pallas kernels in interpreter mode (CPU testing of the kernel path).
     pallas_interpret: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS_INTERPRET", "0") in (
         "1", "true")
+    # Policy for float64/complex128 transforms requested on a TPU backend.
+    # TPU has no native f64; in this image an f64 program SIGABRTs the
+    # compile helper with no clean error (NOTES_TPU.md), so the library
+    # refuses eagerly by default:
+    #   'error' (default) — raise ValueError before dispatch
+    #   'allow'           — hand the program to XLA anyway (demotion/crash
+    #                       behavior is the backend's)
+    tpu_f64: str = os.environ.get("NDRUSTFFT_TPU_F64", "error")
     # Axis-0 execution strategy for C2C:
     #   'moveaxis' (default) — transpose to lane-last; XLA fuses the
     #                transposes into the stage matmuls (fastest measured)

@@ -54,10 +54,14 @@ class _HandlerBase:
 
         Serving-style precompilation: compiles every transform kind the
         handler serves (forward AND inverse, with the inverse input shape
-        derived on the transform axis) without running anything. Combined
-        with utils.cache.enable_persistent_cache the compilations survive
-        process restarts — the deployment analog of the reference's
-        plan-once-use-forever handlers.
+        derived on the transform axis) without running anything.
+
+        NOTE: JAX AOT compilation does not populate the jit dispatch cache,
+        so the first real call still traces and compiles; warmup is only
+        effective together with ``utils.cache.enable_persistent_cache``,
+        which lets that first call hit the on-disk XLA compilation cache
+        instead of recompiling. This is the deployment analog of the
+        reference's plan-once-use-forever handlers.
         """
         import jax
         import jax.numpy as jnp
@@ -80,15 +84,18 @@ class _HandlerBase:
 class FftHandler(_HandlerBase):
     """C2C FFT plan for axis length n (reference src/lib.rs:269-348).
 
-    Example (reference doc example, src/lib.rs:253-268)::
+    Example (reference doc example, src/lib.rs:253-268; executable)::
 
-        import jax.numpy as jnp
-        from ndrustfft_tpu import FftHandler, ndfft
-
-        nx, ny = 6, 4
-        data = jnp.zeros((nx, ny), jnp.complex64)
-        handler = FftHandler(nx)
-        vhat = ndfft(data, handler, axis=0)
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import FftHandler, ndfft
+        >>> nx, ny = 6, 4
+        >>> data = jnp.ones((nx, ny), jnp.complex64)
+        >>> handler = FftHandler(nx)
+        >>> vhat = ndfft(data, handler, axis=0)
+        >>> vhat.shape, vhat.dtype
+        ((6, 4), dtype('complex64'))
+        >>> bool(abs(vhat[0, 0] - 6.0) < 1e-5)   # DC bin = sum over axis 0
+        True
     """
 
     _kinds = (("fft", True), ("ifft", True))
@@ -103,14 +110,14 @@ class R2cFftHandler(_HandlerBase):
     """R2C/C2R plan for REAL axis length n; spectrum length m = n//2 + 1
     (reference src/lib.rs:451-541).
 
-    Example (reference doc example, src/lib.rs:436-450)::
+    Example (reference doc example, src/lib.rs:436-450; executable)::
 
-        import jax.numpy as jnp
-        from ndrustfft_tpu import R2cFftHandler, ndfft_r2c
-
-        v = jnp.zeros((6, 4))
-        handler = R2cFftHandler(4)
-        vhat = ndfft_r2c(v, handler, axis=1)   # (6, 3)
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import R2cFftHandler, ndfft_r2c
+        >>> v = jnp.ones((6, 4))
+        >>> handler = R2cFftHandler(4)
+        >>> ndfft_r2c(v, handler, axis=1).shape   # m = 4//2 + 1 = 3 bins
+        (6, 3)
     """
 
     __slots__ = ("m",)
@@ -129,14 +136,14 @@ class DctHandler(_HandlerBase):
     Like the reference, all four types are planned by one handler; the engine
     caches the underlying FFT schedules (2n-2, n, n, 2n) lazily on first use.
 
-    Example (reference doc example, src/lib.rs:625-639)::
+    Example (reference doc example, src/lib.rs:625-639; executable)::
 
-        import jax.numpy as jnp
-        from ndrustfft_tpu import DctHandler, nddct1
-
-        data = jnp.zeros((6, 4))
-        handler = DctHandler(4)
-        vhat = nddct1(data, handler, axis=1)
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import DctHandler, nddct1
+        >>> data = jnp.ones((6, 4))
+        >>> handler = DctHandler(4)
+        >>> nddct1(data, handler, axis=1).shape
+        (6, 4)
     """
 
     _kinds = (("dct1", False), ("dct2", False), ("dct3", False),

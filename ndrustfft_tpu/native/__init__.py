@@ -24,14 +24,24 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a temp file and os.replace() it in (atomic on POSIX): two
+    # processes building concurrently must never dlopen a half-written .so
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def get_lib():

@@ -24,7 +24,19 @@ from typing import Callable, Optional
 
 
 class Normalization:
-    """One of Normalization.NONE, Normalization.DEFAULT, Normalization.custom(fn)."""
+    """One of Normalization.NONE, Normalization.DEFAULT, Normalization.custom(fn).
+
+    Example (reference examples/fft_norm.rs semantics)::
+
+        >>> from ndrustfft_tpu import Normalization
+        >>> Normalization.DEFAULT
+        Normalization.DEFAULT
+        >>> tripled = Normalization.custom(lambda v: v * 3.0)
+        >>> tripled.kind
+        'custom'
+        >>> Normalization.DEFAULT == Normalization("default")
+        True
+    """
 
     __slots__ = ("kind", "fn")
 
@@ -42,6 +54,13 @@ class Normalization:
 
     @staticmethod
     def custom(fn: Callable) -> "Normalization":
+        """Custom normalization callable (reference ``Normalization::Custom``).
+
+        NOTE: custom policies hash/compare by the IDENTITY of ``fn`` (two
+        lambdas with identical source are different policies — their
+        closures may differ). Build the handler ONCE and reuse it; a fresh
+        lambda per call would retrace and recompile on every call.
+        """
         return Normalization("custom", fn)
 
     def __repr__(self):

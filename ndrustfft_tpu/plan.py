@@ -72,7 +72,14 @@ def factorize(n: int, max_base: Optional[int] = None) -> Optional[tuple[int, ...
     path below is the exact algorithmic twin. The config.max_base_radix
     toggle is resolved BEFORE the cache so runtime changes take effect.
     """
-    return _factorize(n, max_base or config.max_base_radix)
+    max_base = max_base or config.max_base_radix
+    if max_base < 3:
+        # Bluestein pads to a 3-smooth length: max_base < 3 would make every
+        # Bluestein sub-plan recurse into Bluestein again, unboundedly
+        raise ValueError(
+            f"max_base_radix must be >= 3, got {max_base} "
+            "(set config.max_base_radix / NDRUSTFFT_TPU_MAX_RADIX)")
+    return _factorize(n, max_base)
 
 
 @lru_cache(maxsize=None)
@@ -180,7 +187,7 @@ class C2CPlan:
                          factor. Executed recursively by the engine.
     kind == 'bluestein': chirp_a/chirp_b (n,), H (M,) spectrum of the wrapped
                          inverse chirp, and `sub_fwd`/`sub_inv` C2C plans of
-                         the padded power-of-two length M.
+                         the 3-smooth padded length M (see next_smooth).
     """
 
     __slots__ = ("n", "sign", "kind", "stages", "base", "M",
@@ -221,7 +228,8 @@ class C2CPlan:
             self.sub_inv = C2CPlan(M, +1)
 
     @property
-    def num_stages(self) -> int:
+    def num_stages(self) -> Optional[int]:
+        """Stage count for 'ct' plans; None for Bluestein plans."""
         return (len(self.stages) + 1) if self.kind == "ct" else None
 
     def __repr__(self):

@@ -1,0 +1,64 @@
+"""Per-variant chain timing on the current backend (one variant per process:
+a failed TPU program poisons the session, NOTES_TPU.md).
+
+Usage: python tools/time_kernels.py <variant> [n] [batch]
+Variants: engine | twostep | mosaic | jnpfft | r2c_engine | r2c_pallas
+Prints one JSON line {variant, n, us_per_transform, gflops}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+variant = sys.argv[1]
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+if variant in ("twostep", "mosaic"):
+    os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
+    os.environ["NDRUSTFFT_TPU_PALLAS_FLAVOR"] = variant
+elif variant == "r2c_pallas":
+    os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
+else:
+    os.environ["NDRUSTFFT_TPU_PALLAS"] = "0"
+
+import numpy as np  # noqa: E402
+
+from bench import per_transform  # noqa: E402
+
+rng = np.random.default_rng(0)
+
+if variant.startswith("r2c"):
+    x = rng.standard_normal((B, n, n)).astype(np.float32)
+
+    def make_step():
+        from ndrustfft_tpu import R2cFftHandler, ndfft_r2c, ndifft_r2c
+
+        h = R2cFftHandler(n)
+        return lambda v: ndifft_r2c(ndfft_r2c(v, h, axis=2), h, axis=2)
+
+    t = per_transform(make_step(), x, scale=1.0, per_iter=2 * B)
+else:
+    x = (rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+         ).astype(np.complex64)
+    if variant == "jnpfft":
+        import jax.numpy as jnp
+
+        step = lambda v: jnp.fft.fft(v, axis=2)  # noqa: E731
+    else:
+        from ndrustfft_tpu import FftHandler, ndfft
+
+        h = FftHandler(n)
+        step = lambda v: ndfft(v, h, axis=2)  # noqa: E731
+    t = per_transform(step, x, scale=1.0 / math.sqrt(n), per_iter=B)
+
+print(json.dumps({
+    "variant": variant, "n": n, "batch": B,
+    "us_per_transform": round(t * 1e6, 2),
+    "gflops": round(5.0 * n * math.log2(n) * n / t / 1e9, 1),
+}))
