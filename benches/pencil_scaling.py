@@ -45,6 +45,21 @@ def main():
         print("# NOTE: virtual CPU devices share one machine's cores — this"
               " validates the sharding machinery, NOT scaling efficiency;"
               " apparent efficiency degrades ~1/N by construction.")
+
+    # Model-based prediction for the BASELINE.json 64-chip 256^3 target
+    # (measurement is impossible on this 1-chip host; the model's comm
+    # accounting is pinned by tests/test_hlo_schedule.py)
+    from ndrustfft_tpu.utils.profiling import predict_pencil_weak_scaling
+
+    est = predict_pencil_weak_scaling(
+        local_shape=(256 // 8, 256 // 8, 256), mesh_shape=(8, 8),
+        itemsize=8, hbm_gbps=819.0, axis_bw=9.0e10)
+    print(f"# MODEL 64-chip (8x8 v5e) 256^3 R2C fwd+inv: {est}")
+    est_hi = predict_pencil_weak_scaling(
+        local_shape=(256 // 8, 256 // 8, 256), mesh_shape=(8, 8),
+        itemsize=8, hbm_gbps=819.0, axis_bw=9.0e10, hbm_fraction=0.14)
+    print("# MODEL at the currently-measured 14%-of-roofline engine: "
+          f"{est_hi}")
     results = {}
     counts = [d for d in [1, 2, 4, 8, 16, 32, 64] if d <= ndev_all]
     for ndev in counts:

@@ -483,9 +483,17 @@ def _twostep_split(n: int):
 
 
 def _kernel_twostep(m, f, tile, mode, xr_ref, xi_ref, *refs):
-    (wm_r, wm_i, tw_r, tw_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
+    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
     n = m * f
+
+    # build TW[p, (j,t)] = W_n^{jp} (repeated over the tile batch t) from the
+    # small (m, f) constant IN VMEM: broadcast + middle-into-lane merge (both
+    # Mosaic-legal). Shipping the repeated (m, f*tile) constant as an input
+    # block re-DMAs ~0.5 MB x2 from HBM on every grid step — measured as the
+    # dominant cost of this kernel at n=1024 (128 tiles -> +128 MB traffic).
+    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tile)).reshape(m, f * tile)
+    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tile)).reshape(m, f * tile)
 
     def stage(xr2, xi2):
         # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
@@ -521,11 +529,11 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
         tile = max(tile, 128)
-    # TW[p, (j, t)] = W_n^{j p} repeated over the tile batch t
-    tw_r = np.repeat(np.asarray(twi_[0].T, dtype), tile, axis=1)  # (m, f*tile)
-    tw_i = np.repeat(np.asarray(twi_[1].T, dtype), tile, axis=1)
+    # small (m, f) twiddle W_n^{jp}; the kernel broadcasts it to (m, f*tile)
+    # in VMEM (shipping the repeated constant re-DMAs it every grid step)
     consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
-              tw_r, tw_i,
+              np.asarray(twi_[0].T, dtype).copy(),   # (m, f)
+              np.asarray(twi_[1].T, dtype).copy(),
               np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
     grid = (pl.cdiv(batch, tile),)
     spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -1,0 +1,146 @@
+"""HLO-inspection tests for the distributed schedule (round-2 verdict #6).
+
+Round 1 verified the pencil layer's OUTPUTS; these tests verify the compiled
+SCHEDULE on the virtual 8-device mesh: (a) exactly one all-to-all per
+sharded-axis step, (b) pipeline_chunks=k emits k independent collectives per
+resharded step, (c) the bytes entering each all-to-all match the plan's
+pad/slice accounting — so a regression that silently doubles communication
+(or drops the padding logic) fails here, not in a 64-chip job.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ndrustfft_tpu import FftHandler, R2cFftHandler
+from ndrustfft_tpu.parallel.pencil import Step, pencil_transform, plan_pencil
+
+# one tuple-shaped op line per collective:
+#   %all-to-all.1 = (c64[4,2,4]{...}, ...) all-to-all(...)
+_A2A_RE = re.compile(r"= \(([^)]*)\) all-to-all\(")
+_SHAPE_RE = re.compile(r"(?:c64|c128|f32|f64)\[([\d,]*)\]")
+
+
+def _mesh(shape=(2, 4), names=("y", "z")):
+    return Mesh(np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape),
+                names)
+
+
+def _compiled_hlo(fn, x):
+    return jax.jit(fn).lower(x).compile().as_text()
+
+
+def _a2a_ops(hlo: str):
+    """[(total_elements, n_operands)] per all-to-all op in the HLO."""
+    out = []
+    for m in _A2A_RE.finditer(hlo):
+        shapes = _SHAPE_RE.findall(m.group(1))
+        elems = sum(int(np.prod([int(d) for d in s.split(",") if d]))
+                    for s in shapes)
+        out.append((elems, len(shapes)))
+    return out
+
+
+def _expected_a2a_elements(global_shape, steps, mesh, in_spec):
+    """Simulate the plan: per resharded step, the LOCAL element count
+    entering the all-to-all (= prod of local dims with the split dim padded
+    to the plan's pad_b_to)."""
+    plan, _, _, _, in_pad = plan_pencil(global_shape, steps, mesh, in_spec)
+    spec = list(in_spec) + [None] * (len(global_shape) - len(in_spec))
+    local = [g // mesh.shape[s] if s is not None else g
+             for g, s in zip(in_pad, spec)]
+    expected = []
+    cur = list(local)
+    for step, rs in zip(steps, plan):
+        a = step.axis % len(global_shape)
+        if rs is not None:
+            k = mesh.shape[rs["name"]]
+            b = rs["split"]
+            entering = list(cur)
+            entering[b] = rs["pad_b_to"]
+            expected.append(int(np.prod(entering)))
+            cur[b] = rs["pad_b_to"] // k
+            cur[a] = rs["slice_a_to"]
+        cur[a] = step.out_len(cur[a])
+    return expected
+
+
+def test_one_all_to_all_per_sharded_step():
+    mesh = _mesh()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 16)),
+                    jnp.complex64)
+    x = jax.device_put(x, NamedSharding(mesh, P("y", "z", None)))
+    steps = [Step("fft", 2, FftHandler(16)),   # local axis: no collective
+             Step("fft", 1, FftHandler(8)),    # sharded by z: 1 all-to-all
+             Step("fft", 0, FftHandler(8))]    # sharded by y: 1 all-to-all
+    hlo = _compiled_hlo(
+        lambda v: pencil_transform(v, steps, mesh, P("y", "z", None))[0], x)
+    ops = _a2a_ops(hlo)
+    assert len(ops) == 2, f"expected 2 all-to-alls, HLO has {len(ops)}"
+
+
+def test_local_only_pipeline_has_no_collectives():
+    mesh = _mesh()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 16)),
+                    jnp.complex64)
+    x = jax.device_put(x, NamedSharding(mesh, P("y", "z", None)))
+    steps = [Step("fft", 2, FftHandler(16))]   # only the local axis
+    hlo = _compiled_hlo(
+        lambda v: pencil_transform(v, steps, mesh, P("y", "z", None))[0], x)
+    assert len(_a2a_ops(hlo)) == 0
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_pipeline_chunks_emit_independent_collectives(chunks):
+    mesh = _mesh()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 16)),
+                    jnp.complex64)
+    x = jax.device_put(x, NamedSharding(mesh, P("y", "z", None)))
+    steps = [Step("fft", 2, FftHandler(16)),
+             Step("fft", 1, FftHandler(8)),
+             Step("fft", 0, FftHandler(8))]
+    hlo = _compiled_hlo(
+        lambda v: pencil_transform(v, steps, mesh, P("y", "z", None),
+                                   pipeline_chunks=chunks)[0], x)
+    ops = _a2a_ops(hlo)
+    # 2 resharded steps x `chunks` independent chunk collectives each
+    assert len(ops) == 2 * chunks, (chunks, len(ops))
+
+
+def test_bytes_on_wire_match_plan_accounting():
+    mesh = _mesh()
+    nz, ny, nx = 8, 8, 16
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((nz, ny, nx)),
+                    jnp.float32)
+    x = jax.device_put(x, NamedSharding(mesh, P("y", "z", None)))
+    # r2c makes the last dim m = 9, indivisible by 4 and 2: exercises the
+    # uneven padding in the accounting
+    steps = [Step("r2c", 2, R2cFftHandler(nx)),
+             Step("fft", 1, FftHandler(ny)),
+             Step("fft", 0, FftHandler(nz))]
+    hlo = _compiled_hlo(
+        lambda v: pencil_transform(v, steps, mesh, P("y", "z", None))[0], x)
+    got = [elems for elems, _ in _a2a_ops(hlo)]
+    want = _expected_a2a_elements((nz, ny, nx), steps, mesh,
+                                  (("y", "z", None)))
+    assert sorted(got) == sorted(want), (got, want)
+
+
+def test_a2a_operand_count_matches_mesh_axis_size():
+    mesh = _mesh()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 16)),
+                    jnp.complex64)
+    x = jax.device_put(x, NamedSharding(mesh, P("y", "z", None)))
+    steps = [Step("fft", 2, FftHandler(16)),
+             Step("fft", 1, FftHandler(8)),    # over z: k = 4
+             Step("fft", 0, FftHandler(8))]    # over y: k = 2
+    hlo = _compiled_hlo(
+        lambda v: pencil_transform(v, steps, mesh, P("y", "z", None))[0], x)
+    counts = sorted(n for _, n in _a2a_ops(hlo))
+    assert counts == [2, 4], counts
