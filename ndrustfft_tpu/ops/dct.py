@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..plan import _cis, get_c2c_plan, get_r2c_plan
-from .engine import _cmul, _const, c2c, r2c
+from .engine import _cmul, _const, c2c, r2c, r2c_packed
 
 
 @lru_cache(maxsize=512)
@@ -94,37 +94,77 @@ def dct3(x):
 
 
 def dct1(x):
-    """(..., n) real -> DCT-I, rustdct convention. Requires n >= 2."""
+    """(..., n) real -> DCT-I, rustdct convention. Requires n >= 2.
+
+    DCT-I == Re(FFT_{2n-2}(even extension))/2, but the (2n-2)-length
+    extension is never materialized: the r2c pack trick only consumes the
+    even/odd sample streams of the extension, and both are direct slice/
+    flip/concat views of x (one n-length pass instead of a 2n-length
+    round trip; verified identical to the concat form for all n).
+    """
     n = x.shape[-1]
     if n < 2:
         raise ValueError(f"DCT-I requires length >= 2, got {n}")
-    ext = jnp.concatenate([x, x[..., -2:0:-1]], axis=-1)  # length 2n-2
-    sr, _ = r2c(ext, get_r2c_plan(2 * n - 2))  # m = n bins exactly
+    # ext = [x, x[n-2:0:-1]] (len 2n-2); its even/odd interleave streams:
+    xe = jnp.concatenate(
+        [x[..., 0::2], x[..., 2:n - 1:2][..., ::-1]], axis=-1)
+    xo = jnp.concatenate(
+        [x[..., 1::2], x[..., 1:n - 2 + (n % 2):2][..., ::-1]], axis=-1)
+    sr, _ = r2c_packed(xe, xo, get_r2c_plan(2 * n - 2))  # m = n bins exactly
     return 0.5 * sr
 
 
 @lru_cache(maxsize=512)
 def _dct4_consts(n: int):
     t = np.arange(n, dtype=np.int64)
-    pre = _cis(t, 2 * n, -1)  # e^{-i pi t/(2n)}
-    k = np.arange(n, dtype=np.int64)
-    post = _cis(2 * k + 1, 4 * n, -1)  # e^{-i pi (2k+1)/(4n)}
-    return pre, post
+    pre_a = _cis(t, 2 * n, -1)                       # e^{-i pi t/(2n)}
+    w = _cis(2 * t, 2 * n, -1)                       # e^{-i pi t/n}
+    pre_b = (pre_a[0] * w[0] - pre_a[1] * w[1],      # pre * w
+             pre_a[0] * w[1] + pre_a[1] * w[0])
+    ne, no = (n + 1) // 2, n // 2
+    je = np.arange(ne, dtype=np.int64)
+    jo = np.arange(no, dtype=np.int64)
+    post_e = _cis(4 * je + 1, 4 * n, -1)             # post[2j]
+    post_o = _cis(4 * jo + 3, 4 * n, -1)             # post[2j+1]
+    return pre_a, pre_b, post_e, post_o
 
 
 def dct4(x):
-    """(..., n) real -> DCT-IV, rustdct convention."""
+    """(..., n) real -> DCT-IV, rustdct convention.
+
+    Round-1 lowering zero-padded to a 2n-point FFT, materializing 2n-length
+    intermediates in HBM. The zero half is folded out via the first DIF
+    stage of that FFT (u_hi = 0):
+
+        F_{2n}(pad(u))[2j]   = FFT_n(u)[j]
+        F_{2n}(pad(u))[2j+1] = FFT_n(u * e^{-i pi t/n})[j]
+
+    so DCT-IV = two n-point FFTs of pre-modulated inputs, batched into ONE
+    engine call, using only the first ceil(n/2) bins of each; all buffers
+    stay n-length.
+    """
     n = x.shape[-1]
-    pre, post = _dct4_consts(n)
-    prer, prei = _const(pre, x.dtype)
-    ur, ui = x * prer, x * prei
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, n)]
-    ur = jnp.pad(ur, pad)
-    ui = jnp.pad(ui, pad)
-    fr, fi = c2c(ur, ui, get_c2c_plan(2 * n, -1))
-    postr, posti = _const(post, x.dtype)
-    yr, _ = _cmul(fr[..., :n], fi[..., :n], postr, posti)
-    return yr
+    if n == 1:
+        # single-point DCT-IV: y[0] = x[0] * cos(pi/4)
+        return x * jnp.asarray(np.cos(np.pi / 4), x.dtype)
+    pre_a, pre_b, post_e, post_o = _dct4_consts(n)
+    ne, no = (n + 1) // 2, n // 2
+    par, pai = _const(pre_a, x.dtype)
+    pbr, pbi = _const(pre_b, x.dtype)
+    # batch the two modulated copies along a new leading-of-lane dim
+    ur = jnp.stack([x * par, x * pbr], axis=-2)      # (..., 2, n)
+    ui = jnp.stack([x * pai, x * pbi], axis=-2)
+    fr, fi = c2c(ur, ui, get_c2c_plan(n, -1))
+    ar, ai = fr[..., 0, :ne], fi[..., 0, :ne]        # A[j] = F[2j]
+    br, bi = fr[..., 1, :no], fi[..., 1, :no]        # B[j] = F[2j+1]
+    per, pei = _const(post_e, x.dtype)
+    por, poi = _const(post_o, x.dtype)
+    ye = ar * per - ai * pei                         # Re(post_e * A)
+    yo = br * por - bi * poi                         # Re(post_o * B)
+    if no < ne:
+        yo = jnp.concatenate([yo, yo[..., :1]], axis=-1)  # dummy slot
+    y = jnp.stack([ye, yo], axis=-1).reshape(x.shape[:-1] + (2 * ne,))
+    return y[..., :n]
 
 
 DCT_FNS = {1: dct1, 2: dct2, 3: dct3, 4: dct4}

@@ -237,15 +237,24 @@ def r2c(x, plan: R2CPlan):
     if not plan.half:
         zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
         return zr[..., :m], zi[..., :m]
+    return r2c_packed(x[..., 0::2], x[..., 1::2], plan)
+
+
+def r2c_packed(xe, xo, plan: R2CPlan):
+    """Half-spectrum from pre-split even/odd sample streams (..., h).
+
+    Entry point for callers that can produce the interleaved streams
+    directly from their own layout (e.g. the DCT-I even extension) without
+    materializing the packed sequence; requires ``plan.half``.
+    """
+    n, m = plan.n, plan.m
     h = n // 2
-    xe = x[..., 0::2]
-    xo = x[..., 1::2]
-    batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    batch = int(np.prod(xe.shape[:-1])) if xe.ndim > 1 else 1
     if batch >= (8 if _config.pallas_interpret else 128):
         from .pallas.rfft import r2c_pallas, rfft_pallas_supported
 
-        if rfft_pallas_supported(plan, x.dtype):
-            shape = x.shape[:-1]
+        if rfft_pallas_supported(plan, xe.dtype):
+            shape = xe.shape[:-1]
             sr, si = r2c_pallas(xe.reshape(batch, h), xo.reshape(batch, h),
                                 plan)
             return sr.reshape(shape + (m,)), si.reshape(shape + (m,))
@@ -263,7 +272,7 @@ def r2c(x, plan: R2CPlan):
     fei = 0.5 * (zik - zim)
     forr = 0.5 * (zik + zim)
     foi = -0.5 * (zrk - zrm)
-    twr, twi = _const(plan.unpack_tw, x.dtype)
+    twr, twi = _const(plan.unpack_tw, xe.dtype)
     tr, ti = _cmul(forr, foi, twr, twi)
     return fer + tr, fei + ti
 

@@ -247,9 +247,22 @@ def _fft_mid(xr, xi, axis, stages, base, mode):
 
 
 def _plan_consts(n: int, sign: int, dtype):
-    """(f, m, mid-stage consts, lane DFT, outer twiddle^T) for the kernel."""
-    f = _lane_factor(n)
-    m = n // f
+    """(f, m, mid-stage consts, lane DFT, outer twiddle^T) for the kernel.
+
+    Split preference (measured on v5e): a single DENSE MXU-width sub-factor
+    m in {128, 256} with a small combine factor f = n/m minimizes both the
+    MACs/element (m + f) and the number of relayouts — n=1024 as (m=128,
+    f=8) costs 136 MACs/elt vs 260 for the round-1 (f=256, m=4) choice and
+    ran ~2x faster in the axis-mid kernel. Sizes without such a divisor
+    fall back to the lane-factor heuristic.
+    """
+    ts = _twostep_split(n)
+    if (n > _MAX_LANE_FACTOR and ts is not None
+            and ts[0] <= config.max_base_radix):
+        m, f = ts
+    else:
+        f = _lane_factor(n)
+        m = n // f
     wr, wi = dft_matrix(f, sign)
     lane = (np.asarray(wr, dtype), np.asarray(wi, dtype))
     if m == 1:
@@ -558,6 +571,89 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
         return call(xr, xi, *consts)
 
     return run
+
+
+@lru_cache(maxsize=256)
+def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
+                         dtype_str: str, interpret: bool, mode: str):
+    """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
+    transform along the MIDDLE axis with ZERO transposes anywhere.
+
+    This is the structurally right kernel for every non-minor transform
+    axis: a Pallas input cannot absorb an XLA moveaxis (the transpose
+    materializes in HBM before the kernel), so instead the kernel consumes
+    the natural (pre, n, post) layout directly. The (B, n, L) -> (B, m, f, L)
+    view is a free reshape outside; blocks are (1, m, f, TL); the schedule
+    is the axis0 core (leading/middle contractions, lane = pure batch).
+    """
+    dtype = jnp.dtype(dtype_str)
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
+    if cols <= 128:
+        tile = cols
+    else:
+        tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
+    grid = (nb, pl.cdiv(cols, tile))
+    in_spec = pl.BlockSpec((1, m, f, tile), lambda b, i: (b, 0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, f, m, tile), lambda b, i: (b, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda b, i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    flops = 10.0 * n * np.log2(max(n, 2)) * nb * cols
+    call = pl.pallas_call(
+        partial(_kernel_axis_mid, struct, has_base, has_tw, m, f, mode),
+        out_shape=(jax.ShapeDtypeStruct((nb, f, m, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, f, m, cols), dtype)),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=int(4 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        xr = xr.reshape(nb, m, f, cols)
+        xi = xi.reshape(nb, m, f, cols)
+        yr, yi = call(xr, xi, *consts)
+        return yr.reshape(nb, n, cols), yi.reshape(nb, n, cols)
+
+    return run
+
+
+def _kernel_axis_mid(struct, has_base, has_tw, m, f, mode,
+                     xr_ref, xi_ref, *refs):
+    """x block (1, m, f, TL) -> out block (1, f, m, TL)."""
+    const_refs = refs[:-2]
+    or_ref, oi_ref = refs[-2:]
+    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
+    tl = xr_ref.shape[-1]
+    xr = xr_ref[:].reshape(m, f, tl)    # leading-dim squeeze (legal)
+    xi = xi_ref[:].reshape(m, f, tl)
+    if m == 1:
+        def con3(x, w):
+            return _con_mid(w, x, 1, 1, mode)
+
+        yr, yi = _cdot(xr, xi, lane[0], lane[1], con3)
+        or_ref[:] = jnp.swapaxes(yr, 0, 1).reshape(1, f, m, tl)
+        oi_ref[:] = jnp.swapaxes(yi, 0, 1).reshape(1, f, m, tl)
+        return
+    zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, mode)
+    or_ref[:] = zr.reshape(1, f, m, tl)
+    oi_ref[:] = zi.reshape(1, f, m, tl)
+
+
+def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan):
+    """C2C along axis 1 of (B, n, L) split re/im arrays, transpose-free."""
+    nb, n, cols = xr.shape
+    run = _build_call_axis_mid(n, plan.sign, nb, cols, str(xr.dtype),
+                               bool(config.pallas_interpret), dot_mode())
+    return run(xr, xi)
 
 
 def c2c_pallas(xr, xi, plan: C2CPlan):

@@ -149,3 +149,26 @@ def test_pallas_fused_c2r_dc_nyquist_pin():
     got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
     ref = np.fft.irfft(spec, n=n, axis=1)
     assert np.abs(got - ref).max() < 1e-4
+
+
+def test_pallas_axis_mid_kernel():
+    # transpose-free mid-axis kernel: (B, n, L) along axis 1
+    rng = np.random.default_rng(11)
+    for n in [16, 264, 1024]:
+        x = (rng.standard_normal((3, n, 40))
+             + 1j * rng.standard_normal((3, n, 40))).astype(np.complex64)
+        h = FftHandler(n)
+        got = np.asarray(ndfft(jnp.asarray(x), h, axis=1))
+        ref = np.fft.fft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, n
+        back = np.asarray(ndifft(ndfft(jnp.asarray(x), h, 1), h, 1))
+        assert np.abs(back - x).max() < 5e-4, n
+
+
+def test_pallas_axis_mid_partial_lane_tile():
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal((2, 64, 37))
+         + 1j * rng.standard_normal((2, 64, 37))).astype(np.complex64)
+    got = np.asarray(ndfft(jnp.asarray(x), FftHandler(64), axis=1))
+    ref = np.fft.fft(x, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4

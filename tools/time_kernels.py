@@ -3,6 +3,7 @@ a failed TPU program poisons the session, NOTES_TPU.md).
 
 Usage: python tools/time_kernels.py <variant> [n] [batch]
 Variants: engine | twostep | mosaic | jnpfft | r2c_engine | r2c_pallas
+         | axis_mid (pallas, transform axis 1) | engine_ax1 | jnpfft_ax1
 Prints one JSON line {variant, n, us_per_transform, gflops}.
 """
 
@@ -22,10 +23,12 @@ B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 if variant in ("twostep", "mosaic"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
     os.environ["NDRUSTFFT_TPU_PALLAS_FLAVOR"] = variant
-elif variant == "r2c_pallas":
+elif variant in ("r2c_pallas", "axis_mid"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
 else:
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "0"
+
+AXIS = 1 if variant.endswith("_ax1") or variant == "axis_mid" else 2
 
 import numpy as np  # noqa: E402
 
@@ -46,15 +49,15 @@ if variant.startswith("r2c"):
 else:
     x = (rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
          ).astype(np.complex64)
-    if variant == "jnpfft":
+    if variant.startswith("jnpfft"):
         import jax.numpy as jnp
 
-        step = lambda v: jnp.fft.fft(v, axis=2)  # noqa: E731
+        step = lambda v: jnp.fft.fft(v, axis=AXIS)  # noqa: E731
     else:
         from ndrustfft_tpu import FftHandler, ndfft
 
         h = FftHandler(n)
-        step = lambda v: ndfft(v, h, axis=2)  # noqa: E731
+        step = lambda v: ndfft(v, h, axis=AXIS)  # noqa: E731
     t = per_transform(step, x, scale=1.0 / math.sqrt(n), per_iter=B)
 
 print(json.dumps({
