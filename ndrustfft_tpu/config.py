@@ -25,11 +25,12 @@ class _Config:
     # route the whole transform through Bluestein (chirp-z). 128 = one MXU tile.
     max_base_radix: int = int(os.environ.get("NDRUSTFFT_TPU_MAX_RADIX", "128"))
     # Use fused Pallas kernels on TPU when a kernel exists for the plan.
-    # Off by default: on v5e the XLA-engine lowering measured faster than the
-    # current kernels at every shape tried (XLA's cross-op fusion beats the
-    # kernels' in-VMEM relayouts + HIGHEST-precision dots); kernels remain
-    # fully tested and opt-in while they are tuned.
-    use_pallas: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS", "0") in ("1", "true")
+    # ON by default since round 2: with manual bf16x3 dots and the twostep
+    # dataflow the kernels beat the XLA-engine lowering on the HBM-honest
+    # chained protocol (1024^2 c64, batch 16: lane-last 99 us vs 163.5;
+    # mid-axis 106 us vs 145.7; jnp.fft 174.1 — tools/time_kernels.py).
+    # Set NDRUSTFFT_TPU_PALLAS=0 to fall back to the pure-XLA engine.
+    use_pallas: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS", "1") in ("1", "true")
     # Kernel schedule flavor for the lane-last C2C kernel:
     #   'twostep' (default) — 2-D-matmul-only dataflow, measured 1.7x faster
     #       than 'mosaic' on v5e (73 vs 127 us at 1024^2); falls back to

@@ -573,41 +573,59 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     return run
 
 
+def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
+    """Twostep dataflow on an (1, n, TL) mid-axis block — the winning
+    all-2-D-matmul recipe WITHOUT twostep's entry transpose: the block is
+    already n-leading, so (1, n, TL) -> (m, f*TL) is a pure reshape
+    (leading split + middle-into-lane merge, both Mosaic-legal)."""
+    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    n = m * f
+    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tl)).reshape(m, f * tl)
+    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
+    xr2 = xr_ref[:].reshape(m, f * tl)    # x2[t', (j, l)]
+    xi2 = xi_ref[:].reshape(m, f * tl)
+
+    def con(x, w):
+        return _dg(w, x, (((0,), (0,)), ((), ())), mode)
+
+    yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con)        # S1[p, (j, l)]
+    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
+    yr = yr.T.reshape(f, tl, m)                      # (j, l, p)
+    yi = yi.T.reshape(f, tl, m)
+    zr, zi = _cdot(yr, yi, wf_r, wf_i, con)          # (q, l, p)
+    # out[k = q*m + p, l]: swap the last two dims, merge leading (q, p)
+    or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
+    oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)
+
+
 @lru_cache(maxsize=256)
 def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
-    transform along the MIDDLE axis with ZERO transposes anywhere.
+    transform along the MIDDLE axis with no HBM transposes.
 
     This is the structurally right kernel for every non-minor transform
     axis: a Pallas input cannot absorb an XLA moveaxis (the transpose
     materializes in HBM before the kernel), so instead the kernel consumes
-    the natural (pre, n, post) layout directly. The (B, n, L) -> (B, m, f, L)
-    view is a free reshape outside; blocks are (1, m, f, TL); the schedule
-    is the axis0 core (leading/middle contractions, lane = pure batch).
+    the natural (pre, n, post) layout directly. Two bodies:
+
+    * twostep body (n with an {128,256} split): blocks (1, n, TL), all
+      heavy ops plain 2-D matmuls — measured fastest (the rank-3
+      leading-output dot form ran 1.5x slower: Mosaic codegen).
+    * generic body (other n): blocks (1, m, f, TL), recursive axis-0 core.
     """
     dtype = jnp.dtype(dtype_str)
-    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
-    consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
+    ts = _twostep_split(n)
+    use_ts = n > 256 and ts is not None and ts[0] <= config.max_base_radix
     if cols <= 128:
         tile = cols
     else:
         tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
     grid = (nb, pl.cdiv(cols, tile))
-    in_spec = pl.BlockSpec((1, m, f, tile), lambda b, i: (b, 0, 0, i),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, f, m, tile), lambda b, i: (b, 0, 0, i),
-                            memory_space=pltpu.VMEM)
-    const_specs = [pl.BlockSpec(c.shape, lambda b, i, _r=c.ndim: (0,) * _r,
-                                memory_space=pltpu.VMEM) for c in consts]
     flops = 10.0 * n * np.log2(max(n, 2)) * nb * cols
-    call = pl.pallas_call(
-        partial(_kernel_axis_mid, struct, has_base, has_tw, m, f, mode),
-        out_shape=(jax.ShapeDtypeStruct((nb, f, m, cols), dtype),
-                   jax.ShapeDtypeStruct((nb, f, m, cols), dtype)),
+    common = dict(
         grid=grid,
-        in_specs=[in_spec, in_spec] + const_specs,
-        out_specs=(out_spec, out_spec),
         cost_estimate=pl.CostEstimate(
             flops=int(flops),
             bytes_accessed=int(4 * nb * cols * n * dtype.itemsize),
@@ -615,6 +633,46 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+    )
+    if use_ts:
+        m, f = ts
+        wm = dft_matrix(m, sign)
+        wf = dft_matrix(f, sign)
+        twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
+        consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
+                  np.asarray(twi_[0].T, dtype).copy(),   # (m, f)
+                  np.asarray(twi_[1].T, dtype).copy(),
+                  np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+        spec = pl.BlockSpec((1, n, tile), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(c.shape,
+                                    lambda b, i, _r=c.ndim: (0,) * _r,
+                                    memory_space=pltpu.VMEM) for c in consts]
+        call = pl.pallas_call(
+            partial(_kernel_axis_mid_ts, m, f, tile, mode),
+            out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
+                       jax.ShapeDtypeStruct((nb, n, cols), dtype)),
+            in_specs=[spec, spec] + const_specs,
+            out_specs=(spec, spec),
+            **common,
+        )
+        return lambda xr, xi: call(xr, xi, *consts)
+
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
+    in_spec = pl.BlockSpec((1, m, f, tile), lambda b, i: (b, 0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, f, m, tile), lambda b, i: (b, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda b, i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_kernel_axis_mid, struct, has_base, has_tw, m, f, mode),
+        out_shape=(jax.ShapeDtypeStruct((nb, f, m, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, f, m, cols), dtype)),
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        **common,
     )
 
     def run(xr, xi):
