@@ -40,11 +40,34 @@ def _evenodd_perm(x):
     return jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
 
 
+def _pallas_dct_batch(x):
+    """Batch size if the fused DCT kernel may run, else None."""
+    from ..config import config as _cfg
+
+    batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if batch < (8 if _cfg.pallas_interpret else 128):
+        return None
+    from .pallas.dct import dct_pallas_supported
+
+    return batch if dct_pallas_supported(x.shape[-1], x.dtype) else None
+
+
 def dct2(x):
-    """(..., n) real -> DCT-II, rustdct convention."""
+    """(..., n) real -> DCT-II, rustdct convention.
+
+    Even n with a {128,256} factor runs as ONE fused Pallas kernel
+    (ops/pallas/dct.py): since the Makhoul intermediate v is real, the
+    full FFT_n(v) is computed with a real-input first stage and the
+    half-spectrum unfold disappears entirely."""
     n = x.shape[-1]
     if n == 1:
         return x
+    batch = _pallas_dct_batch(x)
+    if batch is not None:
+        from .pallas.dct import dct2_pallas
+
+        shape = x.shape
+        return dct2_pallas(x.reshape(batch, n)).reshape(shape)
     w = _dct2_consts(n)
     m = n // 2 + 1
     v = _evenodd_perm(x)
@@ -81,10 +104,18 @@ def dct3(x):
     """(..., n) real -> DCT-III, rustdct convention (x0 halved internally).
 
     n-point complex FFT via the transpose of the Makhoul DCT-II algorithm
-    (2-4x cheaper than the zero-padded 4n lowering)."""
+    (2-4x cheaper than the zero-padded 4n lowering). Even n with a
+    {128,256} factor runs as ONE fused Pallas kernel with the separable
+    pre-twiddle folded into the stage constants (ops/pallas/dct.py)."""
     n = x.shape[-1]
     if n == 1:
         return 0.5 * x
+    batch = _pallas_dct_batch(x)
+    if batch is not None:
+        from .pallas.dct import dct3_pallas
+
+        shape = x.shape
+        return dct3_pallas(x.reshape(batch, n)).reshape(shape)
     pre = _dct3_consts(n)
     c = jnp.concatenate([x[..., :1] * 0.5, x[..., 1:]], axis=-1)
     prer, prei = _const(pre, x.dtype)

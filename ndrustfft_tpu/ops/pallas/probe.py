@@ -21,6 +21,13 @@ import traceback
 import numpy as np
 
 
+def _interp() -> bool:
+    """Interpreter mode off only where a real Mosaic toolchain exists."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def _mk_c2c_args(n, batch):
     rng = np.random.default_rng(0)
     xr = rng.standard_normal((batch, n)).astype(np.float32)
@@ -31,7 +38,7 @@ def _mk_c2c_args(n, batch):
 def _probe_lane_last(n, batch, mode):
     from ..pallas import fft as K
 
-    run = K._build_call(n, -1, batch, "float32", False, mode)
+    run = K._build_call(n, -1, batch, "float32", _interp(), mode)
     return run, _mk_c2c_args(n, batch)
 
 
@@ -40,14 +47,14 @@ def _probe_twostep(n, batch, mode):
 
     if K._twostep_split(n) is None:
         raise ValueError(f"no twostep split for n={n}")
-    run = K._build_call_twostep(n, -1, batch, "float32", False, mode)
+    run = K._build_call_twostep(n, -1, batch, "float32", _interp(), mode)
     return run, _mk_c2c_args(n, batch)
 
 
 def _probe_axis0(n, cols, mode):
     from ..pallas import fft as K
 
-    run = K._build_call_axis0(n, -1, cols, "float32", False, mode)
+    run = K._build_call_axis0(n, -1, cols, "float32", _interp(), mode)
     rng = np.random.default_rng(0)
     xr = rng.standard_normal((n, cols)).astype(np.float32)
     xi = rng.standard_normal((n, cols)).astype(np.float32)
@@ -57,7 +64,7 @@ def _probe_axis0(n, cols, mode):
 def _probe_r2c(n, batch, mode):
     from ..pallas import rfft as R
 
-    run = R._build_r2c(n, batch, "float32", False, mode)
+    run = R._build_r2c(n, batch, "float32", _interp(), mode)
     rng = np.random.default_rng(0)
     xe = rng.standard_normal((batch, n // 2)).astype(np.float32)
     xo = rng.standard_normal((batch, n // 2)).astype(np.float32)
@@ -67,12 +74,42 @@ def _probe_r2c(n, batch, mode):
 def _probe_c2r(n, batch, mode):
     from ..pallas import rfft as R
 
-    run = R._build_c2r(n, batch, "float32", False, mode)
+    run = R._build_c2r(n, batch, "float32", _interp(), mode)
     rng = np.random.default_rng(0)
     m = n // 2 + 1
     sr = rng.standard_normal((batch, m)).astype(np.float32)
     si = rng.standard_normal((batch, m)).astype(np.float32)
     return run, (sr, si)
+
+
+def _probe_axis_mid(n, nb, cols, mode):
+    from ..pallas import fft as K
+
+    run = K._build_call_axis_mid(n, -1, nb, cols, "float32", _interp(), mode)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    xi = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (xr, xi)
+
+
+def _probe_dct2(n, batch, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct2(n, batch, "float32", _interp(), mode)
+    rng = np.random.default_rng(0)
+    ne = (n + 1) // 2
+    xe = rng.standard_normal((batch, ne)).astype(np.float32)
+    xo = rng.standard_normal((batch, n - ne)).astype(np.float32)
+    return run, (xe, xo)
+
+
+def _probe_dct3(n, batch, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct3(n, batch, "float32", _interp(), mode)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    return run, (x,)
 
 
 # (label, builder, kwargs). n=1024 is the headline shape; n=264 covers the
@@ -87,6 +124,10 @@ PROBES = [
     ("axis0     n=264", _probe_axis0, dict(n=264, cols=256)),
     ("r2c_fused n=1024", _probe_r2c, dict(n=1024, batch=256)),
     ("c2r_fused n=1024", _probe_c2r, dict(n=1024, batch=256)),
+    ("axis_mid  n=1024", _probe_axis_mid, dict(n=1024, nb=4, cols=256)),
+    ("axis_mid  n=264", _probe_axis_mid, dict(n=264, nb=4, cols=256)),
+    ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
+    ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),
 ]
 
 MODES = ["bf16x3", "highest", "default"]

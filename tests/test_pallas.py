@@ -172,3 +172,23 @@ def test_pallas_axis_mid_partial_lane_tile():
     got = np.asarray(ndfft(jnp.asarray(x), FftHandler(64), axis=1))
     ref = np.fft.fft(x, axis=1)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_fused_dct2_dct3():
+    import scipy.fft
+
+    from ndrustfft_tpu import DctHandler, nddct2, nddct3
+
+    rng = np.random.default_rng(13)
+    for n in [256, 1024]:
+        x = rng.standard_normal((16, n)).astype(np.float32)
+        h = DctHandler(n)
+        got2 = np.asarray(nddct2(jnp.asarray(x), h, axis=1))
+        ref2 = scipy.fft.dct(x, type=2, axis=1)
+        assert np.abs(got2 - ref2).max() / np.abs(ref2).max() < 1e-4, n
+        got3 = np.asarray(nddct3(jnp.asarray(x), h, axis=1))
+        ref3 = scipy.fft.dct(x, type=3, axis=1)
+        assert np.abs(got3 - ref3).max() / np.abs(ref3).max() < 1e-4, n
+        # roundtrip: dct3(dct2(x)) = 2n x (scipy unnormalized identity)
+        back = np.asarray(nddct3(nddct2(jnp.asarray(x), h, 1), h, 1))
+        assert np.abs(back / (2.0 * n) - x).max() < 5e-4, n
