@@ -495,59 +495,65 @@ def _twostep_split(n: int):
     return m, n // m
 
 
-def _kernel_twostep(m, f, tile, mode, xr_ref, xi_ref, *refs):
-    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
-    or_ref, oi_ref = refs[-2:]
+def _twostep_math(xr, xi, consts, m, f, rows, mode):
+    """(rows, n) complex pair -> (rows, n) via the all-2-D-matmul twostep
+    dataflow — the measured-fastest kernel body; shared by the C2C twostep
+    kernel and the fused R2C/C2R kernels (rfft.py).
+
+    The stage twiddle TW[p, (j,t)] is built IN VMEM from the small (m, f)
+    constant (broadcast + middle-into-lane merge, both Mosaic-legal):
+    shipping the repeated (m, f*rows) constant as an input block re-DMAs
+    ~0.5 MB x2 from HBM on every grid step — measured as a dominant cost.
+    """
+    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
     n = m * f
+    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, rows)).reshape(m, f * rows)
+    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, rows)).reshape(m, f * rows)
 
-    # build TW[p, (j,t)] = W_n^{jp} (repeated over the tile batch t) from the
-    # small (m, f) constant IN VMEM: broadcast + middle-into-lane merge (both
-    # Mosaic-legal). Shipping the repeated (m, f*tile) constant as an input
-    # block re-DMAs ~0.5 MB x2 from HBM on every grid step — measured as the
-    # dominant cost of this kernel at n=1024 (128 tiles -> +128 MB traffic).
-    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tile)).reshape(m, f * tile)
-    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tile)).reshape(m, f * tile)
+    def con(x, w):
+        return _dg(w, x, (((0,), (0,)), ((), ())), mode)
 
-    def stage(xr2, xi2):
-        # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
-        def con1(x, w):
-            return _dg(w, x, (((0,), (0,)), ((), ())), mode)
+    # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
+    xr2 = xr.T.reshape(m, f * rows)
+    xi2 = xi.T.reshape(m, f * rows)
+    yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con)        # (m, f*T)
+    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
+    yr = yr.T.reshape(f, rows, m)                    # (j, t, p)
+    yi = yi.T.reshape(f, rows, m)
+    zr, zi = _cdot(yr, yi, wf_r, wf_i, con)          # (q, t, p)
+    zr = jnp.transpose(zr, (1, 0, 2)).reshape(rows, n)
+    zi = jnp.transpose(zi, (1, 0, 2)).reshape(rows, n)
+    return zr, zi
 
-        yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con1)   # (m, f*T)
-        yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
-        yr = yr.T.reshape(f, tile, m)                      # (j, t, p)
-        yi = yi.T.reshape(f, tile, m)
 
-        def con2(x, w):
-            return _dg(w, x, (((0,), (0,)), ((), ())), mode)
+def _twostep_consts(n: int, sign: int, dtype):
+    """[wm_r, wm_i, tw_r(m,f), tw_i, wf_r, wf_i] numpy consts + (m, f)."""
+    m, f = _twostep_split(n)
+    wm = dft_matrix(m, sign)
+    wf = dft_matrix(f, sign)
+    twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
+    consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
+              np.asarray(twi_[0].T, dtype).copy(),   # (m, f)
+              np.asarray(twi_[1].T, dtype).copy(),
+              np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+    return consts, (m, f)
 
-        zr, zi = _cdot(yr, yi, wf_r, wf_i, con2)     # (q, t, p)
-        zr = jnp.transpose(zr, (1, 0, 2)).reshape(tile, n)
-        zi = jnp.transpose(zi, (1, 0, 2)).reshape(tile, n)
-        return zr, zi
 
-    xr2 = xr_ref[:].T.reshape(m, f * tile)
-    xi2 = xi_ref[:].T.reshape(m, f * tile)
-    or_ref[:], oi_ref[:] = stage(xr2, xi2)
+def _kernel_twostep(m, f, tile, mode, xr_ref, xi_ref, *refs):
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    or_ref[:], oi_ref[:] = _twostep_math(xr_ref[:], xi_ref[:], consts,
+                                         m, f, tile, mode)
 
 
 @lru_cache(maxsize=256)
 def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
                         interpret: bool, mode: str):
     dtype = jnp.dtype(dtype_str)
-    m, f = _twostep_split(n)
-    wm = dft_matrix(m, sign)
-    wf = dft_matrix(f, sign)
-    twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
+    consts, (m, f) = _twostep_consts(n, sign, dtype)
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
         tile = max(tile, 128)
-    # small (m, f) twiddle W_n^{jp}; the kernel broadcasts it to (m, f*tile)
-    # in VMEM (shipping the repeated constant re-DMAs it every grid step)
-    consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
-              np.asarray(twi_[0].T, dtype).copy(),   # (m, f)
-              np.asarray(twi_[1].T, dtype).copy(),
-              np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
     grid = (pl.cdiv(batch, tile),)
     spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,

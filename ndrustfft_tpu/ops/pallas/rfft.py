@@ -59,6 +59,9 @@ from .fft import (
     _lane_last_math,
     _lane_tile,
     _plan_consts,
+    _twostep_consts,
+    _twostep_math,
+    _twostep_split,
     _unflat,
     dot_mode,
     pallas_supported,
@@ -72,27 +75,42 @@ def rfft_pallas_supported(plan: R2CPlan, dtype) -> bool:
 
 
 def _half_fft_consts(h: int, sign: int, dtype):
-    """Kernel-schedule constants for the length-h lane-last FFT."""
+    """Kernel-schedule constants for the length-h lane-last FFT.
+
+    Prefers the twostep body (all 2-D matmuls — measured 1.5-2x faster than
+    the recursive leading-dot form); falls back to the generic lane-last
+    schedule for h without a {128,256} split."""
+    ts = _twostep_split(h)
+    if h > 256 and ts is not None and ts[0] <= config.max_base_radix:
+        consts, (m, f) = _twostep_consts(h, sign, dtype)
+        return consts, ("ts", m, f)
     f, m, mid, lane, tw = _plan_consts(h, sign, dtype)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
-    return consts, (struct, has_base, has_tw, m, f)
+    return consts, ("gen", struct, has_base, has_tw, m, f)
+
+
+def _half_fft(wr, wi, const_vals, meta, mode):
+    """Run the length-h FFT on a (rows, h) complex pair inside a kernel."""
+    if meta[0] == "ts":
+        _, m, f = meta
+        return _twostep_math(wr, wi, const_vals, m, f, wr.shape[0], mode)
+    _, struct, has_base, has_tw, m, f = meta
+    stages, base, lane, tw = _unflat(const_vals, struct, has_base, has_tw)
+    return _lane_last_math(wr, wi, stages, base, lane, tw, m, f, mode)
 
 
 def _r2c_kernel(fft_meta, mode, h, xe_ref, xo_ref, *refs):
-    struct, has_base, has_tw, m_fac, f_fac = fft_meta
     n_fft_consts = len(refs) - 4  # trailing: u_r, u_i, or_ref, oi_ref
-    const_refs = refs[:n_fft_consts]
+    const_vals = [r[:] for r in refs[:n_fft_consts]]
     ur = refs[n_fft_consts][:]      # (1, h) forward unpack twiddle, k < h
     ui = refs[n_fft_consts + 1][:]
     or_ref, oi_ref = refs[-2:]
-    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
     xe, xo = xe_ref[:], xo_ref[:]
     # rows [z; conj(z)] through one FFT_h: top half -> Z, bottom -> C
     t = xe.shape[0]
     wr = jnp.concatenate([xe, xe], axis=0)
     wi = jnp.concatenate([xo, -xo], axis=0)
-    yr, yi = _lane_last_math(wr, wi, stages, base, lane, tw,
-                             m_fac, f_fac, mode)
+    yr, yi = _half_fft(wr, wi, const_vals, fft_meta, mode)
     zr, zi = yr[:t], yi[:t]
     cr, ci = yr[t:], yi[t:]
     fer = 0.5 * (zr + cr)
@@ -108,16 +126,14 @@ def _r2c_kernel(fft_meta, mode, h, xe_ref, xo_ref, *refs):
 
 
 def _c2r_kernel(fft_meta, mode, h, sr_ref, si_ref, *refs):
-    struct, has_base, has_tw, m_fac, f_fac = fft_meta
     n_fft_consts = len(refs) - 7  # trailing: a_r,a_i,c_r,c_i,b0(1,2), outs x2
-    const_refs = refs[:n_fft_consts]
+    const_vals = [r[:] for r in refs[:n_fft_consts]]
     ar = refs[n_fft_consts][:]      # (1, h)
     ai = refs[n_fft_consts + 1][:]
     cr_ = refs[n_fft_consts + 2][:]  # (1, h): c[j] = b[(h-j)%h], c[0] = 0
     ci_ = refs[n_fft_consts + 3][:]
     b0 = refs[n_fft_consts + 4][:]  # (1, 2): Re b[0], Im b[0]
     or_ref, oi_ref = refs[-2:]
-    stages, base, lane, tw = _unflat(const_refs, struct, has_base, has_tw)
     sr, si = sr_ref[:], si_ref[:]   # (T, m), m = h + 1
     skr, ski = sr[:, :h], si[:, :h]
     # P = a * S
@@ -135,8 +151,7 @@ def _c2r_kernel(fft_meta, mode, h, sr_ref, si_ref, *refs):
     t = sr.shape[0]
     wr = jnp.concatenate([pr, qr], axis=0)
     wi = jnp.concatenate([pi, -qi], axis=0)
-    yr, yi = _lane_last_math(wr, wi, stages, base, lane, tw,
-                             m_fac, f_fac, mode)
+    yr, yi = _half_fft(wr, wi, const_vals, fft_meta, mode)
     # z = IFFTu(P) + conj(IFFTu(conj Q));  x[2t] = 2 Re z, x[2t+1] = 2 Im z
     or_ref[:] = 2.0 * (yr[:t] + yr[t:])
     oi_ref[:] = 2.0 * (yi[:t] - yi[t:])

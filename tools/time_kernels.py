@@ -23,7 +23,7 @@ B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 if variant in ("twostep", "mosaic"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
     os.environ["NDRUSTFFT_TPU_PALLAS_FLAVOR"] = variant
-elif variant in ("r2c_pallas", "axis_mid"):
+elif variant in ("r2c_pallas", "axis_mid", "dct_pallas"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
 else:
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "0"
@@ -36,7 +36,17 @@ from bench import per_transform  # noqa: E402
 
 rng = np.random.default_rng(0)
 
-if variant.startswith("r2c"):
+if variant.startswith("dct"):
+    x = rng.standard_normal((B, n, n)).astype(np.float32)
+
+    def make_step():
+        from ndrustfft_tpu import DctHandler, nddct2, nddct3
+
+        h = DctHandler(n)
+        return lambda v: nddct3(nddct2(v, h, axis=2), h, axis=2) / (2.0 * n)
+
+    t = per_transform(make_step(), x, scale=1.0, per_iter=2 * B)
+elif variant.startswith("r2c"):
     x = rng.standard_normal((B, n, n)).astype(np.float32)
 
     def make_step():
