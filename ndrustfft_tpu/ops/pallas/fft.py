@@ -28,17 +28,20 @@ matmuls use the 3-multiplication form. Plans whose shapes don't fit
 (Bluestein sizes, f64, n with no suitable lane factor) fall back to the XLA
 engine.
 
-STATUS (measured on v5e, 1024^2 per transform): the recursive flavors run
-~127-145 us regardless of dot precision; the 'twostep' flavor below (2-D
-matmuls only, no narrow-lane intermediates) runs ~73-87 us; the XLA-engine
-lowering runs ~22-50 us. The remaining gap is fundamental to the kernel
-constraints: Mosaic only offers DEFAULT/HIGHEST dot precisions, and
-HIGHEST's 6 bf16 passes x 3M complex form over the m+f dense MACs/element
-is MXU-bound (~26 us of pure MXU at n=1024), while the XLA path runs
-3-pass HIGH precision over smaller [32,32] factors inside the HBM shadow.
-Kernels are therefore OPT-IN (config.use_pallas) and the XLA engine is the
-shipping default; kernels stay correctness-tested in interpreter mode and
-compile-verified against the real toolchain.
+STATUS (round 2, measured on v5e with the HBM-honest chained protocol,
+16x1024x1024 per transform — tools/time_kernels.py): with manual bf16x3
+dots (dot_mode below) and the all-2-D-matmul 'twostep' dataflow the
+kernels BEAT both the XLA-engine lowering and jnp.fft:
+
+    lane-last twostep   99.0 us   |  XLA engine (lane-last) 163.5 us
+    axis-mid twostep   106.0 us   |  XLA engine (axis 1)    145.7 us
+    recursive 'mosaic' 160-221 us |  jnp.fft                174.1 us
+
+Kernels are ON by default (config.use_pallas); the recursive flavors
+remain for sizes without a {128,256} split. Correctness is pinned in
+interpreter mode (tests/test_pallas.py) and every flavor x dot mode is
+compile-verified on the real toolchain by ops/pallas/probe.py
+(bench.py --compile-check).
 """
 
 from __future__ import annotations
