@@ -301,6 +301,36 @@ def main():
                 "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
                 "value": round(t * 1e6, 2),
             }))
+            # even-size DCT-II/III twin (runs the fused Pallas DCT kernels;
+            # the reference's n+1 grid sizes are odd and keep the XLA path)
+            xd2 = rng.standard_normal((bm, m, m)).astype(np.float32)
+            hd2 = DctHandler(m)
+            t = per_transform(
+                lambda v, _h=hd2, _m=m: nddct3(nddct2(v, _h, axis=1), _h,
+                                               axis=1) / (2.0 * _m), xd2,
+                per_iter=2 * bm)
+            print(json.dumps({
+                "metric": f"dct2d_23_{m}_f32_axis0", "unit": "us/transform",
+                "value": round(t * 1e6, 2),
+                "gflops": round(0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
+            }))
+
+        # `_par` twins (reference benches/ndrustfft_par.rs:14-67): on a
+        # single chip the _par entry points are exact synonyms of the
+        # serial ones (the reference's rayon lane-parallelism is inherent
+        # VPU/MXU batching here; multi-chip routing engages only on
+        # mesh-sharded inputs) — measured to pin that equivalence.
+        from ndrustfft_tpu import ndfft_par
+
+        xc = (rng.standard_normal((2, 1024, 1024))
+              + 1j * rng.standard_normal((2, 1024, 1024))).astype(np.complex64)
+        hp = FftHandler(1024)
+        t = per_transform(lambda v: ndfft_par(v, hp, axis=1), xc,
+                          scale=1.0 / math.sqrt(1024), per_iter=2)
+        print(json.dumps({
+            "metric": "fft2d_par_1024_c2c_f32_axis0", "unit": "us/transform",
+            "value": round(t * 1e6, 2),
+        }))
 
     print(json.dumps({
         "metric": f"fft2d_{n}_c2c_f32_axis0",
