@@ -206,7 +206,8 @@ def _config_key():
     from .config import config as _cfg
 
     return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.pallas_flavor,
-            _cfg.axis0_strategy, _cfg.matmul_precision, _cfg.max_base_radix)
+            _cfg.axis0_strategy, _cfg.matmul_precision, _cfg.max_base_radix,
+            _cfg.pallas_tile)
 
 
 @lru_cache(maxsize=4096)

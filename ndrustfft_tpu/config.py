@@ -37,6 +37,9 @@ class _Config:
     #       'mosaic' for n without a {128,256} sublane factor
     #   'mosaic'  — recursive middle-dim schedule
     pallas_flavor: str = os.environ.get("NDRUSTFFT_TPU_PALLAS_FLAVOR", "twostep")
+    # Override the kernels' lane-tile size (rows per grid step for
+    # lane-last flavors, L-tile for axis-mid). 0 = auto (VMEM-budget bound).
+    pallas_tile: int = int(os.environ.get("NDRUSTFFT_TPU_PALLAS_TILE", "0"))
     # Run Pallas kernels in interpreter mode (CPU testing of the kernel path).
     pallas_interpret: bool = os.environ.get("NDRUSTFFT_TPU_PALLAS_INTERPRET", "0") in (
         "1", "true")

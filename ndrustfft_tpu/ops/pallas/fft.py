@@ -557,6 +557,8 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
         tile = max(tile, 128)
+    if config.pallas_tile:
+        tile = min(max(8, batch), config.pallas_tile)
     grid = (pl.cdiv(batch, tile),)
     spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
@@ -631,6 +633,8 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         tile = cols
     else:
         tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
+        if config.pallas_tile:
+            tile = min(cols, config.pallas_tile)
     grid = (nb, pl.cdiv(cols, tile))
     flops = 10.0 * n * np.log2(max(n, 2)) * nb * cols
     common = dict(
