@@ -235,9 +235,38 @@ def r2c(x, plan: R2CPlan):
     """
     n, m = plan.n, plan.m
     if not plan.half:
+        batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        if batch >= 2:
+            return _r2c_rowpair(x, plan)
         zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
         return zr[..., :m], zi[..., :m]
     return r2c_packed(x[..., 0::2], x[..., 1::2], plan)
+
+
+def _r2c_rowpair(x, plan: R2CPlan):
+    """Odd-n batched R2C via ROW pairing: two real rows ride one complex
+    FFT (z = row_a + i*row_b; A = (Z + conj(ZM))/2, B = -i(Z - conj(ZM))/2
+    with ZM[k] = Z[(n-k) mod n]) — halves the FFT work vs complexifying
+    each row with a zero imaginary part. Used for the reference's odd DCT
+    bench sizes (129/265/513/1025) where the even-n pack trick can't apply.
+    """
+    n, m = plan.n, plan.m
+    lead = x.shape[:-1]
+    batch = int(np.prod(lead))
+    xf = x.reshape(batch, n)
+    if batch % 2:
+        xf = jnp.concatenate([xf, jnp.zeros_like(xf[:1])], axis=0)
+    zr, zi = c2c(xf[0::2], xf[1::2], plan.sub)
+    # full-length mirror ZM[k] = Z[(n-k) mod n] via concat+flip (no gather)
+    zmr = jnp.concatenate([zr[:, :1], zr[:, 1:][:, ::-1]], axis=-1)
+    zmi = jnp.concatenate([zi[:, :1], zi[:, 1:][:, ::-1]], axis=-1)
+    ar = 0.5 * (zr + zmr)
+    ai = 0.5 * (zi - zmi)
+    br = 0.5 * (zi + zmi)
+    bi = -0.5 * (zr - zmr)
+    sr = jnp.stack([ar, br], axis=1).reshape(-1, n)[:batch, :m]
+    si = jnp.stack([ai, bi], axis=1).reshape(-1, n)[:batch, :m]
+    return sr.reshape(lead + (m,)), si.reshape(lead + (m,))
 
 
 def r2c_packed(xe, xo, plan: R2CPlan):
