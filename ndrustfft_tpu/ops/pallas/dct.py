@@ -39,8 +39,9 @@ from ...plan import _cis, dft_matrix, stage_twiddle
 from .fft import (
     _MAX_N,
     _VMEM_LIMIT,
-    _cdot,
     _dg,
+    _ks_complex_dot,
+    _ks_real_dot,
     _lane_tile,
     _twostep_split,
     dot_mode,
@@ -69,23 +70,22 @@ def _real_twostep(v, consts, m, f, tl, mode, real_out_only):
     tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tl)).reshape(m, f * tl)
     tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
     x2 = v.T.reshape(m, f * tl)
-
-    def con(x, w):
-        return _dg(w, x, (((0,), (0,)), ((), ())), mode)
-
-    # real input: complex-weight x real-value = 2 dots (vs 3M's 3)
-    yr = con(x2, wm_r)
-    yi = con(x2, wm_i)
+    # real input: complex-weight x real-value, one K-stacked dot
+    yr, yi = _ks_real_dot(x2, wm_r, wm_i, mode)
     yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
     yr = yr.T.reshape(f, tl, m)
     yi = yi.T.reshape(f, tl, m)
     if real_out_only:
-        # Re(sum_j wf[j,q] y[j]) needs only t1 - t2 of the 3M form
-        t1 = con(yr, wf_r)
-        t2 = con(yi, wf_i)
-        zr = t1 - t2
+        # Re(sum_j wf[j,q] y[j]): K-stack [y_re; y_im] against [wf_r; -wf_i]
+        if mode == "bf16x3":
+            zr, _ = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)
+        else:
+            def con(x, w):
+                return _dg(w, x, (((0,), (0,)), ((), ())), mode)
+
+            zr = con(yr, wf_r) - con(yi, wf_i)
         return jnp.transpose(zr, (1, 0, 2)).reshape(tl, n), None
-    zr, zi = _cdot(yr, yi, wf_r, wf_i, con)
+    zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)
     return (jnp.transpose(zr, (1, 0, 2)).reshape(tl, n),
             jnp.transpose(zi, (1, 0, 2)).reshape(tl, n))
 

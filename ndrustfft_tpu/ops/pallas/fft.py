@@ -99,6 +99,73 @@ def _dg(w, x, dims, mode):
     return jax.lax.dot_general(w, x, dims, precision=prec,
                                preferred_element_type=jnp.float32)
 
+def _ks_complex_dot(xr, xi, wr, wi, mode):
+    """Complex contraction out[p, N] = sum_t w[t, p] * x[t, N] on split
+    re/im f32 values, as ONE K-stacked MXU dot in bf16x3 mode.
+
+    The manual 3-pass form (three DEFAULT dots + f32 adds per real
+    contraction; 9 dot instances per complex contraction in the 3M form)
+    measured ~20% MXU efficiency — per-dot staging dominates. Instead every
+    bf16x3 term of the 4M complex form is a K-block of a single deep dot:
+
+        X6 = [xr_hi; xr_lo; xr_hi; xi_hi; xi_lo; xi_hi]      (6t, N)
+        W  = [[wr_hi, wr_hi, wr_lo, -wi_hi, -wi_hi, -wi_lo]   (6t, 2p)
+              [wi_hi, wi_hi, wi_lo,  wr_hi,  wr_hi,  wr_lo]]  (M-stacked)
+        out = W^T X6   ->  rows [re; im]
+
+    Same arithmetic as bf16x3 (the lo*lo term dropped, f32 accumulation),
+    33% more MACs than 3M (4m vs 3m per element) but ONE dot instance with
+    K = 6t and M = 2p — the MXU-efficient shape. Non-bf16x3 modes fall back
+    to the 3M three-dot form.
+    """
+    if mode != "bf16x3":
+        def con(x, w):
+            return _dg(w, x, (((0,), (0,)), ((), ())), mode)
+
+        return _cdot(xr, xi, wr, wi, con)
+    xhr, xlr = _bf16_split(xr)
+    xhi_, xli_ = _bf16_split(xi)
+    x6 = jnp.concatenate([xhr, xlr, xhr, xhi_, xli_, xhi_], axis=0)
+    whr, wlr = _bf16_split(wr)
+    whi, wli = _bf16_split(wi)
+    w_re = jnp.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
+    w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
+    w = jnp.concatenate([w_re, w_im], axis=1)        # (6t, 2p)
+    out = jax.lax.dot_general(w, x6, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    p_out = wr.shape[1]
+    return out[:p_out], out[p_out:]
+
+
+def _ks_real_dot(x, wr, wi, mode, im_out=True):
+    """out[p, N] = sum_t w[t, p] * x[t, N] for REAL x and complex w, as one
+    K-stacked dot in bf16x3 mode (3 K-blocks); used by the fused DCT
+    kernels' first stage. With im_out=False only the real rows are
+    computed."""
+    if mode != "bf16x3":
+        def con(v, w_):
+            return _dg(w_, v, (((0,), (0,)), ((), ())), mode)
+
+        t1 = con(x, wr)
+        if not im_out:
+            return t1, None
+        return t1, con(x, wi)
+    xh, xl = _bf16_split(x)
+    x3 = jnp.concatenate([xh, xl, xh], axis=0)
+    whr, wlr = _bf16_split(wr)
+    parts = [jnp.concatenate([whr, whr, wlr], axis=0)]
+    if im_out:
+        whi, wli = _bf16_split(wi)
+        parts.append(jnp.concatenate([whi, whi, wli], axis=0))
+    w = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    out = jax.lax.dot_general(w, x3, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    p_out = wr.shape[1]
+    if not im_out:
+        return out, None
+    return out[:p_out], out[p_out:]
+
+
 # per-tile VMEM working-set budget (bytes) and the Mosaic scoped-vmem limit
 # requested via CompilerParams (see _build_call)
 _VMEM_BUDGET = 8 * 1024 * 1024
@@ -513,17 +580,14 @@ def _twostep_math(xr, xi, consts, m, f, rows, mode):
     tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, rows)).reshape(m, f * rows)
     tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, rows)).reshape(m, f * rows)
 
-    def con(x, w):
-        return _dg(w, x, (((0,), (0,)), ((), ())), mode)
-
     # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
     xr2 = xr.T.reshape(m, f * rows)
     xi2 = xi.T.reshape(m, f * rows)
-    yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con)        # (m, f*T)
+    yr, yi = _ks_complex_dot(xr2, xi2, wm_r, wm_i, mode)   # (m, f*T)
     yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
     yr = yr.T.reshape(f, rows, m)                    # (j, t, p)
     yi = yi.T.reshape(f, rows, m)
-    zr, zi = _cdot(yr, yi, wf_r, wf_i, con)          # (q, t, p)
+    zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)     # (q, t, p)
     zr = jnp.transpose(zr, (1, 0, 2)).reshape(rows, n)
     zi = jnp.transpose(zi, (1, 0, 2)).reshape(rows, n)
     return zr, zi
@@ -596,15 +660,11 @@ def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
     tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
     xr2 = xr_ref[:].reshape(m, f * tl)    # x2[t', (j, l)]
     xi2 = xi_ref[:].reshape(m, f * tl)
-
-    def con(x, w):
-        return _dg(w, x, (((0,), (0,)), ((), ())), mode)
-
-    yr, yi = _cdot(xr2, xi2, wm_r, wm_i, con)        # S1[p, (j, l)]
+    yr, yi = _ks_complex_dot(xr2, xi2, wm_r, wm_i, mode)   # S1[p, (j, l)]
     yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
     yr = yr.T.reshape(f, tl, m)                      # (j, l, p)
     yi = yi.T.reshape(f, tl, m)
-    zr, zi = _cdot(yr, yi, wf_r, wf_i, con)          # (q, l, p)
+    zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)     # (q, l, p)
     # out[k = q*m + p, l]: swap the last two dims, merge leading (q, p)
     or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
     oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)

@@ -47,6 +47,12 @@ if variant.startswith("dct"):
 
     t = per_transform(make_step(), x, scale=1.0, per_iter=2 * B)
 elif variant.startswith("r2c"):
+    if variant == "r2c_hybrid":
+        # XLA pack/unpack around the Pallas C2C_h kernel (no fused rfft)
+        os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
+        import ndrustfft_tpu.ops.pallas.rfft as _rf
+
+        _rf.rfft_pallas_supported = lambda *a, **k: False
     x = rng.standard_normal((B, n, n)).astype(np.float32)
 
     def make_step():
