@@ -192,3 +192,38 @@ def test_pallas_fused_dct2_dct3():
         # roundtrip: dct3(dct2(x)) = 2n x (scipy unnormalized identity)
         back = np.asarray(nddct3(nddct2(jnp.asarray(x), h, 1), h, 1))
         assert np.abs(back / (2.0 * n) - x).max() < 5e-4, n
+
+
+def test_kernel_support_gating():
+    import jax.numpy as jnp2
+
+    from ndrustfft_tpu.ops.pallas.dct import dct_pallas_supported
+    from ndrustfft_tpu.ops.pallas.fft import (
+        _twostep_split, pallas_supported)
+    from ndrustfft_tpu.ops.pallas.rfft import rfft_pallas_supported
+    from ndrustfft_tpu.plan import get_c2c_plan, get_r2c_plan
+
+    # interpret mode is on via the autouse fixture -> backend check passes
+    assert pallas_supported(get_c2c_plan(1024, -1), jnp2.float32)
+    assert not pallas_supported(get_c2c_plan(1024, -1), jnp2.float64)
+    # Bluestein plans are engine-only
+    assert not pallas_supported(get_c2c_plan(1021, -1), jnp2.float32)  # prime
+    # fused rfft needs the even-n pack plan
+    assert rfft_pallas_supported(get_r2c_plan(1024), jnp2.float32)
+    assert not rfft_pallas_supported(get_r2c_plan(1023), jnp2.float32)
+    # fused DCT needs even n with a {128,256} split
+    assert dct_pallas_supported(1024, jnp2.float32)
+    assert not dct_pallas_supported(1025, jnp2.float32)
+    assert not dct_pallas_supported(1026, jnp2.float32)  # no 128 divisor
+    assert not dct_pallas_supported(1024, jnp2.float64)
+    # twostep split sanity
+    assert _twostep_split(1024) == (128, 8)
+    assert _twostep_split(512) == (128, 4)
+    assert _twostep_split(264) is None
+    # flipping use_pallas off must gate everything
+    config.use_pallas = False
+    try:
+        assert not pallas_supported(get_c2c_plan(1024, -1), jnp2.float32)
+        assert not dct_pallas_supported(1024, jnp2.float32)
+    finally:
+        config.use_pallas = True
