@@ -71,6 +71,26 @@ def _norm_axis(axis: int, ndim: int) -> int:
 # --------------------------------------------------------------------------
 
 
+def _c2c_norm_scale(handler, sign):
+    """Fusable scalar for the transform's normalization, or None.
+
+    Forward C2C applies NO normalization regardless of policy (reference
+    src/lib.rs:313-318); the inverse applies it after (src/lib.rs:321-331).
+    Default (1/n) and scalar policies are linear scalings, so they ride the
+    kernel constants (engine ``scale``) with zero extra HBM passes — the
+    reference applies its 1/n inside the lane pass the same way
+    (src/lib.rs:333-338). Custom callables cannot fuse.
+    """
+    if sign != +1:
+        return None
+    norm = handler.norm
+    if norm.kind == "default":
+        return 1.0 / handler.n
+    if norm.kind == "scalar":
+        return norm.value
+    return None
+
+
 def _c2c_impl(x, handler, axis, sign):
     axis = _norm_axis(axis, x.ndim)
     _check_size(x.shape[axis], handler.n)
@@ -78,22 +98,21 @@ def _c2c_impl(x, handler, axis, sign):
     plan = get_c2c_plan(handler.n, sign)
     from .config import config as _cfg
 
+    eng_scale = _c2c_norm_scale(handler, sign)
+    custom = handler.norm.fn if (sign == +1
+                                 and handler.norm.kind == "custom") else None
     if (axis == 0 and x.ndim >= 2 and plan.kind == "ct"
             and _cfg.axis0_strategy != "moveaxis"):
         # alternate axis-0 strategies (config.axis0_strategy): first-axis
         # einsum contraction or the transpose-free Pallas kernel
         xr = jnp.real(x).astype(rdt)
         xi = jnp.imag(x).astype(rdt)
-        yr, yi = _engine.c2c_axis0(xr, xi, plan)
+        yr, yi = _engine.c2c_axis0(xr, xi, plan, eng_scale)
         y = jax.lax.complex(yr, yi)
-        if sign == +1:
-            norm = handler.norm
-            if norm.kind == "default":
-                y = y * jnp.asarray(1.0 / handler.n, rdt)
-            elif norm.kind == "custom":
-                y = jnp.moveaxis(norm.fn(jnp.moveaxis(y, 0, -1)), -1, 0)
+        if custom is not None:
+            y = jnp.moveaxis(custom(jnp.moveaxis(y, 0, -1)), -1, 0)
         return y
-    if axis < x.ndim - 1 and plan.kind == "ct" and handler.norm.kind != "custom":
+    if axis < x.ndim - 1 and plan.kind == "ct" and custom is None:
         # Non-minor axis + Pallas: a Pallas input cannot absorb an XLA
         # moveaxis (the transpose materializes in HBM before the kernel), so
         # route through the transpose-free axis-mid kernel, which consumes
@@ -109,11 +128,8 @@ def _c2c_impl(x, handler, axis, sign):
             shape = x.shape
             xr = jnp.real(x).astype(rdt).reshape(nb, handler.n, cols)
             xi = jnp.imag(x).astype(rdt).reshape(nb, handler.n, cols)
-            yr, yi = c2c_pallas_axis_mid(xr, xi, plan)
-            y = jax.lax.complex(yr, yi).reshape(shape)
-            if sign == +1 and handler.norm.kind == "default":
-                y = y * jnp.asarray(1.0 / handler.n, rdt)
-            return y
+            yr, yi = c2c_pallas_axis_mid(xr, xi, plan, eng_scale)
+            return jax.lax.complex(yr, yi).reshape(shape)
     # Default: moveaxis + the lane-last engine — XLA fuses the transposes
     # into the stage matmuls, measured 5x faster on real v5e than the
     # first-axis einsum formulation (and ~2x faster than jnp.fft); the
@@ -121,14 +137,10 @@ def _c2c_impl(x, handler, axis, sign):
     xm = jnp.moveaxis(x, axis, -1)
     xr = jnp.real(xm).astype(rdt)
     xi = jnp.imag(xm).astype(rdt)
-    yr, yi = _engine.c2c(xr, xi, plan)
+    yr, yi = _engine.c2c(xr, xi, plan, eng_scale)
     y = jax.lax.complex(yr, yi)
-    if sign == +1:  # inverse: normalization applied AFTER (src/lib.rs:321-331)
-        norm = handler.norm
-        if norm.kind == "default":
-            y = y * jnp.asarray(1.0 / handler.n, rdt)
-        elif norm.kind == "custom":
-            y = norm.fn(y)
+    if custom is not None:
+        y = custom(y)
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -153,6 +165,8 @@ def _c2r_impl(xhat, handler, axis):
     norm = handler.norm
     if norm.kind == "default":
         xm = xm * jnp.asarray(1.0 / n, rdt)
+    elif norm.kind == "scalar":
+        xm = xm * jnp.asarray(norm.value, rdt)
     elif norm.kind == "custom":
         xm = norm.fn(xm)
     sr = jnp.real(xm).astype(rdt)
@@ -177,6 +191,8 @@ def _dct_impl(x, handler, axis, dct_type):
     norm = handler.norm
     if norm.kind == "default":
         xm = xm * jnp.asarray(2.0, x.dtype)
+    elif norm.kind == "scalar":
+        xm = xm * jnp.asarray(norm.value, x.dtype)
     elif norm.kind == "custom":
         xm = norm.fn(xm)
     y = _dct.DCT_FNS[dct_type](xm)

@@ -38,15 +38,21 @@ class Normalization:
         True
     """
 
-    __slots__ = ("kind", "fn")
+    __slots__ = ("kind", "fn", "value")
 
-    def __init__(self, kind: str, fn: Optional[Callable] = None):
-        if kind not in ("none", "default", "custom"):
+    def __init__(self, kind: str, fn: Optional[Callable] = None,
+                 value: Optional[float] = None):
+        if kind not in ("none", "default", "custom", "scalar"):
             raise ValueError(f"unknown normalization kind: {kind}")
         if kind == "custom" and fn is None:
             raise ValueError("Normalization.custom requires a callable")
+        if kind == "scalar":
+            if value is None:
+                raise ValueError("Normalization.scalar requires a value")
+            value = float(value)
         self.kind = kind
         self.fn = fn
+        self.value = value
 
     # Rust-style constructors
     NONE: "Normalization"
@@ -63,19 +69,37 @@ class Normalization:
         """
         return Normalization("custom", fn)
 
+    @staticmethod
+    def scalar(value: float) -> "Normalization":
+        """Multiply-by-constant normalization — a TPU-native extension.
+
+        Semantically equal to ``Normalization.custom(lambda v: v * value)``
+        (and to the reference's ``Custom(fn)`` with a scaling fn), but the
+        library FUSES a scalar policy into the transform kernel constants:
+        the scale rides the stage twiddle multiply inside the Pallas kernel
+        (or the XLA dot epilogue), costing zero extra HBM passes — the TPU
+        analog of the reference applying ``*= 1/n`` inside the lane pass
+        (src/lib.rs:333-338) instead of as a second sweep. The built-in
+        DEFAULT policy uses the same fused path.
+        """
+        return Normalization("scalar", value=value)
+
     def __repr__(self):
-        return f"Normalization.{self.kind.upper()}" if self.kind != "custom" else (
-            f"Normalization.custom({self.fn!r})"
-        )
+        if self.kind == "custom":
+            return f"Normalization.custom({self.fn!r})"
+        if self.kind == "scalar":
+            return f"Normalization.scalar({self.value!r})"
+        return f"Normalization.{self.kind.upper()}"
 
     def __hash__(self):
-        return hash((self.kind, id(self.fn)))
+        return hash((self.kind, id(self.fn), self.value))
 
     def __eq__(self, other):
         return (
             isinstance(other, Normalization)
             and self.kind == other.kind
             and self.fn is other.fn
+            and self.value == other.value
         )
 
 

@@ -38,15 +38,18 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def c2c(xr, xi, plan: C2CPlan):
+def c2c(xr, xi, plan: C2CPlan, scale=None):
     """Batched C2C FFT along the last axis. xr/xi: (..., n) real arrays.
 
     Unnormalized in both directions, matching rustfft semantics that the
     reference builds on (forward AND backward unnormalized; normalization is
-    the handler's policy layer, reference src/lib.rs:313-338).
+    the handler's policy layer, reference src/lib.rs:313-338). ``scale``
+    (python float) multiplies the result; on the Pallas path it is folded
+    into the kernel constants (zero extra HBM passes — the fused
+    scalar-normalization path), on the XLA path into the dot epilogue.
     """
     if plan.kind == "bluestein":
-        return _bluestein(xr, xi, plan)
+        return _bluestein(xr, xi, plan, scale)
     dtype = xr.dtype
     # fused Pallas kernel path (TPU, f32, ct plans). Real Mosaic needs
     # batch >= 128 (narrower lane tiles hit unsupported-shape-cast, found
@@ -58,12 +61,16 @@ def c2c(xr, xi, plan: C2CPlan):
         if pallas_supported(plan, dtype):
             shape = xr.shape
             yr, yi = c2c_pallas(xr.reshape(batch, plan.n),
-                                xi.reshape(batch, plan.n), plan)
+                                xi.reshape(batch, plan.n), plan, scale)
             return yr.reshape(shape), yi.reshape(shape)
     stage_vals = [(f, m, _const(wf, dtype), _const(tw, dtype))
                   for f, m, wf, tw in plan.stages]
     base_vals = _const(plan.base, dtype)
-    return ct_valued(xr, xi, stage_vals, base_vals)
+    yr, yi = ct_valued(xr, xi, stage_vals, base_vals)
+    if scale is not None:
+        s = jnp.asarray(scale, dtype)
+        yr, yi = yr * s, yi * s
+    return yr, yi
 
 
 # einsum letters for trailing residue dims (excludes the t/p/j/q used by the
@@ -172,14 +179,15 @@ def ct_first_valued(xr, xi, stages, base):
     return outr.reshape((f * m,) + rest), outi.reshape((f * m,) + rest)
 
 
-def c2c_axis0(xr, xi, plan: C2CPlan):
+def c2c_axis0(xr, xi, plan: C2CPlan, scale=None):
     """C2C FFT along axis 0 (trailing dims batch) without any HBM transpose.
 
     Routes to the axis-0 Pallas kernel when eligible; falls back to the
     first-axis XLA math. Bluestein plans use the lane-last path via moveaxis
-    (rare sizes)."""
+    (rare sizes). ``scale`` as in :func:`c2c`."""
     if plan.kind == "bluestein":
-        yr, yi = _bluestein(jnp.moveaxis(xr, 0, -1), jnp.moveaxis(xi, 0, -1), plan)
+        yr, yi = _bluestein(jnp.moveaxis(xr, 0, -1), jnp.moveaxis(xi, 0, -1),
+                            plan, scale)
         return jnp.moveaxis(yr, -1, 0), jnp.moveaxis(yi, -1, 0)
     dtype = xr.dtype
     cols = int(np.prod(xr.shape[1:])) if xr.ndim > 1 else 1
@@ -192,15 +200,19 @@ def c2c_axis0(xr, xi, plan: C2CPlan):
         if pallas_supported(plan, dtype):
             shape = xr.shape
             yr, yi = c2c_pallas_axis0(xr.reshape(plan.n, cols),
-                                      xi.reshape(plan.n, cols), plan)
+                                      xi.reshape(plan.n, cols), plan, scale)
             return yr.reshape(shape), yi.reshape(shape)
     stage_vals = [(f, m, _const(wf, dtype), _const(tw, dtype))
                   for f, m, wf, tw in plan.stages]
     base_vals = _const(plan.base, dtype)
-    return ct_first_valued(xr, xi, stage_vals, base_vals)
+    yr, yi = ct_first_valued(xr, xi, stage_vals, base_vals)
+    if scale is not None:
+        s = jnp.asarray(scale, dtype)
+        yr, yi = yr * s, yi * s
+    return yr, yi
 
 
-def _bluestein(xr, xi, plan: C2CPlan):
+def _bluestein(xr, xi, plan: C2CPlan, scale=None):
     """Chirp-z: X[k] = b[k] * IFFT_M(FFT_M(x*a, pad) * H)[k], k < n."""
     dtype = xr.dtype
     n, M = plan.n, plan.M
@@ -212,10 +224,11 @@ def _bluestein(xr, xi, plan: C2CPlan):
     fr, fi = c2c(ar, ai, plan.sub_fwd)
     hr, hi = _const(plan.H, dtype)
     fr, fi = _cmul(fr, fi, hr, hi)
-    gr, gi = c2c(fr, fi, plan.sub_inv)
-    scale = jnp.asarray(1.0 / M, dtype)
-    gr = gr[..., :n] * scale
-    gi = gi[..., :n] * scale
+    # fold the user scale into the sub-inverse's fused 1/M normalization
+    s = 1.0 / M if scale is None else float(scale) / M
+    gr, gi = c2c(fr, fi, plan.sub_inv, scale=s)
+    gr = gr[..., :n]
+    gi = gi[..., :n]
     cbr, cbi = _const(plan.chirp_b, dtype)
     return _cmul(gr, gi, cbr, cbi)
 

@@ -99,7 +99,27 @@ def _dg(w, x, dims, mode):
     return jax.lax.dot_general(w, x, dims, precision=prec,
                                preferred_element_type=jnp.float32)
 
-def _ks_complex_dot(xr, xi, wr, wi, mode):
+def ks_w6_np(wr, wi):
+    """Build-time K-stacked bf16 W for the bf16x3 complex dot (numpy).
+
+    Rebuilding this matrix from the f32 (wr, wi) refs INSIDE the kernel
+    costs 8 bf16 splits + 3 concats per grid step; hoisting it to a numpy
+    constant removes that work and halves the const DMA (bf16 vs f32)."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    wr = np.asarray(wr, np.float32)
+    wi = np.asarray(wi, np.float32)
+    whr = wr.astype(bf)
+    wlr = (wr - whr.astype(np.float32)).astype(bf)
+    whi = wi.astype(bf)
+    wli = (wi - whi.astype(np.float32)).astype(bf)
+    w_re = np.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
+    w_im = np.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
+    return np.concatenate([w_re, w_im], axis=1)      # (6t, 2p) bf16
+
+
+def _ks_complex_dot(xr, xi, wr, wi, mode, w6=None):
     """Complex contraction out[p, N] = sum_t w[t, p] * x[t, N] on split
     re/im f32 values, as ONE K-stacked MXU dot in bf16x3 mode.
 
@@ -116,7 +136,8 @@ def _ks_complex_dot(xr, xi, wr, wi, mode):
     Same arithmetic as bf16x3 (the lo*lo term dropped, f32 accumulation),
     33% more MACs than 3M (4m vs 3m per element) but ONE dot instance with
     K = 6t and M = 2p — the MXU-efficient shape. Non-bf16x3 modes fall back
-    to the 3M three-dot form.
+    to the 3M three-dot form. Pass ``w6`` (from :func:`ks_w6_np`) to skip
+    the in-kernel W build; ``wr``/``wi`` may then be None.
     """
     if mode != "bf16x3":
         def con(x, w):
@@ -126,14 +147,15 @@ def _ks_complex_dot(xr, xi, wr, wi, mode):
     xhr, xlr = _bf16_split(xr)
     xhi_, xli_ = _bf16_split(xi)
     x6 = jnp.concatenate([xhr, xlr, xhr, xhi_, xli_, xhi_], axis=0)
-    whr, wlr = _bf16_split(wr)
-    whi, wli = _bf16_split(wi)
-    w_re = jnp.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
-    w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
-    w = jnp.concatenate([w_re, w_im], axis=1)        # (6t, 2p)
-    out = jax.lax.dot_general(w, x6, (((0,), (0,)), ((), ())),
+    if w6 is None:
+        whr, wlr = _bf16_split(wr)
+        whi, wli = _bf16_split(wi)
+        w_re = jnp.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
+        w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
+        w6 = jnp.concatenate([w_re, w_im], axis=1)   # (6t, 2p)
+    out = jax.lax.dot_general(w6, x6, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    p_out = wr.shape[1]
+    p_out = out.shape[0] // 2
     return out[:p_out], out[p_out:]
 
 
@@ -316,8 +338,13 @@ def _fft_mid(xr, xi, axis, stages, base, mode):
     return or_.reshape(merged), oi.reshape(merged)
 
 
-def _plan_consts(n: int, sign: int, dtype):
+def _plan_consts(n: int, sign: int, dtype, scale: float = 1.0):
     """(f, m, mid-stage consts, lane DFT, outer twiddle^T) for the kernel.
+
+    ``scale`` is folded into the lane-DFT constant (every element passes the
+    final lane combine exactly once), so a scalar normalization costs zero
+    kernel work — the fused-norm path (reference src/lib.rs:333-338 applies
+    its 1/n inside the lane pass the same way).
 
     Split preference (measured on v5e): a single DENSE MXU-width sub-factor
     m in {128, 256} with a small combine factor f = n/m minimizes both the
@@ -334,7 +361,7 @@ def _plan_consts(n: int, sign: int, dtype):
         f = _lane_factor(n)
         m = n // f
     wr, wi = dft_matrix(f, sign)
-    lane = (np.asarray(wr, dtype), np.asarray(wi, dtype))
+    lane = (np.asarray(wr * scale, dtype), np.asarray(wi * scale, dtype))
     if m == 1:
         return f, 1, ([], None), lane, None
     stages, base = _mid_stages(m, sign, dtype)
@@ -454,10 +481,10 @@ def _kernel_axis0(struct, has_base, has_tw, m, f, mode,
 
 @lru_cache(maxsize=256)
 def _build_call(n: int, sign: int, batch: int, dtype_str: str,
-                interpret: bool, mode: str):
+                interpret: bool, mode: str, scale: float = 1.0):
     """Lane-last flavor: (B, n) re/im -> (B, n) re/im."""
     dtype = jnp.dtype(dtype_str)
-    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype, scale)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
@@ -491,10 +518,10 @@ def _build_call(n: int, sign: int, batch: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
-                      interpret: bool, mode: str):
+                      interpret: bool, mode: str, scale: float = 1.0):
     """Axis-0 flavor: (n, L) re/im -> (n, L) re/im, zero lane relayouts."""
     dtype = jnp.dtype(dtype_str)
-    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype, scale)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
     # lane (minor) dim of the 3-D blocks: must be a multiple of 128 or equal
     # to the whole cols extent (Mosaic block-shape constraint)
@@ -565,6 +592,22 @@ def _twostep_split(n: int):
     return m, n // m
 
 
+def _ts_dots(consts, mode):
+    """Split the twostep consts list into (stage-1 dot, twiddle, stage-2 dot)
+    closures: 4 consts = hoisted bf16 K-stacked Ws, 6 = f32 (re, im) pairs."""
+    if len(consts) == 4:
+        w6m, tws_r, tws_i, w6f = consts
+        return (lambda ar, ai: _ks_complex_dot(ar, ai, None, None, mode,
+                                               w6=w6m),
+                (tws_r, tws_i),
+                lambda ar, ai: _ks_complex_dot(ar, ai, None, None, mode,
+                                               w6=w6f))
+    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
+    return (lambda ar, ai: _ks_complex_dot(ar, ai, wm_r, wm_i, mode),
+            (tws_r, tws_i),
+            lambda ar, ai: _ks_complex_dot(ar, ai, wf_r, wf_i, mode))
+
+
 def _twostep_math(xr, xi, consts, m, f, rows, mode):
     """(rows, n) complex pair -> (rows, n) via the all-2-D-matmul twostep
     dataflow — the measured-fastest kernel body; shared by the C2C twostep
@@ -575,7 +618,7 @@ def _twostep_math(xr, xi, consts, m, f, rows, mode):
     shipping the repeated (m, f*rows) constant as an input block re-DMAs
     ~0.5 MB x2 from HBM on every grid step — measured as a dominant cost.
     """
-    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
+    dot1, (tws_r, tws_i), dot2 = _ts_dots(consts, mode)
     n = m * f
     tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, rows)).reshape(m, f * rows)
     tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, rows)).reshape(m, f * rows)
@@ -583,26 +626,36 @@ def _twostep_math(xr, xi, consts, m, f, rows, mode):
     # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
     xr2 = xr.T.reshape(m, f * rows)
     xi2 = xi.T.reshape(m, f * rows)
-    yr, yi = _ks_complex_dot(xr2, xi2, wm_r, wm_i, mode)   # (m, f*T)
+    yr, yi = dot1(xr2, xi2)                          # (m, f*T)
     yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
     yr = yr.T.reshape(f, rows, m)                    # (j, t, p)
     yi = yi.T.reshape(f, rows, m)
-    zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)     # (q, t, p)
+    zr, zi = dot2(yr, yi)                            # (q, t, p)
     zr = jnp.transpose(zr, (1, 0, 2)).reshape(rows, n)
     zi = jnp.transpose(zi, (1, 0, 2)).reshape(rows, n)
     return zr, zi
 
 
-def _twostep_consts(n: int, sign: int, dtype):
-    """[wm_r, wm_i, tw_r(m,f), tw_i, wf_r, wf_i] numpy consts + (m, f)."""
+def _twostep_consts(n: int, sign: int, dtype, mode: str = "default",
+                    scale: float = 1.0):
+    """Twostep kernel consts + (m, f).
+
+    bf16x3 mode: [W6_m (bf16), tw_r (m,f), tw_i, W6_f (bf16)] with the
+    K-stacked dot matrices prebuilt host-side (ks_w6_np). Other modes:
+    [wm_r, wm_i, tw_r, tw_i, wf_r, wf_i] f32 pairs. ``scale`` is folded
+    into the stage twiddle (every element passes it once) — the fused
+    scalar-normalization path, costing zero kernel work."""
     m, f = _twostep_split(n)
     wm = dft_matrix(m, sign)
     wf = dft_matrix(f, sign)
     twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
-    consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
-              np.asarray(twi_[0].T, dtype).copy(),   # (m, f)
-              np.asarray(twi_[1].T, dtype).copy(),
-              np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+    tws = [np.asarray(twi_[0].T * scale, dtype).copy(),      # (m, f)
+           np.asarray(twi_[1].T * scale, dtype).copy()]
+    if mode == "bf16x3":
+        consts = [ks_w6_np(wm[0], wm[1])] + tws + [ks_w6_np(wf[0], wf[1])]
+    else:
+        consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype)] + tws \
+            + [np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
     return consts, (m, f)
 
 
@@ -615,9 +668,9 @@ def _kernel_twostep(m, f, tile, mode, xr_ref, xi_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
-                        interpret: bool, mode: str):
+                        interpret: bool, mode: str, scale: float = 1.0):
     dtype = jnp.dtype(dtype_str)
-    consts, (m, f) = _twostep_consts(n, sign, dtype)
+    consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
         tile = max(tile, 128)
@@ -653,18 +706,19 @@ def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
     all-2-D-matmul recipe WITHOUT twostep's entry transpose: the block is
     already n-leading, so (1, n, TL) -> (m, f*TL) is a pure reshape
     (leading split + middle-into-lane merge, both Mosaic-legal)."""
-    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = [r[:] for r in refs[:-2]]
+    consts = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
+    dot1, (tws_r, tws_i), dot2 = _ts_dots(consts, mode)
     n = m * f
     tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tl)).reshape(m, f * tl)
     tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
     xr2 = xr_ref[:].reshape(m, f * tl)    # x2[t', (j, l)]
     xi2 = xi_ref[:].reshape(m, f * tl)
-    yr, yi = _ks_complex_dot(xr2, xi2, wm_r, wm_i, mode)   # S1[p, (j, l)]
+    yr, yi = dot1(xr2, xi2)                          # S1[p, (j, l)]
     yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
     yr = yr.T.reshape(f, tl, m)                      # (j, l, p)
     yi = yi.T.reshape(f, tl, m)
-    zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)     # (q, l, p)
+    zr, zi = dot2(yr, yi)                            # (q, l, p)
     # out[k = q*m + p, l]: swap the last two dims, merge leading (q, p)
     or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
     oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)
@@ -672,7 +726,8 @@ def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
-                         dtype_str: str, interpret: bool, mode: str):
+                         dtype_str: str, interpret: bool, mode: str,
+                         scale: float = 1.0):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
     transform along the MIDDLE axis with no HBM transposes.
 
@@ -708,14 +763,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         interpret=interpret,
     )
     if use_ts:
-        m, f = ts
-        wm = dft_matrix(m, sign)
-        wf = dft_matrix(f, sign)
-        twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
-        consts = [np.asarray(wm[0], dtype), np.asarray(wm[1], dtype),
-                  np.asarray(twi_[0].T, dtype).copy(),   # (m, f)
-                  np.asarray(twi_[1].T, dtype).copy(),
-                  np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+        consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
         spec = pl.BlockSpec((1, n, tile), lambda b, i: (b, 0, i),
                             memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape,
@@ -731,7 +779,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         )
         return lambda xr, xi: call(xr, xi, *consts)
 
-    f, m, mid, lane, tw = _plan_consts(n, sign, dtype)
+    f, m, mid, lane, tw = _plan_consts(n, sign, dtype, scale)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
     in_spec = pl.BlockSpec((1, m, f, tile), lambda b, i: (b, 0, 0, i),
                            memory_space=pltpu.VMEM)
@@ -779,30 +827,36 @@ def _kernel_axis_mid(struct, has_base, has_tw, m, f, mode,
     oi_ref[:] = zi.reshape(1, f, m, tl)
 
 
-def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan):
-    """C2C along axis 1 of (B, n, L) split re/im arrays, transpose-free."""
+def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan, scale=None):
+    """C2C along axis 1 of (B, n, L) split re/im arrays, transpose-free.
+
+    ``scale`` (a python float) is folded into the kernel constants — the
+    fused scalar-normalization path, zero extra HBM traffic."""
     nb, n, cols = xr.shape
     run = _build_call_axis_mid(n, plan.sign, nb, cols, str(xr.dtype),
-                               bool(config.pallas_interpret), dot_mode())
+                               bool(config.pallas_interpret), dot_mode(),
+                               float(1.0 if scale is None else scale))
     return run(xr, xi)
 
 
-def c2c_pallas(xr, xi, plan: C2CPlan):
+def c2c_pallas(xr, xi, plan: C2CPlan, scale=None):
     """Batched lane-last C2C on (B, n) split re/im arrays via the fused kernel."""
     batch, n = xr.shape
+    s = float(1.0 if scale is None else scale)
     if (config.pallas_flavor == "twostep" and n > 256
             and _twostep_split(n) is not None):
         run = _build_call_twostep(n, plan.sign, batch, str(xr.dtype),
-                                  bool(config.pallas_interpret), dot_mode())
+                                  bool(config.pallas_interpret), dot_mode(), s)
         return run(xr, xi)
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
-                      bool(config.pallas_interpret), dot_mode())
+                      bool(config.pallas_interpret), dot_mode(), s)
     return run(xr, xi)
 
 
-def c2c_pallas_axis0(xr, xi, plan: C2CPlan):
+def c2c_pallas_axis0(xr, xi, plan: C2CPlan, scale=None):
     """C2C along axis 0 of (n, cols) split re/im arrays, transpose-free."""
     n, cols = xr.shape
     run = _build_call_axis0(n, plan.sign, cols, str(xr.dtype),
-                            bool(config.pallas_interpret), dot_mode())
+                            bool(config.pallas_interpret), dot_mode(),
+                            float(1.0 if scale is None else scale))
     return run(xr, xi)

@@ -74,7 +74,7 @@ def rfft_pallas_supported(plan: R2CPlan, dtype) -> bool:
     return pallas_supported(plan.sub, dtype)
 
 
-def _half_fft_consts(h: int, sign: int, dtype):
+def _half_fft_consts(h: int, sign: int, dtype, mode: str):
     """Kernel-schedule constants for the length-h lane-last FFT.
 
     Prefers the twostep body (all 2-D matmuls — measured 1.5-2x faster than
@@ -82,7 +82,7 @@ def _half_fft_consts(h: int, sign: int, dtype):
     schedule for h without a {128,256} split."""
     ts = _twostep_split(h)
     if h > 256 and ts is not None and ts[0] <= config.max_base_radix:
-        consts, (m, f) = _twostep_consts(h, sign, dtype)
+        consts, (m, f) = _twostep_consts(h, sign, dtype, mode)
         return consts, ("ts", m, f)
     f, m, mid, lane, tw = _plan_consts(h, sign, dtype)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
@@ -164,7 +164,7 @@ def _build_r2c(n: int, batch: int, dtype_str: str, interpret: bool,
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    consts, fft_meta = _half_fft_consts(h, -1, dtype)
+    consts, fft_meta = _half_fft_consts(h, -1, dtype, mode)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)     # W_n^k, k = 0..h-1
     consts = consts + [np.asarray(ur, dtype).reshape(1, h),
@@ -204,7 +204,7 @@ def _build_c2r(n: int, batch: int, dtype_str: str, interpret: bool,
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    consts, fft_meta = _half_fft_consts(h, +1, dtype)
+    consts, fft_meta = _half_fft_consts(h, +1, dtype, mode)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, +1)     # W_n^{-k} under the forward convention
     a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur          # (1 + i u)/2

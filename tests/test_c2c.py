@@ -316,3 +316,55 @@ def test_long_transform_1m_points():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
     back = np.asarray(ndifft(jnp.asarray(got), h, axis=0))
     assert np.abs(back - x).max() < 1e-2  # f32 roundtrip at n=2^20
+
+
+def test_norm_scalar():
+    # Normalization.scalar(c): TPU-native fused policy == custom(v -> v*c)
+    v = np.array([1 + 1j, 2 + 2j, 3 + 3j])
+    h = FftHandler(3).normalization(Normalization.scalar(2.0 / 3.0))
+    out = np.asarray(ndifft(ndfft(jnp.asarray(v), h, 0), h, 0))
+    np.testing.assert_allclose(out, 2 * v, rtol=1e-12)
+    # forward stays unnormalized for scalar policies too
+    got = np.asarray(ndfft(jnp.asarray(v), h, 0))
+    np.testing.assert_allclose(got, np.fft.fft(v), rtol=1e-12)
+
+
+def test_norm_scalar_fused_kernel_paths():
+    # the scalar rides the kernel constants on every dispatch path: compare
+    # the fused result against an explicit multiply, Pallas kernels on
+    # (interpret mode) and off, for minor / middle / leading axes
+    from ndrustfft_tpu.config import config
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((128, 128, 128))
+         + 1j * rng.standard_normal((128, 128, 128))).astype(np.complex64)
+    c = 0.37
+    h = FftHandler(128).normalization(Normalization.scalar(c))
+    h_none = FftHandler(128).normalization(Normalization.NONE)
+    old_i, old_u = config.pallas_interpret, config.use_pallas
+    try:
+        for pallas in (False, True):
+            config.pallas_interpret = pallas
+            config.use_pallas = pallas
+            for axis in (0, 1, 2):
+                got = np.asarray(ndifft(jnp.asarray(x), h, axis=axis))
+                ref = c * np.asarray(ndifft(jnp.asarray(x), h_none,
+                                            axis=axis))
+                # f32 + bf16x3: folding c into the constants rounds
+                # differently from an exact post-multiply (~1e-5 rel)
+                np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+    finally:
+        config.pallas_interpret, config.use_pallas = old_i, old_u
+
+
+def test_norm_default_fused_matches_explicit():
+    # ifft's default 1/n is folded into the kernel constants; it must equal
+    # the explicit post-multiply to rounding error
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((3, 384))
+         + 1j * rng.standard_normal((3, 384)))
+    h = FftHandler(384)
+    h_none = FftHandler(384).normalization(Normalization.NONE)
+    got = np.asarray(ndifft(jnp.asarray(x), h, axis=1))
+    ref = np.asarray(ndifft(jnp.asarray(x), h_none, axis=1)) / 384.0
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)

@@ -1,0 +1,172 @@
+"""Attribution timing for the axis-mid twostep kernel: where do the
+microseconds go?
+
+Times STRIPPED variants of the kernel body on the real chip; deltas between
+consecutive variants attribute cost to each dataflow component. All variants
+share an identical chain apparatus (carry-scale pass + unused-out forcing via
+optimization_barrier), so deltas cancel the apparatus.
+
+Usage: python tools/attrib_axis_mid.py <variant> [n] [B] [tile]
+Variants (cumulative dataflow prefixes):
+  copy    — block in -> block out (DMA + grid floor)
+  entry   — + (1,n,tl) -> (m, f*tl) entry reshape
+  s1      — + bf16x3 K-stacked stage-1 dot (contract m)
+  s1tw    — + in-VMEM twiddle build + complex multiply
+  s1twT   — + (m, f*tl) -> (f, tl, m) mid transpose
+  nos2    — + exit swap/merge to (1, n, tl)   [stage-2 dot skipped]
+  full    — + stage-2 K-stacked dot (the production kernel body)
+
+One variant per process: a failed TPU program poisons the session
+(NOTES_TPU.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+variant = sys.argv[1]
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+tile_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from ndrustfft_tpu.ops.pallas.fft import (  # noqa: E402
+    _ks_complex_dot, _twostep_consts, dot_mode,
+)
+
+cols = n
+m, f = _twostep_consts(n, -1, np.float32)[1]
+tl = tile_arg
+mode = dot_mode()
+
+
+def body(xr_ref, xi_ref, *refs):
+    consts = [r[:] for r in refs[:-3]]
+    or_ref, oi_ref, probe_ref = refs[-3:]
+    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
+    probe_ref[:] = jnp.full((1, 8, 128), xr_ref[0, 0, 0], jnp.float32)
+    if variant == "copy":
+        or_ref[:] = xr_ref[:]
+        oi_ref[:] = xi_ref[:]
+        return
+    xr2 = xr_ref[:].reshape(m, f * tl)
+    xi2 = xi_ref[:].reshape(m, f * tl)
+    if variant == "entry":
+        or_ref[:] = xr2.reshape(1, m, f * tl)
+        oi_ref[:] = xi2.reshape(1, m, f * tl)
+        return
+    yr, yi = _ks_complex_dot(xr2, xi2, wm_r, wm_i, mode)
+    if variant == "s1":
+        or_ref[:] = yr.reshape(1, m, f * tl)
+        oi_ref[:] = yi.reshape(1, m, f * tl)
+        return
+    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tl)).reshape(m, f * tl)
+    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
+    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
+    if variant == "s1tw":
+        or_ref[:] = yr.reshape(1, m, f * tl)
+        oi_ref[:] = yi.reshape(1, m, f * tl)
+        return
+    yr = yr.T.reshape(f, tl, m)
+    yi = yi.T.reshape(f, tl, m)
+    if variant == "s1twT":
+        or_ref[:] = yr.reshape(1, f * tl, m)
+        oi_ref[:] = yi.reshape(1, f * tl, m)
+        return
+    if variant == "full":
+        zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)
+    else:  # nos2
+        zr, zi = yr, yi
+    or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
+    oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)
+
+
+OUT_BLOCKS = {
+    "copy": (1, n, tl), "entry": (1, m, f * tl), "s1": (1, m, f * tl),
+    "s1tw": (1, m, f * tl), "s1twT": (1, f * tl, m),
+    "nos2": (1, n, tl), "full": (1, n, tl),
+}
+
+
+def build():
+    consts, _ = _twostep_consts(n, -1, np.float32)
+    gc = pl.cdiv(cols, tl)
+    grid = (B, gc)
+    in_spec = pl.BlockSpec((1, n, tl), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    ob = OUT_BLOCKS[variant]
+    out_shape = (B, ob[1], ob[2] * gc)
+    out_spec = pl.BlockSpec(ob, lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    probe_spec = pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda b, i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        body,
+        out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=(out_spec, out_spec, probe_spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    return lambda xr, xi: call(xr, xi, *consts)
+
+
+def make_chain(K):
+    run_kernel = build()
+
+    @jax.jit
+    def run(r, i):
+        def it(k, c):
+            r_, i_, acc = c
+            _, _, probe = run_kernel(r_, i_)
+            s = (1.0 / np.sqrt(n)) * (1.0 + 1e-6 * jnp.float32(k))
+            # the probe sum is a REAL data dependence: optimization_barrier
+            # alone was DCE'd through (measured — the kernels never ran)
+            return (r_ * s, i_ * s, acc + jnp.sum(probe))
+
+        rr, ii, acc = jax.lax.fori_loop(0, K, it, (r, i, jnp.float32(0)))
+        return jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ii)) + acc
+
+    return run
+
+
+rng = np.random.default_rng(0)
+xr = jnp.asarray(rng.standard_normal((B, n, cols)).astype(np.float32))
+xi = jnp.asarray(rng.standard_normal((B, n, cols)).astype(np.float32))
+
+K1, K2 = 2, 34
+c1, c2 = make_chain(K1), make_chain(K2)
+
+
+def t(call, reps=3):
+    float(call(xr, xi))  # compile + sync
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(call(xr, xi))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+a, b = t(c1), t(c2)
+per_iter = (b - a) / (K2 - K1)
+print(json.dumps({
+    "variant": variant, "n": n, "B": B, "tile": tl, "m": m, "f": f,
+    "us_per_transform": round(per_iter / B * 1e6, 2),
+}))
