@@ -161,22 +161,21 @@ def _c2r_impl(xhat, handler, axis):
     rdt = _real_dtype(xhat.dtype)
     xm = jnp.moveaxis(xhat, axis, -1)
     # Reference order (src/lib.rs:506-523): normalization FIRST on the
-    # m-length spectrum (Default = 1/n over the FULL length n) ...
+    # m-length spectrum (Default = 1/n over the FULL length n), THEN the
+    # DC/Nyquist imag zeroing, then the inverse. Scalar policies (incl.
+    # Default) and the zeroing are handed to the engine, which fuses both
+    # into the kernel constants on the Pallas path.
     norm = handler.norm
+    scale = None
     if norm.kind == "default":
-        xm = xm * jnp.asarray(1.0 / n, rdt)
+        scale = 1.0 / n
     elif norm.kind == "scalar":
-        xm = xm * jnp.asarray(norm.value, rdt)
+        scale = norm.value
     elif norm.kind == "custom":
         xm = norm.fn(xm)
     sr = jnp.real(xm).astype(rdt)
     si = jnp.imag(xm).astype(rdt)
-    # ... then force the DC bin real, and the Nyquist bin real for even n.
-    mask = jnp.ones((m,), rdt).at[0].set(0.0)
-    if n % 2 == 0:
-        mask = mask.at[m - 1].set(0.0)
-    si = si * mask
-    y = _engine.c2r(sr, si, n)
+    y = _engine.c2r(sr, si, n, scale=scale, mask_dc_nyq=True)
     return jnp.moveaxis(y, -1, axis)
 
 

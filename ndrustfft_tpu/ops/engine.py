@@ -253,6 +253,17 @@ def r2c(x, plan: R2CPlan):
             return _r2c_rowpair(x, plan)
         zr, zi = c2c(x, jnp.zeros_like(x), plan.sub)
         return zr[..., :m], zi[..., :m]
+    batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if batch >= (8 if _config.pallas_interpret else 128):
+        from .pallas.rfft import r2c_pallas_nat, rfft_nat_supported
+
+        if rfft_nat_supported(plan, x.dtype):
+            # natural-layout kernel: consumes (B, n) directly — the even/odd
+            # de-interleave rides the in-kernel entry transpose instead of
+            # an external strided-slice HBM pass
+            shape = x.shape[:-1]
+            sr, si = r2c_pallas_nat(x.reshape(batch, n), plan)
+            return sr.reshape(shape + (m,)), si.reshape(shape + (m,))
     return r2c_packed(x[..., 0::2], x[..., 1::2], plan)
 
 
@@ -319,31 +330,41 @@ def r2c_packed(xe, xo, plan: R2CPlan):
     return fer + tr, fei + ti
 
 
-def c2r(sr, si, n: int):
+def c2r(sr, si, n: int, scale=None, mask_dc_nyq=True):
     """Half-spectrum (..., m) -> real (..., n) via Hermitian extension + C2C.
 
-    Caller is responsible for the reference's pre-steps (normalization first,
-    then zeroing the imaginary parts of DC and — for even n — Nyquist,
-    src/lib.rs:506-523); this routine extends X[n-k] = conj(X[k]) for the
-    missing bins and returns the real part of the unnormalized inverse.
+    Implements the reference's full pre-step order (src/lib.rs:506-523):
+    ``scale`` (the normalization, applied FIRST on the spectrum) then the
+    DC — and for even n Nyquist — imag zeroing (``mask_dc_nyq``), then the
+    unnormalized inverse. On the natural-layout Pallas path both pre-steps
+    are fused into the kernel constants (zero extra HBM passes) and the
+    even/odd interleave happens in-kernel.
     """
     m = n // 2 + 1
+    dtype = sr.dtype
     if n == 1:
-        return sr[..., :1]
+        y = sr[..., :1]
+        return y * jnp.asarray(scale, dtype) if scale is not None else y
     if n % 2 == 0:
         batch = int(np.prod(sr.shape[:-1])) if sr.ndim > 1 else 1
-        if batch >= (8 if _config.pallas_interpret else 128):
+        if batch >= (8 if _config.pallas_interpret else 128) and mask_dc_nyq:
             from ..plan import get_r2c_plan
-            from .pallas.rfft import c2r_pallas, rfft_pallas_supported
+            from .pallas.rfft import c2r_pallas_nat, rfft_nat_supported
 
-            if rfft_pallas_supported(get_r2c_plan(n), sr.dtype):
+            if rfft_nat_supported(get_r2c_plan(n), dtype):
                 shape = sr.shape[:-1]
-                ev, od = c2r_pallas(sr.reshape(batch, m),
-                                    si.reshape(batch, m), n)
-                # interleave even/odd sample streams (XLA relayout; the
-                # stack+reshape form is not Mosaic-representable in-kernel)
-                y = jnp.stack([ev, od], axis=-1).reshape(batch, n)
+                y = c2r_pallas_nat(sr.reshape(batch, m),
+                                   si.reshape(batch, m), n, scale)
                 return y.reshape(shape + (n,))
+    if mask_dc_nyq:
+        mask = jnp.ones((m,), dtype).at[0].set(0.0)
+        if n % 2 == 0:
+            mask = mask.at[m - 1].set(0.0)
+        si = si * mask
+    if scale is not None:
+        s = jnp.asarray(scale, dtype)
+        sr = sr * s
+        si = si * s
     # bins m..n-1 are conj(X[n-k]): indices n-m..1 == flip of bins 1..n-m
     er = jnp.concatenate([sr, sr[..., 1:n - m + 1][..., ::-1]], axis=-1)
     ei = jnp.concatenate([si, -si[..., 1:n - m + 1][..., ::-1]], axis=-1)

@@ -701,27 +701,43 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     return run
 
 
-def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
-    """Twostep dataflow on an (1, n, TL) mid-axis block — the winning
-    all-2-D-matmul recipe WITHOUT twostep's entry transpose: the block is
-    already n-leading, so (1, n, TL) -> (m, f*TL) is a pure reshape
-    (leading split + middle-into-lane merge, both Mosaic-legal)."""
-    consts = [r[:] for r in refs[:-2]]
-    or_ref, oi_ref = refs[-2:]
+def _ts_core_nlead(xr, xi, consts, m, f, cols, mode):
+    """Twostep core on n-LEADING (n, C) split re/im pairs -> (n, C).
+
+    The all-2-D-matmul dataflow without any entry/exit row transposes: the
+    caller's layout already has the transform dim leading, so
+    (n, C) -> (m, f*C) is a pure reshape (leading split + middle-into-lane
+    merge, both Mosaic-legal). Shared by the axis-mid C2C kernel and the
+    natural-layout R2C/C2R kernels (rfft.py)."""
     dot1, (tws_r, tws_i), dot2 = _ts_dots(consts, mode)
     n = m * f
-    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tl)).reshape(m, f * tl)
-    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
-    xr2 = xr_ref[:].reshape(m, f * tl)    # x2[t', (j, l)]
-    xi2 = xi_ref[:].reshape(m, f * tl)
+    tw_r = jnp.broadcast_to(tws_r[:, :, None],
+                            (m, f, cols)).reshape(m, f * cols)
+    tw_i = jnp.broadcast_to(tws_i[:, :, None],
+                            (m, f, cols)).reshape(m, f * cols)
+    xr2 = xr.reshape(m, f * cols)         # x2[t', (j, l)]
+    xi2 = xi.reshape(m, f * cols)
     yr, yi = dot1(xr2, xi2)                          # S1[p, (j, l)]
     yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
-    yr = yr.T.reshape(f, tl, m)                      # (j, l, p)
-    yi = yi.T.reshape(f, tl, m)
+    yr = yr.T.reshape(f, cols, m)                    # (j, l, p)
+    yi = yi.T.reshape(f, cols, m)
     zr, zi = dot2(yr, yi)                            # (q, l, p)
     # out[k = q*m + p, l]: swap the last two dims, merge leading (q, p)
-    or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
-    oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)
+    zr = jnp.swapaxes(zr, 1, 2).reshape(n, cols)
+    zi = jnp.swapaxes(zi, 1, 2).reshape(n, cols)
+    return zr, zi
+
+
+def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
+    """Twostep dataflow on an (1, n, TL) mid-axis block via the n-leading
+    core (no entry transpose — the block is already n-leading)."""
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    n = m * f
+    zr, zi = _ts_core_nlead(xr_ref[:].reshape(n, tl),
+                            xi_ref[:].reshape(n, tl), consts, m, f, tl, mode)
+    or_ref[:] = zr.reshape(1, n, tl)
+    oi_ref[:] = zi.reshape(1, n, tl)
 
 
 @lru_cache(maxsize=256)

@@ -71,10 +71,19 @@ def _probe_r2c(n, batch, mode):
     return run, (xe, xo)
 
 
-def _probe_c2r(n, batch, mode):
+def _probe_r2c_nat(n, batch, mode):
     from ..pallas import rfft as R
 
-    run = R._build_c2r(n, batch, "float32", _interp(), mode)
+    run = R._build_r2c_nat(n, batch, "float32", _interp(), mode)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    return run, (x,)
+
+
+def _probe_c2r_nat(n, batch, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_c2r_nat(n, batch, "float32", _interp(), mode, 1.0 / n)
     rng = np.random.default_rng(0)
     m = n // 2 + 1
     sr = rng.standard_normal((batch, m)).astype(np.float32)
@@ -122,8 +131,9 @@ PROBES = [
     ("twostep   n=512", _probe_twostep, dict(n=512, batch=256)),
     ("axis0     n=1024", _probe_axis0, dict(n=1024, cols=256)),
     ("axis0     n=264", _probe_axis0, dict(n=264, cols=256)),
-    ("r2c_fused n=1024", _probe_r2c, dict(n=1024, batch=256)),
-    ("c2r_fused n=1024", _probe_c2r, dict(n=1024, batch=256)),
+    ("r2c_packed n=1024", _probe_r2c, dict(n=1024, batch=256)),
+    ("r2c_nat   n=1024", _probe_r2c_nat, dict(n=1024, batch=256)),
+    ("c2r_nat   n=1024", _probe_c2r_nat, dict(n=1024, batch=256)),
     ("axis_mid  n=1024", _probe_axis_mid, dict(n=1024, nb=4, cols=256)),
     ("axis_mid  n=264", _probe_axis_mid, dict(n=264, nb=4, cols=256)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),

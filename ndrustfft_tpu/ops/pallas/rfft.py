@@ -7,15 +7,15 @@ XLA lowering.
 
 Round 1's formulation used lane-dim flips and a stack+reshape interleave,
 both rejected by Mosaic on real TPU (NOTES_TPU.md), so the kernels were
-interpreter-only. This rewrite eliminates every illegal op via an FFT
+interpreter-only. The rewrite eliminates every illegal op via an FFT
 identity: the spectrum mirror is itself an FFT of the conjugated input,
 
     Z[(h - k) mod h] = FFT_{+s}(z)[k]          (s = transform sign)
     =>  conj(Z[(h-k) mod h]) = FFT_{s}(conj(z))[k],
 
-so both mirror-dependent passes become ONE batched lane-last FFT over a
-2T-row block (rows [z; conj(z)]), followed by elementwise combines, static
-slices, and concats — all Mosaic-legal. Derivations:
+so both mirror-dependent passes become ONE batched FFT over a doubled
+batch ([z; conj(z)]), followed by elementwise combines, static slices and
+concats — all Mosaic-legal. Derivations:
 
   forward (pack):   z = xe + i xo;  Z = FFT_h(z);  C = FFT_h(conj z)
                     Fe[k] = (Z[k] + C[k])/2
@@ -32,13 +32,31 @@ slices, and concats — all Mosaic-legal. Derivations:
                     x[2t] = 2 Re z[t], x[2t+1] = 2 Im z[t]
 
 The b-vector reversal happens host-side in numpy at plan-build time (a
-constant), never inside the kernel. The kernel emits even/odd samples as
-two output refs; XLA interleaves them (a fused relayout) — the
-stack+reshape interleave is not Mosaic-representable.
+constant), never inside the kernel.
 
-Odd n keeps the XLA engine path (full-length C2C on complexified input).
-Reference semantics (normalization-first, DC/Nyquist imag zeroing,
-src/lib.rs:506-523) are applied by the caller before c2r, as in the engine.
+Two kernel families:
+
+* NATURAL-LAYOUT kernels (``*_nat``, round 2, the production path for
+  twostep-eligible h): consume/produce the user's memory layout directly so
+  NO boundary HBM passes remain —
+  - r2c: block (T, n) real; the entry transpose (T, n) -> (n, T) makes the
+    even/odd de-interleave FREE (reshape (h, 2, T) + middle-dim slices,
+    both legal — a strided lane slice is not). No external pack pass.
+  - c2r: emits (T, n) real directly; the even/odd INTERLEAVE is a
+    sublane-interleaved build (h, 2, T) -> (2h, T) (middle concat + leading
+    merge) followed by ONE legal 2-D transpose. No external interleave pass.
+  - c2r fuses the reference's pre-steps (src/lib.rs:506-523): the
+    normalization scalar rides the a/c/b0 constants and the DC/Nyquist
+    imag-zeroing is in-kernel (a (h,1) mask; the Nyquist imag is simply
+    never read). No external norm/mask pass.
+  The half-FFT runs on the n-leading twostep core (fft._ts_core_nlead)
+  with the doubled batch in COLUMNS ([z | conj z]).
+
+* packed kernels (round-2 original): (B, h) even/odd stream pairs in, used
+  by callers that produce split streams themselves (engine.r2c_packed —
+  e.g. the DCT-I even extension) and for h without a twostep split.
+
+Odd n keeps the XLA engine path (row-paired C2C).
 """
 
 from __future__ import annotations
@@ -59,6 +77,7 @@ from .fft import (
     _lane_last_math,
     _lane_tile,
     _plan_consts,
+    _ts_core_nlead,
     _twostep_consts,
     _twostep_math,
     _twostep_split,
@@ -72,6 +91,19 @@ def rfft_pallas_supported(plan: R2CPlan, dtype) -> bool:
     if not plan.half:
         return False
     return pallas_supported(plan.sub, dtype)
+
+
+def _nat_ts(h: int):
+    """Twostep split for the natural-layout kernels' half-FFT, or None."""
+    ts = _twostep_split(h)
+    if h >= 256 and ts is not None and ts[0] <= config.max_base_radix:
+        return ts
+    return None
+
+
+def rfft_nat_supported(plan: R2CPlan, dtype) -> bool:
+    """Natural-layout kernel eligibility: twostep-eligible half length."""
+    return rfft_pallas_supported(plan, dtype) and _nat_ts(plan.n // 2) is not None
 
 
 def _half_fft_consts(h: int, sign: int, dtype, mode: str):
@@ -99,6 +131,11 @@ def _half_fft(wr, wi, const_vals, meta, mode):
     return _lane_last_math(wr, wi, stages, base, lane, tw, m, f, mode)
 
 
+# --------------------------------------------------------------------------
+# packed kernels: (B, h) even/odd stream pairs (engine.r2c_packed callers)
+# --------------------------------------------------------------------------
+
+
 def _r2c_kernel(fft_meta, mode, h, xe_ref, xo_ref, *refs):
     n_fft_consts = len(refs) - 4  # trailing: u_r, u_i, or_ref, oi_ref
     const_vals = [r[:] for r in refs[:n_fft_consts]]
@@ -123,38 +160,6 @@ def _r2c_kernel(fft_meta, mode, h, xe_ref, xo_ref, *refs):
     last = zr[:, :1] - zi[:, :1]
     or_ref[:] = jnp.concatenate([xr, last], axis=-1)
     oi_ref[:] = jnp.concatenate([xi, jnp.zeros_like(last)], axis=-1)
-
-
-def _c2r_kernel(fft_meta, mode, h, sr_ref, si_ref, *refs):
-    n_fft_consts = len(refs) - 7  # trailing: a_r,a_i,c_r,c_i,b0(1,2), outs x2
-    const_vals = [r[:] for r in refs[:n_fft_consts]]
-    ar = refs[n_fft_consts][:]      # (1, h)
-    ai = refs[n_fft_consts + 1][:]
-    cr_ = refs[n_fft_consts + 2][:]  # (1, h): c[j] = b[(h-j)%h], c[0] = 0
-    ci_ = refs[n_fft_consts + 3][:]
-    b0 = refs[n_fft_consts + 4][:]  # (1, 2): Re b[0], Im b[0]
-    or_ref, oi_ref = refs[-2:]
-    sr, si = sr_ref[:], si_ref[:]   # (T, m), m = h + 1
-    skr, ski = sr[:, :h], si[:, :h]
-    # P = a * S
-    pr = ar * skr - ai * ski
-    pi = ar * ski + ai * skr
-    # Q = c * conj(S); then Q[0] += b0 * conj(S[h])  (Nyquist fold)
-    qr = cr_ * skr + ci_ * ski
-    qi = ci_ * skr - cr_ * ski
-    snr, sni = sr[:, h:], si[:, h:]                     # (T, 1)
-    q0r = qr[:, :1] + b0[:, :1] * snr + b0[:, 1:] * sni
-    q0i = qi[:, :1] + b0[:, 1:] * snr - b0[:, :1] * sni
-    qr = jnp.concatenate([q0r, qr[:, 1:]], axis=-1)
-    qi = jnp.concatenate([q0i, qi[:, 1:]], axis=-1)
-    # rows [P; conj(Q)] through one IFFTu_h (sign +1 plan baked in consts)
-    t = sr.shape[0]
-    wr = jnp.concatenate([pr, qr], axis=0)
-    wi = jnp.concatenate([pi, -qi], axis=0)
-    yr, yi = _half_fft(wr, wi, const_vals, fft_meta, mode)
-    # z = IFFTu(P) + conj(IFFTu(conj Q));  x[2t] = 2 Re z, x[2t+1] = 2 Im z
-    or_ref[:] = 2.0 * (yr[:t] + yr[t:])
-    oi_ref[:] = 2.0 * (yi[:t] - yi[t:])
 
 
 @lru_cache(maxsize=256)
@@ -196,15 +201,150 @@ def _build_r2c(n: int, batch: int, dtype_str: str, interpret: bool,
     return lambda xe, xo: call(xe, xo, *consts)
 
 
+def r2c_pallas(xe, xo, plan: R2CPlan):
+    """(B, h) even/odd real streams -> (B, m) split re/im via the fused
+    kernel (caller produces the split streams, e.g. the DCT-I extension)."""
+    batch, _h = xe.shape
+    run = _build_r2c(plan.n, batch, str(xe.dtype),
+                     bool(config.pallas_interpret), dot_mode())
+    return run(xe, xo)
+
+
+# --------------------------------------------------------------------------
+# natural-layout kernels: user memory layout in/out, zero boundary passes
+# --------------------------------------------------------------------------
+
+
+def _r2c_kernel_nat(m_, f_, mode, h, x_ref, *refs):
+    """Block (T, n) real -> ((T, m) re, (T, m) im), m = h + 1.
+
+    The entry transpose puts n leading; (n, T) -> (h, 2, T) + middle slices
+    de-interleave even/odd samples for free (reference realfft pack,
+    src/lib.rs:497-503, without the external strided-slice pass)."""
+    const_vals = [r[:] for r in refs[:-4]]
+    ur = refs[-4][:]                # (h, 1) column unpack twiddle
+    ui = refs[-3][:]
+    or_ref, oi_ref = refs[-2:]
+    t = x_ref.shape[0]
+    xt = x_ref[:].T.reshape(h, 2, t)
+    xe = xt[:, 0, :]                # (h, T)
+    xo = xt[:, 1, :]
+    # columns [z | conj(z)] through one n-leading FFT_h
+    wr = jnp.concatenate([xe, xe], axis=1)
+    wi = jnp.concatenate([xo, -xo], axis=1)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode)
+    zr, zi = yr[:, :t], yi[:, :t]
+    cr, ci = yr[:, t:], yi[:, t:]
+    fer = 0.5 * (zr + cr)
+    fei = 0.5 * (zi + ci)
+    for_ = 0.5 * (zi - ci)          # Re(-i/2 (Z - C))
+    foi = -0.5 * (zr - cr)          # Im(-i/2 (Z - C))
+    xr = fer + for_ * ur - foi * ui        # (h, T)
+    xi = fei + for_ * ui + foi * ur
+    last = zr[:1, :] - zi[:1, :]    # Nyquist row X[h] = Re Z[0] - Im Z[0]
+    or_ref[:] = jnp.concatenate([xr, last], axis=0).T       # (T, m)
+    oi_ref[:] = jnp.concatenate([xi, jnp.zeros_like(last)], axis=0).T
+
+
 @lru_cache(maxsize=256)
-def _build_c2r(n: int, batch: int, dtype_str: str, interpret: bool,
-               mode: str):
-    """(B, m) split re/im (pre-normalized, DC/Nyquist-masked) ->
-    ((B, h) even, (B, h) odd) real sample streams."""
+def _build_r2c_nat(n: int, batch: int, dtype_str: str, interpret: bool,
+                   mode: str):
+    """(B, n) real -> (B, m) split re/im spectrum; no external pack pass."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    consts, fft_meta = _half_fft_consts(h, +1, dtype, mode)
+    m_, f_ = _nat_ts(h)
+    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    k = np.arange(h, dtype=np.int64)
+    ur, ui = _cis(2 * k, n, -1)     # W_n^k, k = 0..h-1
+    consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
+                       np.asarray(ui, dtype).reshape(h, 1)]
+    tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
+    if batch >= 128:
+        tile = max(tile, 128)
+    grid = (pl.cdiv(batch, tile),)
+    in_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, m), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_r2c_kernel_nat, m_, f_, mode, h),
+        out_shape=(jax.ShapeDtypeStruct((batch, m), dtype),
+                   jax.ShapeDtypeStruct((batch, m), dtype)),
+        grid=grid,
+        in_specs=[in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * n * np.log2(max(n, 2)) * batch),
+            bytes_accessed=int(3 * batch * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+def r2c_pallas_nat(x, plan: R2CPlan):
+    """(B, n) real -> (B, m) split re/im via the natural-layout kernel."""
+    batch, _n = x.shape
+    run = _build_r2c_nat(plan.n, batch, str(x.dtype),
+                         bool(config.pallas_interpret), dot_mode())
+    return run(x)
+
+
+def _c2r_kernel_nat(m_, f_, mode, h, sr_ref, si_ref, *refs):
+    """Blocks (T, m) re/im RAW spectrum -> (T, n) real samples.
+
+    Fuses the reference's pre-steps (src/lib.rs:506-523): the normalization
+    scalar is baked into the a/c/b0 constants, the DC imag is zeroed by the
+    (h,1) mask constant, and the Nyquist imag is never read. The even/odd
+    interleave is a sublane-interleaved build + ONE legal 2-D transpose."""
+    const_vals = [r[:] for r in refs[:-7]]
+    ar, ai = refs[-7][:], refs[-6][:]        # (h, 1), scale-folded
+    cr_, ci_ = refs[-5][:], refs[-4][:]      # (h, 1): c[j] = b[(h-j)%h]*s
+    b0 = refs[-3][:]                         # (2, 1): [Re b0*s; Im b0*s]
+    mk = refs[-2][:]                         # (h, 1): 1, except mk[0] = 0
+    sr_t = sr_ref[:].T                       # (m, T)
+    si_t = si_ref[:].T
+    o_ref = refs[-1]
+    t = sr_ref.shape[0]
+    skr = sr_t[:h, :]
+    ski = si_t[:h, :] * mk                   # DC imag forced 0 (src:517)
+    # P = a * S
+    pr = ar * skr - ai * ski
+    pi = ar * ski + ai * skr
+    # Q = c * conj(S); Q[0] += b0 * conj(S[h]) — Nyquist imag never read
+    # (src/lib.rs:519-521 forces it to 0 for even n)
+    qr = cr_ * skr + ci_ * ski
+    qi = ci_ * skr - cr_ * ski
+    snr = sr_t[h:, :]                        # (1, T) Nyquist re
+    q0r = qr[:1, :] + b0[:1, :] * snr
+    q0i = qi[:1, :] + b0[1:, :] * snr
+    qr = jnp.concatenate([q0r, qr[1:, :]], axis=0)
+    qi = jnp.concatenate([q0i, qi[1:, :]], axis=0)
+    # columns [P | conj(Q)] through one n-leading IFFTu_h (+1 consts)
+    wr = jnp.concatenate([pr, qr], axis=1)
+    wi = jnp.concatenate([pi, -qi], axis=1)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode)
+    # z = IFFTu(P) + conj(IFFTu(conj Q)); x[2l] = 2 Re z, x[2l+1] = 2 Im z
+    ev = 2.0 * (yr[:, :t] + yr[:, t:])       # (h, T)
+    od = 2.0 * (yi[:, :t] - yi[:, t:])
+    d = jnp.concatenate([ev.reshape(h, 1, t), od.reshape(h, 1, t)], axis=1)
+    o_ref[:] = d.reshape(2 * h, t).T         # (T, n), lane index 2l + c
+
+
+@lru_cache(maxsize=256)
+def _build_c2r_nat(n: int, batch: int, dtype_str: str, interpret: bool,
+                   mode: str, scale: float):
+    """(B, m) RAW split re/im spectrum -> (B, n) real; normalization and
+    DC/Nyquist masking fused (no external passes)."""
+    h = n // 2
+    m = h + 1
+    dtype = jnp.dtype(dtype_str)
+    m_, f_ = _nat_ts(h)
+    consts, _ = _twostep_consts(h, +1, dtype, mode)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, +1)     # W_n^{-k} under the forward convention
     a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur          # (1 + i u)/2
@@ -214,12 +354,15 @@ def _build_c2r(n: int, batch: int, dtype_str: str, interpret: bool,
     c_r, c_i = b_r[idx].copy(), b_i[idx].copy()
     c_r[0] = 0.0
     c_i[0] = 0.0
+    mk = np.ones((h, 1), np.float64)
+    mk[0, 0] = 0.0
     consts = consts + [
-        np.asarray(a_r, dtype).reshape(1, h),
-        np.asarray(a_i, dtype).reshape(1, h),
-        np.asarray(c_r, dtype).reshape(1, h),
-        np.asarray(c_i, dtype).reshape(1, h),
-        np.asarray([b_r[0], b_i[0]], dtype).reshape(1, 2),
+        np.asarray(a_r * scale, dtype).reshape(h, 1),
+        np.asarray(a_i * scale, dtype).reshape(h, 1),
+        np.asarray(c_r * scale, dtype).reshape(h, 1),
+        np.asarray(c_i * scale, dtype).reshape(h, 1),
+        np.asarray([[b_r[0] * scale], [b_i[0] * scale]], dtype),
+        np.asarray(mk, dtype),
     ]
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
@@ -227,20 +370,19 @@ def _build_c2r(n: int, batch: int, dtype_str: str, interpret: bool,
     grid = (pl.cdiv(batch, tile),)
     in_spec = pl.BlockSpec((tile, m), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile, h), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_c2r_kernel, fft_meta, mode, h),
-        out_shape=(jax.ShapeDtypeStruct((batch, h), dtype),
-                   jax.ShapeDtypeStruct((batch, h), dtype)),
+        partial(_c2r_kernel_nat, m_, f_, mode, h),
+        out_shape=jax.ShapeDtypeStruct((batch, n), dtype),
         grid=grid,
         in_specs=[in_spec, in_spec] + const_specs,
-        out_specs=(out_spec, out_spec),
+        out_specs=out_spec,
         cost_estimate=pl.CostEstimate(
             flops=int(10 * n * np.log2(max(n, 2)) * batch),
-            bytes_accessed=int(4 * batch * n * dtype.itemsize),
+            bytes_accessed=int(3 * batch * n * dtype.itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -248,19 +390,12 @@ def _build_c2r(n: int, batch: int, dtype_str: str, interpret: bool,
     return lambda sr, si: call(sr, si, *consts)
 
 
-def r2c_pallas(xe, xo, plan: R2CPlan):
-    """(B, h) even/odd real streams -> (B, m) split re/im via the fused
-    kernel (caller extracts xe = x[..., 0::2], xo = x[..., 1::2])."""
-    batch, _h = xe.shape
-    run = _build_r2c(plan.n, batch, str(xe.dtype),
-                     bool(config.pallas_interpret), dot_mode())
-    return run(xe, xo)
-
-
-def c2r_pallas(sr, si, n: int):
-    """(B, m) split re/im (pre-normalized, DC/Nyquist-masked) ->
-    ((B, h) even, (B, h) odd); the caller interleaves in XLA."""
+def c2r_pallas_nat(sr, si, n: int, scale=None):
+    """(B, m) RAW split re/im spectrum -> (B, n) real samples via the
+    natural-layout kernel; ``scale`` (python float) and the reference's
+    DC/Nyquist imag-zeroing are fused into the kernel."""
     batch = sr.shape[0]
-    run = _build_c2r(n, batch, str(sr.dtype),
-                     bool(config.pallas_interpret), dot_mode())
+    run = _build_c2r_nat(n, batch, str(sr.dtype),
+                         bool(config.pallas_interpret), dot_mode(),
+                         float(1.0 if scale is None else scale))
     return run(sr, si)

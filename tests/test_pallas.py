@@ -227,3 +227,36 @@ def test_kernel_support_gating():
         assert not dct_pallas_supported(1024, jnp2.float32)
     finally:
         config.use_pallas = True
+
+
+def test_pallas_nat_c2r_dc_nyquist_pin_large_n():
+    # same edge pin as above but at n=1024 so it runs the NATURAL-LAYOUT
+    # c2r kernel (h=512 twostep-eligible), where the DC/Nyquist imag
+    # zeroing and the 1/n normalization are fused into the kernel consts
+    from ndrustfft_tpu import ndifft_r2c
+
+    rng = np.random.default_rng(12)
+    n, m = 1024, 513
+    spec = (rng.standard_normal((16, m)) + 1j * rng.standard_normal((16, m))
+            ).astype(np.complex64)
+    spec[:, 0] += 100j     # DC imag garbage
+    spec[:, -1] += 100j    # Nyquist imag garbage
+    got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
+    ref = np.fft.irfft(spec, n=n, axis=1)
+    assert np.abs(got - ref).max() < 5e-4
+
+
+def test_pallas_nat_c2r_scalar_norm_fused():
+    # scalar normalization rides the nat kernel's a/c/b0 constants
+    from ndrustfft_tpu import Normalization, ndifft_r2c
+
+    rng = np.random.default_rng(13)
+    n, m = 1024, 513
+    spec = (rng.standard_normal((16, m)) + 1j * rng.standard_normal((16, m))
+            ).astype(np.complex64)
+    c = 0.37
+    hs = R2cFftHandler(n).normalization(Normalization.scalar(c))
+    hn = R2cFftHandler(n).normalization(Normalization.NONE)
+    got = np.asarray(ndifft_r2c(jnp.asarray(spec), hs, axis=1))
+    ref = c * np.asarray(ndifft_r2c(jnp.asarray(spec), hn, axis=1))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-3

@@ -4,6 +4,8 @@ a failed TPU program poisons the session, NOTES_TPU.md).
 Usage: python tools/time_kernels.py <variant> [n] [batch]
 Variants: engine | twostep | mosaic | jnpfft | r2c_engine | r2c_pallas
          | axis_mid (pallas, transform axis 1) | engine_ax1 | jnpfft_ax1
+         | fused_ifft (pallas axis 1, scalar norm fused in-kernel)
+         | jnp_ifft (jnp.fft.ifft axis 1 + external scalar multiply)
 Prints one JSON line {variant, n, us_per_transform, gflops}.
 """
 
@@ -23,12 +25,13 @@ B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 if variant in ("twostep", "mosaic"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
     os.environ["NDRUSTFFT_TPU_PALLAS_FLAVOR"] = variant
-elif variant in ("r2c_pallas", "axis_mid", "dct_pallas"):
+elif variant in ("r2c_pallas", "axis_mid", "dct_pallas", "fused_ifft"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
 else:
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "0"
 
-AXIS = 1 if variant.endswith("_ax1") or variant == "axis_mid" else 2
+AXIS = (1 if variant.endswith("_ax1") or variant in
+        ("axis_mid", "fused_ifft", "jnp_ifft") else 2)
 
 import numpy as np  # noqa: E402
 
@@ -62,6 +65,26 @@ elif variant.startswith("r2c"):
         return lambda v: ndifft_r2c(ndfft_r2c(v, h, axis=2), h, axis=2)
 
     t = per_transform(make_step(), x, scale=1.0, per_iter=2 * B)
+elif variant in ("fused_ifft", "jnp_ifft"):
+    # kernel-only chain: v <- c * ifft_u(v), c = sqrt(n)*(1+1e-3) keeps
+    # magnitude ~neutral and guarantees no two iterations compute the same
+    # value (c^k drift); our c rides the kernel constants (scalar norm),
+    # the jnp baseline pays the multiply as a separate XLA pass.
+    import math as _math
+
+    x = (rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+         ).astype(np.complex64)
+    c = _math.sqrt(n) * 1.001
+    if variant == "fused_ifft":
+        from ndrustfft_tpu import FftHandler, Normalization, ndifft
+
+        h = FftHandler(n).normalization(Normalization.scalar(c))
+        step = lambda v: ndifft(v, h, axis=1)  # noqa: E731
+    else:
+        import jax.numpy as jnp
+
+        step = lambda v: jnp.fft.ifft(v, axis=1) * c  # noqa: E731
+    t = per_transform(step, x, scale=None, per_iter=B)
 else:
     x = (rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
          ).astype(np.complex64)
@@ -81,3 +104,9 @@ print(json.dumps({
     "us_per_transform": round(t * 1e6, 2),
     "gflops": round(5.0 * n * math.log2(n) * n / t / 1e9, 1),
 }))
+
+# (appended variants — see header) fused-normalization chain: the scalar
+# norm rides the kernel constants, so each chain iteration is KERNEL-ONLY
+# (the complex boundary ops between iterations cancel via XLA's
+# real(complex(a,b))->a simplification). Variants: fused_ifft (ours),
+# jnp_ifft (baseline paying the external multiply it cannot fuse).
