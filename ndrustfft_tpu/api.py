@@ -186,15 +186,18 @@ def _dct_impl(x, handler, axis, dct_type):
         raise TypeError("nddct expects a real input array")
     xm = jnp.moveaxis(x, axis, -1)
     # Normalization BEFORE the transform (src/lib.rs:688-741); Default = x2
-    # converts the rustdct convention to scipy's unnormalized dct.
+    # converts the rustdct convention to scipy's unnormalized dct. The DCT
+    # is linear, so scalar policies fold into the lowering's constants
+    # (in-kernel on the Pallas path, constant-folded on the XLA path).
     norm = handler.norm
+    scale = None
     if norm.kind == "default":
-        xm = xm * jnp.asarray(2.0, x.dtype)
+        scale = 2.0
     elif norm.kind == "scalar":
-        xm = xm * jnp.asarray(norm.value, x.dtype)
+        scale = norm.value
     elif norm.kind == "custom":
         xm = norm.fn(xm)
-    y = _dct.DCT_FNS[dct_type](xm)
+    y = _dct.DCT_FNS[dct_type](xm, scale)
     return jnp.moveaxis(y, -1, axis)
 
 

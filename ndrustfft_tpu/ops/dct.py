@@ -52,22 +52,26 @@ def _pallas_dct_batch(x):
     return batch if dct_pallas_supported(x.shape[-1], x.dtype) else None
 
 
-def dct2(x):
-    """(..., n) real -> DCT-II, rustdct convention.
+def dct2(x, scale=None):
+    """(..., n) real -> scale * DCT-II, rustdct convention.
 
     Even n with a {128,256} factor runs as ONE fused Pallas kernel
     (ops/pallas/dct.py): since the Makhoul intermediate v is real, the
     full FFT_n(v) is computed with a real-input first stage and the
-    half-spectrum unfold disappears entirely."""
+    half-spectrum unfold disappears entirely; the Makhoul permutation and
+    ``scale`` (the handler's scalar normalization) are folded into the
+    kernel constants. On the XLA path ``scale`` folds into the post
+    twiddle (constant-folded by jit)."""
     n = x.shape[-1]
+    s = 1.0 if scale is None else scale
     if n == 1:
-        return x
+        return x * jnp.asarray(s, x.dtype) if scale is not None else x
     batch = _pallas_dct_batch(x)
     if batch is not None:
         from .pallas.dct import dct2_pallas
 
         shape = x.shape
-        return dct2_pallas(x.reshape(batch, n)).reshape(shape)
+        return dct2_pallas(x.reshape(batch, n), scale).reshape(shape)
     w = _dct2_consts(n)
     m = n // 2 + 1
     v = _evenodd_perm(x)
@@ -76,7 +80,7 @@ def dct2(x):
     # (fuses on TPU, unlike a gather): tail indices n-1..m == flip(1..n-m)
     vr_full = jnp.concatenate([vr, vr[..., 1:n - m + 1][..., ::-1]], axis=-1)
     vi_full = jnp.concatenate([vi, -vi[..., 1:n - m + 1][..., ::-1]], axis=-1)
-    wr, wi = _const(w, x.dtype)
+    wr, wi = _const((w[0] * s, w[1] * s), x.dtype)
     return vr_full * wr - vi_full * wi
 
 
@@ -100,32 +104,35 @@ def _evenodd_unperm(u, n):
     return z[..., :n]
 
 
-def dct3(x):
-    """(..., n) real -> DCT-III, rustdct convention (x0 halved internally).
+def dct3(x, scale=None):
+    """(..., n) real -> scale * DCT-III, rustdct convention (x0 halved
+    internally).
 
     n-point complex FFT via the transpose of the Makhoul DCT-II algorithm
     (2-4x cheaper than the zero-padded 4n lowering). Even n with a
     {128,256} factor runs as ONE fused Pallas kernel with the separable
-    pre-twiddle folded into the stage constants (ops/pallas/dct.py)."""
+    pre-twiddle, the Makhoul constants and ``scale`` folded into the stage
+    constants (ops/pallas/dct.py)."""
     n = x.shape[-1]
+    s = 1.0 if scale is None else scale
     if n == 1:
-        return 0.5 * x
+        return (0.5 * s) * x
     batch = _pallas_dct_batch(x)
     if batch is not None:
         from .pallas.dct import dct3_pallas
 
         shape = x.shape
-        return dct3_pallas(x.reshape(batch, n)).reshape(shape)
+        return dct3_pallas(x.reshape(batch, n), scale).reshape(shape)
     pre = _dct3_consts(n)
     c = jnp.concatenate([x[..., :1] * 0.5, x[..., 1:]], axis=-1)
-    prer, prei = _const(pre, x.dtype)
+    prer, prei = _const((pre[0] * s, pre[1] * s), x.dtype)
     ur, ui = c * prer, c * prei
     zr, _ = c2c(ur, ui, get_c2c_plan(n, -1))
     return _evenodd_unperm(zr, n)
 
 
-def dct1(x):
-    """(..., n) real -> DCT-I, rustdct convention. Requires n >= 2.
+def dct1(x, scale=None):
+    """(..., n) real -> scale * DCT-I, rustdct convention. Requires n >= 2.
 
     DCT-I == Re(FFT_{2n-2}(even extension))/2, but the (2n-2)-length
     extension is never materialized: the r2c pack trick only consumes the
@@ -142,7 +149,7 @@ def dct1(x):
     xo = jnp.concatenate(
         [x[..., 1::2], x[..., 1:n - 2 + (n % 2):2][..., ::-1]], axis=-1)
     sr, _ = r2c_packed(xe, xo, get_r2c_plan(2 * n - 2))  # m = n bins exactly
-    return 0.5 * sr
+    return (0.5 if scale is None else 0.5 * scale) * sr
 
 
 @lru_cache(maxsize=512)
@@ -160,8 +167,8 @@ def _dct4_consts(n: int):
     return pre_a, pre_b, post_e, post_o
 
 
-def dct4(x):
-    """(..., n) real -> DCT-IV, rustdct convention.
+def dct4(x, scale=None):
+    """(..., n) real -> scale * DCT-IV, rustdct convention.
 
     Round-1 lowering zero-padded to a 2n-point FFT, materializing 2n-length
     intermediates in HBM. The zero half is folded out via the first DIF
@@ -175,10 +182,13 @@ def dct4(x):
     stay n-length.
     """
     n = x.shape[-1]
+    s = 1.0 if scale is None else scale
     if n == 1:
         # single-point DCT-IV: y[0] = x[0] * cos(pi/4)
-        return x * jnp.asarray(np.cos(np.pi / 4), x.dtype)
+        return x * jnp.asarray(np.cos(np.pi / 4) * s, x.dtype)
     pre_a, pre_b, post_e, post_o = _dct4_consts(n)
+    post_e = (post_e[0] * s, post_e[1] * s)   # scale folds into the post
+    post_o = (post_o[0] * s, post_o[1] * s)   # twiddle (constant-folded)
     ne, no = (n + 1) // 2, n // 2
     par, pai = _const(pre_a, x.dtype)
     pbr, pbi = _const(pre_b, x.dtype)

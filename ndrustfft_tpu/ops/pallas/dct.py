@@ -15,10 +15,29 @@ n reals — half a C2C's HBM traffic) built on the twostep dataflow:
            stage-1 DFT matrix and b into the stage twiddle — the kernel
            input stays REAL and no pre-multiply pass exists at all.
 
-The Makhoul (un)permutations are slice/flip/concats done by XLA at the
-kernel boundary (flips are not Mosaic-representable): DCT-II takes the even
-samples and the REVERSED odd samples as two input refs and concats along
-lanes in-kernel; DCT-III emits head/tail output refs that XLA interleaves.
+Round-2 fusions:
+
+* DCT-II is NATURAL-LAYOUT: the kernel consumes whole (T, n) rows. The
+  Makhoul permutation v = [x_even; reversed(x_odd)] — whose flip is not
+  Mosaic-representable (lax.rev) and previously ran as an external XLA
+  strided-slice pass — folds into constants and legal ops: the entry
+  transpose de-interleaves even/odd (reshape (h,2,T) + middle slices), the
+  tail's t'-reversal folds into the stage-1 matrix rows (build-time), and
+  its j-reversal is an aligned lane-chunk permutation (static slices +
+  concat). Derivation: v[t'f+j] for t' >= m/2 equals
+  x_odd[(m/2-1-s)f + (f-1-j)] with s = t'-m/2, so
+  sum_{t'} Wm[t',p] v[t'f+j] = Wm[:m/2]^T x_even  +  (Wm[m/2:][::-1])^T
+  (x_odd with j-chunks reversed).
+* The handler's scalar normalization (Default = x2, applied BEFORE the
+  transform per the reference, src/lib.rs:688-741) rides the stage-twiddle
+  constants — zero extra passes.
+* bf16x3 K-stacked dot matrices are prebuilt host-side (fft.ks_w3_np /
+  ks_w6_np / ks_w6_re_np); DCT-III's combine computes only the real output
+  rows (half the stage-2 MXU work).
+
+DCT-III's output un-permutation (z[2t] = head[t], z[2t+1] = flip(tail)[t])
+still runs in XLA at the boundary: its flip spans output rows in a way that
+folds into neither constants nor legal lane ops.
 
 Supported: even n with a {128,256} twostep split, f32. Other shapes fall
 back to the XLA lowering in ops/dct.py.
@@ -39,12 +58,14 @@ from ...plan import _cis, dft_matrix, stage_twiddle
 from .fft import (
     _MAX_N,
     _VMEM_LIMIT,
-    _dg,
     _ks_complex_dot,
     _ks_real_dot,
     _lane_tile,
     _twostep_split,
     dot_mode,
+    ks_w3_np,
+    ks_w6_np,
+    ks_w6_re_np,
 )
 
 
@@ -62,74 +83,99 @@ def dct_pallas_supported(n: int, dtype) -> bool:
     return backend == "tpu" or config.pallas_interpret
 
 
-def _real_twostep(v, consts, m, f, tl, mode, real_out_only):
-    """FFT_n of a REAL (T, n) tile via the twostep dataflow with (possibly
-    complex-folded) stage-1 weights; returns (zr, zi) or zr only."""
-    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
-    n = m * f
-    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, tl)).reshape(m, f * tl)
-    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, tl)).reshape(m, f * tl)
-    x2 = v.T.reshape(m, f * tl)
-    # real input: complex-weight x real-value, one K-stacked dot
-    yr, yi = _ks_real_dot(x2, wm_r, wm_i, mode)
-    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
-    yr = yr.T.reshape(f, tl, m)
-    yi = yi.T.reshape(f, tl, m)
-    if real_out_only:
-        # Re(sum_j wf[j,q] y[j]): K-stack [y_re; y_im] against [wf_r; -wf_i]
-        if mode == "bf16x3":
-            zr, _ = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)
-        else:
-            def con(x, w):
-                return _dg(w, x, (((0,), (0,)), ((), ())), mode)
+def _fft_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
+                pre_a=None, pre_b=None, row_perm=None, re_only_s2=False):
+    """Mode-packed twostep consts for a REAL-input length-n FFT.
 
-            zr = con(yr, wf_r) - con(yi, wf_i)
-        return jnp.transpose(zr, (1, 0, 2)).reshape(tl, n), None
-    zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)
-    return (jnp.transpose(zr, (1, 0, 2)).reshape(tl, n),
-            jnp.transpose(zi, (1, 0, 2)).reshape(tl, n))
-
-
-def _dct2_kernel(m, f, tl, mode, ne, xe_ref, xor_ref, *refs):
-    consts = [r[:] for r in refs[:-3]]
-    w_r = refs[-3][:]               # (1, n) post twiddle, k-ordered
-    w_i = refs[-2][:]
-    out_ref = refs[-1]
-    v = jnp.concatenate([xe_ref[:], xor_ref[:]], axis=-1)   # Makhoul perm
-    zr, zi = _real_twostep(v, consts, m, f, tl, mode, real_out_only=False)
-    out_ref[:] = zr * w_r - zi * w_i
-
-
-def _dct3_kernel(m, f, tl, mode, x_ref, *refs):
-    consts = [r[:] for r in refs[:-3]]
-    h0 = refs[-3][:]                # (1, n) x0-halving mask
-    ev_ref, od_ref = refs[-2:]
-    c = x_ref[:] * h0
-    zr, _ = _real_twostep(c, consts, m, f, tl, mode, real_out_only=True)
-    half = zr.shape[-1] // 2
-    ev_ref[:] = zr[:, :half]
-    od_ref[:] = zr[:, half:]
-
-
-def _fft_consts(n: int, sign: int, dtype, pre_a=None, pre_b=None):
-    """Twostep consts [wm_r, wm_i, tw_r(m,f), tw_i, wf_r, wf_i]; optionally
-    folds a separable input twiddle a[t'] (into Wm rows) and b[j] (into the
-    stage twiddle columns)."""
+    bf16x3: [W3m (3m, 2m) bf16, tw_r (m,f), tw_i, W6f bf16]; other modes:
+    [wm_r, wm_i, tw_r, tw_i, wf_r, wf_i] f32. Folds: ``pre_a[t']`` into the
+    Wm rows (complex), ``pre_b[j]`` and ``scale`` into the stage twiddle,
+    ``row_perm`` permutes Wm's rows (the Makhoul fold), ``re_only_s2``
+    builds the real-rows-only stage-2 matrix."""
     m, f = _twostep_split(n)
     wm_r, wm_i = dft_matrix(m, sign)
     if pre_a is not None:
         ar, ai = pre_a  # (m,)
         wm_r, wm_i = (wm_r * ar[:, None] - wm_i * ai[:, None],
                       wm_r * ai[:, None] + wm_i * ar[:, None])
+    if row_perm is not None:
+        wm_r, wm_i = wm_r[row_perm], wm_i[row_perm]
     tw = stage_twiddle(f, m, sign)          # (f, m)[j, p]
-    tw_r, tw_i = tw[0].T.copy(), tw[1].T.copy()   # (m, f)[p, j]
+    tw_r, tw_i = tw[0].T.copy() * scale, tw[1].T.copy() * scale  # (m, f)
     if pre_b is not None:
         br, bi = pre_b  # (f,)
         tw_r, tw_i = (tw_r * br[None, :] - tw_i * bi[None, :],
                       tw_r * bi[None, :] + tw_i * br[None, :])
     wf = dft_matrix(f, sign)
-    return m, f, [np.asarray(c, dtype) for c in
+    if mode == "bf16x3":
+        w3m = ks_w3_np(np.concatenate([wm_r, wm_i], axis=1))
+        w6f = (ks_w6_re_np(wf[0], wf[1]) if re_only_s2
+               else ks_w6_np(wf[0], wf[1]))
+        consts = [w3m, np.asarray(tw_r, dtype), np.asarray(tw_i, dtype), w6f]
+    else:
+        consts = [np.asarray(c, dtype) for c in
                   (wm_r, wm_i, tw_r, tw_i, wf[0], wf[1])]
+    return m, f, consts
+
+
+def _real_ts_core_x2(x2, consts, m, f, cols, mode, re_only):
+    """Twostep FFT core on a pre-assembled REAL x2 (m, f*cols); returns
+    n-LEADING (n, cols) (zr, zi), zi None when ``re_only``."""
+    n = m * f
+    if mode == "bf16x3":
+        w3m, tws_r, tws_i, w6f = consts
+        yr, yi = _ks_real_dot(x2, None, None, mode, w3=w3m)
+        s2 = lambda ar, ai: _ks_complex_dot(  # noqa: E731
+            ar, ai, None, None, mode, w6=w6f, re_only=re_only)
+    else:
+        (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
+        yr, yi = _ks_real_dot(x2, wm_r, wm_i, mode)
+        s2 = lambda ar, ai: _ks_complex_dot(  # noqa: E731
+            ar, ai, wf_r, wf_i, mode, re_only=re_only)
+    tw_r = jnp.broadcast_to(tws_r[:, :, None],
+                            (m, f, cols)).reshape(m, f * cols)
+    tw_i = jnp.broadcast_to(tws_i[:, :, None],
+                            (m, f, cols)).reshape(m, f * cols)
+    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
+    yr = yr.T.reshape(f, cols, m)
+    yi = yi.T.reshape(f, cols, m)
+    zr, zi = s2(yr, yi)                              # (q, cols, m)
+    zr = jnp.swapaxes(zr, 1, 2).reshape(n, cols)
+    if zi is None:
+        return zr, None
+    return zr, jnp.swapaxes(zi, 1, 2).reshape(n, cols)
+
+
+def _dct2_kernel(m, f, mode, h, x_ref, *refs):
+    """Natural-layout DCT-II: block (T, n) real -> (T, n) real."""
+    consts = [r[:] for r in refs[:-3]]
+    w_r = refs[-3][:]               # (n, 1) post twiddle, k-ordered
+    w_i = refs[-2][:]
+    out_ref = refs[-1]
+    t = x_ref.shape[0]
+    xt = x_ref[:].T.reshape(h, 2, t)             # de-interleave even/odd
+    xe = xt[:, 0, :].reshape(m // 2, f * t)
+    xo3 = xt[:, 1, :].reshape(m // 2, f, t)
+    # the Makhoul tail's j-reversal: aligned lane-chunk permutation
+    xo2 = jnp.concatenate([xo3[:, jj, :] for jj in range(f - 1, -1, -1)],
+                          axis=1)                # (m/2, f*t)
+    x2 = jnp.concatenate([xe, xo2], axis=0)      # == v.T.reshape(m, f*t)
+    zr, zi = _real_ts_core_x2(x2, consts, m, f, t, mode, re_only=False)
+    out_ref[:] = (zr * w_r - zi * w_i).T         # (T, n)
+
+
+def _dct3_kernel(m, f, mode, x_ref, *refs):
+    consts = [r[:] for r in refs[:-3]]
+    h0 = refs[-3][:]                # (n, 1) x0-halving mask (column)
+    ev_ref, od_ref = refs[-2:]
+    t = x_ref.shape[0]
+    c = x_ref[:].T * h0                          # (n, T)
+    n = m * f
+    zr, _ = _real_ts_core_x2(c.reshape(m, f * t), consts, m, f, t, mode,
+                             re_only=True)
+    half = n // 2
+    ev_ref[:] = zr[:half, :].T
+    od_ref[:] = zr[half:, :].T
 
 
 def _tile(n, batch, dtype):
@@ -139,27 +185,29 @@ def _tile(n, batch, dtype):
 
 @lru_cache(maxsize=256)
 def _build_dct2(n: int, batch: int, dtype_str: str, interpret: bool,
-                mode: str):
+                mode: str, scale: float = 1.0):
     dtype = jnp.dtype(dtype_str)
-    m, f, consts = _fft_consts(n, -1, dtype)
+    m0, _f0 = _twostep_split(n)
+    # Makhoul fold: W'' rows = [Wm[:m/2]; Wm[m/2:][::-1]] (see module doc)
+    perm = np.concatenate([np.arange(m0 // 2),
+                           np.arange(m0 - 1, m0 // 2 - 1, -1)])
+    m, f, consts = _fft_consts(n, -1, dtype, mode, scale=scale,
+                               row_perm=perm)
     k = np.arange(n, dtype=np.int64)
     w = _cis(k, 2 * n, -1)                   # e^{-i pi k/(2n)}
-    consts = consts + [np.asarray(w[0], dtype).reshape(1, n),
-                       np.asarray(w[1], dtype).reshape(1, n)]
-    ne = (n + 1) // 2
+    consts = consts + [np.asarray(w[0], dtype).reshape(n, 1),
+                       np.asarray(w[1], dtype).reshape(n, 1)]
+    h = n // 2
     tile = _tile(n, batch, dtype)
     grid = (pl.cdiv(batch, tile),)
-    se = pl.BlockSpec((tile, ne), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    so = pl.BlockSpec((tile, n - ne), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM)
     sn = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_dct2_kernel, m, f, tile, mode, ne),
+        partial(_dct2_kernel, m, f, mode, h),
         out_shape=jax.ShapeDtypeStruct((batch, n), dtype),
         grid=grid,
-        in_specs=[se, so] + const_specs,
+        in_specs=[sn] + const_specs,
         out_specs=sn,
         cost_estimate=pl.CostEstimate(
             flops=int(7 * n * np.log2(max(n, 2)) * batch),
@@ -168,20 +216,21 @@ def _build_dct2(n: int, batch: int, dtype_str: str, interpret: bool,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
-    return lambda xe, xor: call(xe, xor, *consts)
+    return lambda x: call(x, *consts)
 
 
 @lru_cache(maxsize=256)
 def _build_dct3(n: int, batch: int, dtype_str: str, interpret: bool,
-                mode: str):
+                mode: str, scale: float = 1.0):
     dtype = jnp.dtype(dtype_str)
     m0, f0 = _twostep_split(n)
     tp = np.arange(m0, dtype=np.int64)
     a = _cis(tp, 2 * m0, -1)                 # e^{-i pi t'/(2m)}  (t' f/(2n))
     j = np.arange(f0, dtype=np.int64)
     b = _cis(j, 2 * n, -1)                   # e^{-i pi j/(2n)}
-    m, f, consts = _fft_consts(n, -1, dtype, pre_a=a, pre_b=b)
-    h0 = np.ones((1, n), dtype)
+    m, f, consts = _fft_consts(n, -1, dtype, mode, scale=scale,
+                               pre_a=a, pre_b=b, re_only_s2=True)
+    h0 = np.ones((n, 1), dtype)
     h0[0, 0] = 0.5
     consts = consts + [h0]
     tile = _tile(n, batch, dtype)
@@ -192,7 +241,7 @@ def _build_dct3(n: int, batch: int, dtype_str: str, interpret: bool,
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_dct3_kernel, m, f, tile, mode),
+        partial(_dct3_kernel, m, f, mode),
         out_shape=(jax.ShapeDtypeStruct((batch, n // 2), dtype),
                    jax.ShapeDtypeStruct((batch, n // 2), dtype)),
         grid=grid,
@@ -208,22 +257,25 @@ def _build_dct3(n: int, batch: int, dtype_str: str, interpret: bool,
     return lambda x: call(x, *consts)
 
 
-def dct2_pallas(x):
-    """(B, n) real -> DCT-II (rustdct convention) via the fused kernel.
-    Caller guarantees dct_pallas_supported(n, x.dtype)."""
+def dct2_pallas(x, scale=None):
+    """(B, n) real -> scale * DCT-II (rustdct convention) via the fused
+    natural-layout kernel (the Makhoul permutation and the normalization
+    scalar are folded into the constants). Caller guarantees
+    dct_pallas_supported(n, x.dtype)."""
     batch, n = x.shape
-    xe = x[:, 0::2]
-    xor = x[:, 1::2][:, ::-1]
     run = _build_dct2(n, batch, str(x.dtype),
-                      bool(config.pallas_interpret), dot_mode())
-    return run(xe, xor)
+                      bool(config.pallas_interpret), dot_mode(),
+                      float(1.0 if scale is None else scale))
+    return run(x)
 
 
-def dct3_pallas(x):
-    """(B, n) real -> DCT-III (rustdct convention) via the fused kernel."""
+def dct3_pallas(x, scale=None):
+    """(B, n) real -> scale * DCT-III (rustdct convention) via the fused
+    kernel; the normalization scalar rides the stage constants."""
     batch, n = x.shape
     run = _build_dct3(n, batch, str(x.dtype),
-                      bool(config.pallas_interpret), dot_mode())
+                      bool(config.pallas_interpret), dot_mode(),
+                      float(1.0 if scale is None else scale))
     ev, od = run(x)
     # unperm: z[2t] = head[t], z[2t+1] = flip(tail)[t]  (XLA interleave)
     z = jnp.stack([ev, od[:, ::-1]], axis=-1).reshape(batch, n)

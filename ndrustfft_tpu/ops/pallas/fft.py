@@ -119,7 +119,25 @@ def ks_w6_np(wr, wi):
     return np.concatenate([w_re, w_im], axis=1)      # (6t, 2p) bf16
 
 
-def _ks_complex_dot(xr, xi, wr, wi, mode, w6=None):
+def ks_w6_re_np(wr, wi):
+    """Real-output-rows-only variant of :func:`ks_w6_np`: (6t, p) bf16.
+
+    Computes only Re(w^T x) of the complex contraction — used by stages
+    whose imaginary output is discarded (DCT-III's combine), halving the
+    stage's MXU work."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    wr = np.asarray(wr, np.float32)
+    wi = np.asarray(wi, np.float32)
+    whr = wr.astype(bf)
+    wlr = (wr - whr.astype(np.float32)).astype(bf)
+    whi = wi.astype(bf)
+    wli = (wi - whi.astype(np.float32)).astype(bf)
+    return np.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
+
+
+def _ks_complex_dot(xr, xi, wr, wi, mode, w6=None, re_only=False):
     """Complex contraction out[p, N] = sum_t w[t, p] * x[t, N] on split
     re/im f32 values, as ONE K-stacked MXU dot in bf16x3 mode.
 
@@ -136,13 +154,17 @@ def _ks_complex_dot(xr, xi, wr, wi, mode, w6=None):
     Same arithmetic as bf16x3 (the lo*lo term dropped, f32 accumulation),
     33% more MACs than 3M (4m vs 3m per element) but ONE dot instance with
     K = 6t and M = 2p — the MXU-efficient shape. Non-bf16x3 modes fall back
-    to the 3M three-dot form. Pass ``w6`` (from :func:`ks_w6_np`) to skip
-    the in-kernel W build; ``wr``/``wi`` may then be None.
+    to the 3M three-dot form. Pass ``w6`` (from :func:`ks_w6_np`, or
+    :func:`ks_w6_re_np` with ``re_only``) to skip the in-kernel W build;
+    ``wr``/``wi`` may then be None. ``re_only`` computes just the real
+    output rows.
     """
     if mode != "bf16x3":
         def con(x, w):
             return _dg(w, x, (((0,), (0,)), ((), ())), mode)
 
+        if re_only:
+            return con(xr, wr) - con(xi, wi), None
         return _cdot(xr, xi, wr, wi, con)
     xhr, xlr = _bf16_split(xr)
     xhi_, xli_ = _bf16_split(xi)
@@ -151,19 +173,37 @@ def _ks_complex_dot(xr, xi, wr, wi, mode, w6=None):
         whr, wlr = _bf16_split(wr)
         whi, wli = _bf16_split(wi)
         w_re = jnp.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
-        w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
-        w6 = jnp.concatenate([w_re, w_im], axis=1)   # (6t, 2p)
+        if re_only:
+            w6 = w_re
+        else:
+            w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
+            w6 = jnp.concatenate([w_re, w_im], axis=1)   # (6t, 2p)
     out = jax.lax.dot_general(w6, x6, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
+    if re_only:
+        return out, None
     p_out = out.shape[0] // 2
     return out[:p_out], out[p_out:]
 
 
-def _ks_real_dot(x, wr, wi, mode, im_out=True):
+def ks_w3_np(w):
+    """Build-time (3t, P) bf16 K-stack of a real dot matrix ``w`` (t, P)
+    for the bf16x3 real-operand dot (numpy; see ks_w6_np)."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    w = np.asarray(w, np.float32)
+    hi = w.astype(bf)
+    lo = (w - hi.astype(np.float32)).astype(bf)
+    return np.concatenate([hi, hi, lo], axis=0)
+
+
+def _ks_real_dot(x, wr, wi, mode, im_out=True, w3=None):
     """out[p, N] = sum_t w[t, p] * x[t, N] for REAL x and complex w, as one
     K-stacked dot in bf16x3 mode (3 K-blocks); used by the fused DCT
     kernels' first stage. With im_out=False only the real rows are
-    computed."""
+    computed. Pass ``w3`` (ks_w3_np of the column-stacked [wr | wi], or of
+    wr alone when im_out=False) to skip the in-kernel W build."""
     if mode != "bf16x3":
         def con(v, w_):
             return _dg(w_, v, (((0,), (0,)), ((), ())), mode)
@@ -174,17 +214,18 @@ def _ks_real_dot(x, wr, wi, mode, im_out=True):
         return t1, con(x, wi)
     xh, xl = _bf16_split(x)
     x3 = jnp.concatenate([xh, xl, xh], axis=0)
-    whr, wlr = _bf16_split(wr)
-    parts = [jnp.concatenate([whr, whr, wlr], axis=0)]
-    if im_out:
-        whi, wli = _bf16_split(wi)
-        parts.append(jnp.concatenate([whi, whi, wli], axis=0))
-    w = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    out = jax.lax.dot_general(w, x3, (((0,), (0,)), ((), ())),
+    if w3 is None:
+        whr, wlr = _bf16_split(wr)
+        parts = [jnp.concatenate([whr, whr, wlr], axis=0)]
+        if im_out:
+            whi, wli = _bf16_split(wi)
+            parts.append(jnp.concatenate([whi, whi, wli], axis=0))
+        w3 = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    out = jax.lax.dot_general(w3, x3, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    p_out = wr.shape[1]
     if not im_out:
         return out, None
+    p_out = out.shape[0] // 2
     return out[:p_out], out[p_out:]
 
 

@@ -104,18 +104,16 @@ def _probe_axis_mid(n, nb, cols, mode):
 def _probe_dct2(n, batch, mode):
     from ..pallas import dct as D
 
-    run = D._build_dct2(n, batch, "float32", _interp(), mode)
+    run = D._build_dct2(n, batch, "float32", _interp(), mode, 2.0)
     rng = np.random.default_rng(0)
-    ne = (n + 1) // 2
-    xe = rng.standard_normal((batch, ne)).astype(np.float32)
-    xo = rng.standard_normal((batch, n - ne)).astype(np.float32)
-    return run, (xe, xo)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    return run, (x,)
 
 
 def _probe_dct3(n, batch, mode):
     from ..pallas import dct as D
 
-    run = D._build_dct3(n, batch, "float32", _interp(), mode)
+    run = D._build_dct3(n, batch, "float32", _interp(), mode, 2.0)
     rng = np.random.default_rng(0)
     x = rng.standard_normal((batch, n)).astype(np.float32)
     return run, (x,)

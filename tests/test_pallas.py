@@ -260,3 +260,18 @@ def test_pallas_nat_c2r_scalar_norm_fused():
     got = np.asarray(ndifft_r2c(jnp.asarray(spec), hs, axis=1))
     ref = c * np.asarray(ndifft_r2c(jnp.asarray(spec), hn, axis=1))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-3
+
+
+def test_pallas_dct_scalar_norm_fused():
+    # DCT norms fold into the fused kernels' constants (applied BEFORE the
+    # transform per the reference, src/lib.rs:688-741)
+    from ndrustfft_tpu import DctHandler, Normalization, nddct2, nddct3
+
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    for fn in (nddct2, nddct3):
+        hs = DctHandler(512).normalization(Normalization.scalar(0.7))
+        hn = DctHandler(512).normalization(Normalization.NONE)
+        got = np.asarray(fn(jnp.asarray(x), hs, axis=1))
+        ref = 0.7 * np.asarray(fn(jnp.asarray(x), hn, axis=1))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-3, fn

@@ -51,11 +51,46 @@ tl = tile_arg
 mode = dot_mode()
 
 
+def _bs(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _swapped_s1(xr, xi, wr, wi):
+    """stage-1 bf16x3 dot with OUT = (N, 2p): dot_general(x6, w6) — the
+    mid transpose disappears (out sublanes are already (j, l))."""
+    xhr, xlr = _bs(xr)
+    xhi_, xli_ = _bs(xi)
+    x6 = jnp.concatenate([xhr, xlr, xhr, xhi_, xli_, xhi_], axis=0)
+    whr, wlr = _bs(wr)
+    whi, wli = _bs(wi)
+    w_re = jnp.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
+    w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
+    w6 = jnp.concatenate([w_re, w_im], axis=1)        # (6m, 2p)
+    return jax.lax.dot_general(x6, w6, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def body(xr_ref, xi_ref, *refs):
     consts = [r[:] for r in refs[:-3]]
     or_ref, oi_ref, probe_ref = refs[-3:]
     (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
     probe_ref[:] = jnp.full((1, 8, 128), xr_ref[0, 0, 0], jnp.float32)
+    if variant == "swapfull":
+        # full kernel with the swapped stage-1 orientation: no mid transpose
+        xr2 = xr_ref[:].reshape(m, f * tl)
+        xi2 = xi_ref[:].reshape(m, f * tl)
+        out = _swapped_s1(xr2, xi2, wm_r, wm_i)       # (f*tl, 2m)
+        y = out.reshape(f, tl, 2 * m)
+        yr, yi = y[:, :, :m], y[:, :, m:]
+        twr = tws_r.T.reshape(f, 1, m)
+        twi = tws_i.T.reshape(f, 1, m)
+        yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+        zr, zi = _ks_complex_dot(yr, yi, wf_r, wf_i, mode)   # (q, tl, m)
+        or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
+        oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)
+        return
     if variant == "copy":
         or_ref[:] = xr_ref[:]
         oi_ref[:] = xi_ref[:]
@@ -95,7 +130,7 @@ def body(xr_ref, xi_ref, *refs):
 OUT_BLOCKS = {
     "copy": (1, n, tl), "entry": (1, m, f * tl), "s1": (1, m, f * tl),
     "s1tw": (1, m, f * tl), "s1twT": (1, f * tl, m),
-    "nos2": (1, n, tl), "full": (1, n, tl),
+    "nos2": (1, n, tl), "full": (1, n, tl), "swapfull": (1, n, tl),
 }
 
 
