@@ -287,14 +287,20 @@ def main():
             ndifft_r2c,
         )
 
+        # every grid chain uses FUSED drift normalization (scale=None, no
+        # external multiply pass): the pair/chain is kept off the exact
+        # identity by a (1 + 1e-3) factor folded into the inverse handler's
+        # scalar policy, so each iteration is public-API calls only.
+        drift = 1.001
         for m in [128, 264, 512, 1024]:
             # batch each size so in+out exceeds VMEM (>= 256 MB working set)
             bm = max(1, (1 << 27) // (m * m * 8))
             xc = (rng.standard_normal((bm, m, m))
                   + 1j * rng.standard_normal((bm, m, m))).astype(np.complex64)
-            hm = FftHandler(m)
-            t = per_transform(lambda v, _h=hm: ndfft(v, _h, axis=1), xc,
-                              scale=1.0 / math.sqrt(m), per_iter=bm)
+            hm = FftHandler(m).normalization(
+                Normalization.scalar(drift / math.sqrt(m)))
+            t = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
+                              scale=None, per_iter=bm)
             print(json.dumps({
                 "metric": f"fft2d_{m}_c2c_f32_axis0", "unit": "us/transform",
                 "value": round(t * 1e6, 2),
@@ -304,9 +310,12 @@ def main():
             bm = max(1, (1 << 27) // (m * m * 4))
             xr = rng.standard_normal((bm, m, m)).astype(np.float32)
             hr = R2cFftHandler(m)
+            hri = R2cFftHandler(m).normalization(
+                Normalization.scalar(drift / m))
             t = per_transform(
-                lambda v, _h=hr: ndifft_r2c(ndfft_r2c(v, _h, axis=1), _h,
-                                            axis=1), xr, per_iter=2 * bm)
+                lambda v, _h=hr, _hi=hri: ndifft_r2c(
+                    ndfft_r2c(v, _h, axis=1), _hi, axis=1),
+                xr, scale=None, per_iter=2 * bm)
             print(json.dumps({
                 "metric": f"rfft2d_{m}_f32_axis0", "unit": "us/transform",
                 "value": round(t * 1e6, 2),
@@ -315,21 +324,29 @@ def main():
             d = m + 1
             bm = max(1, (1 << 27) // (d * d * 4))
             xd = rng.standard_normal((bm, d, d)).astype(np.float32)
-            hd = DctHandler(d)
+            # dct3(dct2(x)) = (n/2) x in the rustdct convention: fold the
+            # 2/n + drift into the dct3 handler's scalar policy
+            hd2n = DctHandler(d).normalization(Normalization.NONE)
+            hd3 = DctHandler(d).normalization(
+                Normalization.scalar(2.0 * drift / d))
             t = per_transform(
-                lambda v, _h=hd, _d=d: nddct3(nddct2(v, _h, axis=1), _h,
-                                              axis=1) / (2.0 * _d), xd,
-                per_iter=2 * bm)
+                lambda v, _h2=hd2n, _h3=hd3: nddct3(
+                    nddct2(v, _h2, axis=1), _h3, axis=1),
+                xd, scale=None, per_iter=2 * bm)
             print(json.dumps({
                 "metric": f"dct2d_23_{d}_f32_axis0", "unit": "us/transform",
                 "value": round(t * 1e6, 2),
                 "gflops": round(0.5 * 5.0 * d * math.log2(d) * d / t / 1e9, 1),
             }))
-            # the reference's dct2d group benches DCT-I (self-inverse scaled)
+            # the reference's dct2d group benches DCT-I (self-inverse up to
+            # 2(n-1) in this convention): fold 1/(2(n-1)) + drift in
+            hd1a = DctHandler(d).normalization(Normalization.NONE)
+            hd1b = DctHandler(d).normalization(
+                Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
             t = per_transform(
-                lambda v, _h=hd, _d=d: nddct1(nddct1(v, _h, axis=1), _h,
-                                              axis=1) / (2.0 * (_d - 1)), xd,
-                per_iter=2 * bm)
+                lambda v, _ha=hd1a, _hb=hd1b: nddct1(
+                    nddct1(v, _ha, axis=1), _hb, axis=1),
+                xd, scale=None, per_iter=2 * bm)
             print(json.dumps({
                 "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
                 "value": round(t * 1e6, 2),
@@ -337,11 +354,13 @@ def main():
             # even-size DCT-II/III twin (runs the fused Pallas DCT kernels;
             # the reference's n+1 grid sizes are odd and keep the XLA path)
             xd2 = rng.standard_normal((bm, m, m)).astype(np.float32)
-            hd2 = DctHandler(m)
+            he2 = DctHandler(m).normalization(Normalization.NONE)
+            he3 = DctHandler(m).normalization(
+                Normalization.scalar(2.0 * drift / m))
             t = per_transform(
-                lambda v, _h=hd2, _m=m: nddct3(nddct2(v, _h, axis=1), _h,
-                                               axis=1) / (2.0 * _m), xd2,
-                per_iter=2 * bm)
+                lambda v, _h2=he2, _h3=he3: nddct3(
+                    nddct2(v, _h2, axis=1), _h3, axis=1),
+                xd2, scale=None, per_iter=2 * bm)
             print(json.dumps({
                 "metric": f"dct2d_23_{m}_f32_axis0", "unit": "us/transform",
                 "value": round(t * 1e6, 2),

@@ -120,25 +120,33 @@ def _fft_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
 
 def _real_ts_core_x2(x2, consts, m, f, cols, mode, re_only):
     """Twostep FFT core on a pre-assembled REAL x2 (m, f*cols); returns
-    n-LEADING (n, cols) (zr, zi), zi None when ``re_only``."""
+    n-LEADING (n, cols) (zr, zi), zi None when ``re_only``.
+
+    Stage 1 runs in the SWAPPED orientation (out (f*cols, 2p) =
+    dot_general(x3, w3)) so its output is already (j, l)-leading and the
+    mid lane<->sublane transpose disappears (see fft._ts_core_nlead)."""
+    from .fft import _bf16_split, _dg_sw
+
     n = m * f
     if mode == "bf16x3":
         w3m, tws_r, tws_i, w6f = consts
-        yr, yi = _ks_real_dot(x2, None, None, mode, w3=w3m)
+        xh, xl = _bf16_split(x2)
+        x3 = jnp.concatenate([xh, xl, xh], axis=0)
+        ab = jax.lax.dot_general(x3, w3m, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
         s2 = lambda ar, ai: _ks_complex_dot(  # noqa: E731
             ar, ai, None, None, mode, w6=w6f, re_only=re_only)
     else:
         (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
-        yr, yi = _ks_real_dot(x2, wm_r, wm_i, mode)
+        ab = jnp.concatenate([_dg_sw(x2, wm_r, mode),
+                              _dg_sw(x2, wm_i, mode)], axis=-1)
         s2 = lambda ar, ai: _ks_complex_dot(  # noqa: E731
             ar, ai, wf_r, wf_i, mode, re_only=re_only)
-    tw_r = jnp.broadcast_to(tws_r[:, :, None],
-                            (m, f, cols)).reshape(m, f * cols)
-    tw_i = jnp.broadcast_to(tws_i[:, :, None],
-                            (m, f, cols)).reshape(m, f * cols)
-    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
-    yr = yr.T.reshape(f, cols, m)
-    yi = yi.T.reshape(f, cols, m)
+    y3 = ab.reshape(f, cols, 2 * m)                  # (j, l, [re p | im p])
+    yr, yi = y3[:, :, :m], y3[:, :, m:]
+    twr = tws_r.T.reshape(f, 1, m)                   # tiny (m, f) const flip
+    twi = tws_i.T.reshape(f, 1, m)
+    yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
     zr, zi = s2(yr, yi)                              # (q, cols, m)
     zr = jnp.swapaxes(zr, 1, 2).reshape(n, cols)
     if zi is None:

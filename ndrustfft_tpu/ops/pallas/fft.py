@@ -742,27 +742,73 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     return run
 
 
+def _ks_complex_dot_swapped(xr, xi, wr, wi, mode, w6=None):
+    """Complex contraction with the OUTPUT's non-contracted dims LEADING:
+    out (N, 2p) = dot_general(x6, w6) instead of (2p, N).
+
+    Same arithmetic as :func:`_ks_complex_dot` (same w6 constant), but the
+    swapped orientation leaves the result already (j, l)-leading, deleting
+    the downstream lane<->sublane transpose — measured faster on v5e (the
+    MXU's native dataflow is stationary-W, streamed-x rows)."""
+    if mode != "bf16x3":
+        def con(a, b):
+            return _dg_sw(a, b, mode)
+
+        return _cdot(xr, xi, wr, wi, con)
+    xhr, xlr = _bf16_split(xr)
+    xhi_, xli_ = _bf16_split(xi)
+    x6 = jnp.concatenate([xhr, xlr, xhr, xhi_, xli_, xhi_], axis=0)
+    if w6 is None:
+        whr, wlr = _bf16_split(wr)
+        whi, wli = _bf16_split(wi)
+        w_re = jnp.concatenate([whr, whr, wlr, -whi, -whi, -wli], axis=0)
+        w_im = jnp.concatenate([whi, whi, wli, whr, whr, wlr], axis=0)
+        w6 = jnp.concatenate([w_re, w_im], axis=1)
+    out = jax.lax.dot_general(x6, w6, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    p_out = out.shape[-1] // 2
+    return out[..., :p_out], out[..., p_out:]
+
+
+def _dg_sw(x, w, mode):
+    """dot_general(x, w) contracting both dim-0s; f32 out (N, P)."""
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(x, w, (((0,), (0,)), ((), ())),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+
+
 def _ts_core_nlead(xr, xi, consts, m, f, cols, mode):
     """Twostep core on n-LEADING (n, C) split re/im pairs -> (n, C).
 
-    The all-2-D-matmul dataflow without any entry/exit row transposes: the
-    caller's layout already has the transform dim leading, so
-    (n, C) -> (m, f*C) is a pure reshape (leading split + middle-into-lane
-    merge, both Mosaic-legal). Shared by the axis-mid C2C kernel and the
-    natural-layout R2C/C2R kernels (rfft.py)."""
-    dot1, (tws_r, tws_i), dot2 = _ts_dots(consts, mode)
+    The all-2-D-matmul dataflow with ONE relayout total (the intrinsic
+    exit swap): the caller's layout already has the transform dim leading,
+    so (n, C) -> (m, f*C) is a pure reshape, and stage 1 runs in the
+    SWAPPED orientation (out (f*C, 2p) = dot_general(x6, w6)) so its
+    output is already (j, l)-leading — the mid lane<->sublane transpose of
+    the row-oriented form disappears (measured win on v5e). Shared by the
+    axis-mid C2C kernel and the natural-layout R2C/C2R kernels (rfft.py).
+    """
     n = m * f
-    tw_r = jnp.broadcast_to(tws_r[:, :, None],
-                            (m, f, cols)).reshape(m, f * cols)
-    tw_i = jnp.broadcast_to(tws_i[:, :, None],
-                            (m, f, cols)).reshape(m, f * cols)
+    if len(consts) == 4:
+        w6m, tws_r, tws_i, w6f = consts
+        wm = (None, None)
+        wf = (None, None)
+    else:
+        (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
+        w6m = w6f = None
+        wm = (wm_r, wm_i)
+        wf = (wf_r, wf_i)
     xr2 = xr.reshape(m, f * cols)         # x2[t', (j, l)]
     xi2 = xi.reshape(m, f * cols)
-    yr, yi = dot1(xr2, xi2)                          # S1[p, (j, l)]
-    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
-    yr = yr.T.reshape(f, cols, m)                    # (j, l, p)
-    yi = yi.T.reshape(f, cols, m)
-    zr, zi = dot2(yr, yi)                            # (q, l, p)
+    yr, yi = _ks_complex_dot_swapped(xr2, xi2, wm[0], wm[1], mode, w6=w6m)
+    yr = yr.reshape(f, cols, m)                      # (j, l, p) — no .T
+    yi = yi.reshape(f, cols, m)
+    twr = tws_r.T.reshape(f, 1, m)                   # tiny (m, f) const flip
+    twi = tws_i.T.reshape(f, 1, m)
+    yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+    zr, zi = _ks_complex_dot(yr, yi, wf[0], wf[1], mode, w6=w6f)  # (q, l, p)
     # out[k = q*m + p, l]: swap the last two dims, merge leading (q, p)
     zr = jnp.swapaxes(zr, 1, 2).reshape(n, cols)
     zi = jnp.swapaxes(zi, 1, 2).reshape(n, cols)

@@ -72,11 +72,67 @@ def _swapped_s1(xr, xi, wr, wi):
                                preferred_element_type=jnp.float32)
 
 
+_C = 0.7071067811865476
+
+
+def _bfly8(y, sign):
+    """8-point DFT over the leading dim of (8, cols, m) (re, im) plane
+    pairs via 3 radix-2 DIF levels on the VPU; natural output order."""
+    yr, yi = y
+    s = -1.0 if sign < 0 else 1.0   # W^1 = (C, s*C) with W = e^{s 2pi i/8}
+
+    def cm(r, i, a, b):             # complex multiply by scalar (a, b)
+        return r * a - i * b, r * b + i * a
+
+    # level 1: span 4, twiddles W^k on the bottom half
+    t = [(yr[k], yi[k]) for k in range(4)]
+    b = [(yr[k], yi[k]) for k in range(4, 8)]
+    top = [(tr + br, ti + bi) for (tr, ti), (br, bi) in zip(t, b)]
+    dif = [(tr - br, ti - bi) for (tr, ti), (br, bi) in zip(t, b)]
+    tw1 = [(1.0, 0.0), (_C, s * _C), (0.0, s), (-_C, s * _C)]
+    bot = [cm(r, i, a, bb) for (r, i), (a, bb) in zip(dif, tw1)]
+
+    def four(g):                    # 4-point DIF on a list of 4 pairs
+        (a0, b0), (a1, b1), (a2, b2), (a3, b3) = g
+        u0 = (a0 + a2, b0 + b2)
+        u1 = (a1 + a3, b1 + b3)
+        d0 = (a0 - a2, b0 - b2)
+        d1 = cm(a1 - a3, b1 - b3, 0.0, s)    # * W^2 = (0, s)
+        # level 3: pairs (u0,u1) and (d0,d1); outputs bit-reversed q
+        return [(u0[0] + u1[0], u0[1] + u1[1]),
+                (u0[0] - u1[0], u0[1] - u1[1]),
+                (d0[0] + d1[0], d0[1] + d1[1]),
+                (d0[0] - d1[0], d0[1] - d1[1])]
+
+    e = four(top)   # q even: [0, 4, 2, 6]
+    o = four(bot)   # q odd:  [1, 5, 3, 7]
+    order = {0: e[0], 4: e[1], 2: e[2], 6: e[3],
+             1: o[0], 5: o[1], 3: o[2], 7: o[3]}
+    zr = jnp.concatenate([order[q][0][None] for q in range(8)], axis=0)
+    zi = jnp.concatenate([order[q][1][None] for q in range(8)], axis=0)
+    return zr, zi
+
+
 def body(xr_ref, xi_ref, *refs):
     consts = [r[:] for r in refs[:-3]]
     or_ref, oi_ref, probe_ref = refs[-3:]
     (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
     probe_ref[:] = jnp.full((1, 8, 128), xr_ref[0, 0, 0], jnp.float32)
+    if variant == "bfly":
+        # swapped stage-1 + VPU radix-2 butterflies for the f=8 combine
+        # (replaces the M=16,K=48 padded MXU dot)
+        xr2 = xr_ref[:].reshape(m, f * tl)
+        xi2 = xi_ref[:].reshape(m, f * tl)
+        out = _swapped_s1(xr2, xi2, wm_r, wm_i)       # (f*tl, 2m)
+        y = out.reshape(f, tl, 2 * m)
+        yr, yi = y[:, :, :m], y[:, :, m:]
+        twr = tws_r.T.reshape(f, 1, m)
+        twi = tws_i.T.reshape(f, 1, m)
+        yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+        zr, zi = _bfly8((yr, yi), -1)                 # (q, tl, m)
+        or_ref[:] = jnp.swapaxes(zr, 1, 2).reshape(1, n, tl)
+        oi_ref[:] = jnp.swapaxes(zi, 1, 2).reshape(1, n, tl)
+        return
     if variant == "swapfull":
         # full kernel with the swapped stage-1 orientation: no mid transpose
         xr2 = xr_ref[:].reshape(m, f * tl)
@@ -131,6 +187,7 @@ OUT_BLOCKS = {
     "copy": (1, n, tl), "entry": (1, m, f * tl), "s1": (1, m, f * tl),
     "s1tw": (1, m, f * tl), "s1twT": (1, f * tl, m),
     "nos2": (1, n, tl), "full": (1, n, tl), "swapfull": (1, n, tl),
+    "bfly": (1, n, tl),
 }
 
 
