@@ -147,7 +147,15 @@ def _real_ts_core_x2(x2, consts, m, f, cols, mode, re_only):
     twr = tws_r.T.reshape(f, 1, m)                   # tiny (m, f) const flip
     twi = tws_i.T.reshape(f, 1, m)
     yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
-    zr, zi = s2(yr, yi)                              # (q, cols, m)
+    from .fft import _BFLY_F, bfly_dft_leading
+
+    if f in _BFLY_F:
+        planes = bfly_dft_leading([(yr[k], yi[k]) for k in range(f)], -1)
+        zr = jnp.concatenate([p[0][None] for p in planes], axis=0)
+        zi = (None if re_only else
+              jnp.concatenate([p[1][None] for p in planes], axis=0))
+    else:
+        zr, zi = s2(yr, yi)                          # (q, cols, m)
     zr = jnp.swapaxes(zr, 1, 2).reshape(n, cols)
     if zi is None:
         return zr, None

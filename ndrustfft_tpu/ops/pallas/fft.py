@@ -28,20 +28,22 @@ matmuls use the 3-multiplication form. Plans whose shapes don't fit
 (Bluestein sizes, f64, n with no suitable lane factor) fall back to the XLA
 engine.
 
-STATUS (round 2, measured on v5e with the HBM-honest chained protocol,
-16x1024x1024 per transform — tools/time_kernels.py): with manual bf16x3
-dots (dot_mode below) and the all-2-D-matmul 'twostep' dataflow the
-kernels BEAT both the XLA-engine lowering and jnp.fft:
+STATUS (round 2, measured on v5e, tools/time_kernels.py; 1024^2 c64,
+batch 16, us/transform):
 
-    lane-last twostep   99.0 us   |  XLA engine (lane-last) 163.5 us
-    axis-mid twostep   106.0 us   |  XLA engine (axis 1)    145.7 us
-    recursive 'mosaic' 160-221 us |  jnp.fft                174.1 us
+  round-2 start (row-oriented twostep, external scale pass)    106.0
+  + host-prebuilt K-stacked bf16 W consts (ks_w6_np)            85.2
+  + fused scalar normalization (chain = kernel-only)            75.2
+  + swapped stage-1 dot orientation (one relayout total)        59.8
+  jnp.fft.ifft + the same (unfusable) scale, same chain        153.4
 
-Kernels are ON by default (config.use_pallas); the recursive flavors
-remain for sizes without a {128,256} split. Correctness is pinned in
-interpreter mode (tests/test_pallas.py) and every flavor x dot mode is
-compile-verified on the real toolchain by ops/pallas/probe.py
-(bench.py --compile-check).
+The boundary passes were the story: jnp.real/imag extraction and the
+external normalization multiply cost more than the kernel math (see
+NOTES_TPU.md round-2 attribution). Kernels are ON by default
+(config.use_pallas); the recursive flavors remain for sizes without a
+{128,256} split. Correctness is pinned in interpreter mode
+(tests/test_pallas.py) and every flavor x dot mode is compile-verified
+on the real toolchain by ops/pallas/probe.py (bench.py --compile-check).
 """
 
 from __future__ import annotations
@@ -633,45 +635,37 @@ def _twostep_split(n: int):
     return m, n // m
 
 
-def _ts_dots(consts, mode):
-    """Split the twostep consts list into (stage-1 dot, twiddle, stage-2 dot)
-    closures: 4 consts = hoisted bf16 K-stacked Ws, 6 = f32 (re, im) pairs."""
+def _twostep_math(xr, xi, consts, m, f, rows, mode, sign=None):
+    """(rows, n) complex pair -> (rows, n) via the twostep dataflow on
+    ROW-oriented tiles; shared by the lane-last C2C twostep kernel and the
+    packed R2C kernel (rfft.py).
+
+    Stage 1 runs in the SWAPPED orientation after the entry transpose
+    (out (f*T, 2p) = dot_general(x6, w6)) so the mid lane<->sublane
+    transpose of the original form disappears; the f-combine uses VPU
+    butterflies for tiny power-of-two f when ``sign`` is known (see
+    _ts_core_nlead / _combine_f).
+    """
+    n = m * f
     if len(consts) == 4:
         w6m, tws_r, tws_i, w6f = consts
-        return (lambda ar, ai: _ks_complex_dot(ar, ai, None, None, mode,
-                                               w6=w6m),
-                (tws_r, tws_i),
-                lambda ar, ai: _ks_complex_dot(ar, ai, None, None, mode,
-                                               w6=w6f))
-    (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
-    return (lambda ar, ai: _ks_complex_dot(ar, ai, wm_r, wm_i, mode),
-            (tws_r, tws_i),
-            lambda ar, ai: _ks_complex_dot(ar, ai, wf_r, wf_i, mode))
-
-
-def _twostep_math(xr, xi, consts, m, f, rows, mode):
-    """(rows, n) complex pair -> (rows, n) via the all-2-D-matmul twostep
-    dataflow — the measured-fastest kernel body; shared by the C2C twostep
-    kernel and the fused R2C/C2R kernels (rfft.py).
-
-    The stage twiddle TW[p, (j,t)] is built IN VMEM from the small (m, f)
-    constant (broadcast + middle-into-lane merge, both Mosaic-legal):
-    shipping the repeated (m, f*rows) constant as an input block re-DMAs
-    ~0.5 MB x2 from HBM on every grid step — measured as a dominant cost.
-    """
-    dot1, (tws_r, tws_i), dot2 = _ts_dots(consts, mode)
-    n = m * f
-    tw_r = jnp.broadcast_to(tws_r[:, :, None], (m, f, rows)).reshape(m, f * rows)
-    tw_i = jnp.broadcast_to(tws_i[:, :, None], (m, f, rows)).reshape(m, f * rows)
-
-    # x2: (m, f*T)   ->  S1[p, (j,t)] = sum_t' Wm[t', p] x[t', (j,t)]
+        wm = (None, None)
+        wf_arg = w6f
+    else:
+        (wm_r, wm_i, tws_r, tws_i, wf_r, wf_i) = consts
+        w6m = None
+        wm = (wm_r, wm_i)
+        wf_arg = (wf_r, wf_i)
+    # x2: (m, f*T)   ->  stage 1 swapped: out ((j,t), 2p)
     xr2 = xr.T.reshape(m, f * rows)
     xi2 = xi.T.reshape(m, f * rows)
-    yr, yi = dot1(xr2, xi2)                          # (m, f*T)
-    yr, yi = yr * tw_r - yi * tw_i, yr * tw_i + yi * tw_r
-    yr = yr.T.reshape(f, rows, m)                    # (j, t, p)
-    yi = yi.T.reshape(f, rows, m)
-    zr, zi = dot2(yr, yi)                            # (q, t, p)
+    yr, yi = _ks_complex_dot_swapped(xr2, xi2, wm[0], wm[1], mode, w6=w6m)
+    yr = yr.reshape(f, rows, m)                      # (j, t, p)
+    yi = yi.reshape(f, rows, m)
+    twr = tws_r.T.reshape(f, 1, m)
+    twi = tws_i.T.reshape(f, 1, m)
+    yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+    zr, zi = _combine_f(yr, yi, wf_arg, f, mode, sign)           # (q, t, p)
     zr = jnp.transpose(zr, (1, 0, 2)).reshape(rows, n)
     zi = jnp.transpose(zi, (1, 0, 2)).reshape(rows, n)
     return zr, zi
@@ -700,11 +694,11 @@ def _twostep_consts(n: int, sign: int, dtype, mode: str = "default",
     return consts, (m, f)
 
 
-def _kernel_twostep(m, f, tile, mode, xr_ref, xi_ref, *refs):
+def _kernel_twostep(m, f, tile, mode, sign, xr_ref, xi_ref, *refs):
     consts = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
     or_ref[:], oi_ref[:] = _twostep_math(xr_ref[:], xi_ref[:], consts,
-                                         m, f, tile, mode)
+                                         m, f, tile, mode, sign)
 
 
 @lru_cache(maxsize=256)
@@ -722,7 +716,7 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_kernel_twostep, m, f, tile, mode),
+        partial(_kernel_twostep, m, f, tile, mode, sign),
         out_shape=(jax.ShapeDtypeStruct((batch, n), dtype),
                    jax.ShapeDtypeStruct((batch, n), dtype)),
         grid=grid,
@@ -779,7 +773,65 @@ def _dg_sw(x, w, mode):
                                preferred_element_type=jnp.float32)
 
 
-def _ts_core_nlead(xr, xi, consts, m, f, cols, mode):
+_BFLY_F = (2, 4, 8)
+
+
+def bfly_dft_leading(planes, sign):
+    """f-point DFT over the leading dim, as radix-2 DIF butterflies on the
+    VPU; ``planes`` is a list of f (re, im) array pairs, output in NATURAL
+    order (X[2q] = DFT(top)[q], X[2q+1] = DFT(bot)[q], recursively).
+
+    For tiny f the MXU stage-2 dot wastes >90% of the systolic array
+    (M = 2f, K = 6f vs the 128^3 tile) — these adds measured ~8% faster
+    end-to-end at f=8 on v5e. Twiddles are python scalars; multiplies by
+    ±1/±i reduce to sign flips and re/im swaps.
+    """
+    import math
+
+    f = len(planes)
+    if f == 1:
+        return planes
+    h = f // 2
+    tops, bots = [], []
+    for k in range(h):
+        ar, ai = planes[k]
+        br, bi = planes[k + h]
+        tops.append((ar + br, ai + bi))
+        dr, di = ar - br, ai - bi
+        wr_ = math.cos(2 * math.pi * k / f)
+        wi_ = math.sin(2 * math.pi * k / f) * (1.0 if sign > 0 else -1.0)
+        if k == 0:
+            bots.append((dr, di))
+        elif abs(wr_) < 1e-12:      # *(0, +-1): re/im swap + sign
+            bots.append((-di * wi_, dr * wi_))
+        else:
+            bots.append((dr * wr_ - di * wi_, dr * wi_ + di * wr_))
+    e = bfly_dft_leading(tops, sign)
+    o = bfly_dft_leading(bots, sign)
+    out = []
+    for q in range(h):
+        out.append(e[q])
+        out.append(o[q])
+    return out
+
+
+def _combine_f(yr, yi, consts_wf, f, mode, sign):
+    """Stage-2 combine over the leading f dim of (f, C, m) pairs ->
+    (f, C, m) in natural q order: VPU butterflies for tiny power-of-two f,
+    the K-stacked MXU dot otherwise."""
+    if f in _BFLY_F and sign is not None:
+        planes = [(yr[k], yi[k]) for k in range(f)]
+        z = bfly_dft_leading(planes, sign)
+        zr = jnp.concatenate([p[0][None] for p in z], axis=0)
+        zi = jnp.concatenate([p[1][None] for p in z], axis=0)
+        return zr, zi
+    w6f_or_pair = consts_wf
+    if isinstance(w6f_or_pair, tuple):
+        return _ks_complex_dot(yr, yi, w6f_or_pair[0], w6f_or_pair[1], mode)
+    return _ks_complex_dot(yr, yi, None, None, mode, w6=w6f_or_pair)
+
+
+def _ts_core_nlead(xr, xi, consts, m, f, cols, mode, sign=None):
     """Twostep core on n-LEADING (n, C) split re/im pairs -> (n, C).
 
     The all-2-D-matmul dataflow with ONE relayout total (the intrinsic
@@ -808,21 +860,23 @@ def _ts_core_nlead(xr, xi, consts, m, f, cols, mode):
     twr = tws_r.T.reshape(f, 1, m)                   # tiny (m, f) const flip
     twi = tws_i.T.reshape(f, 1, m)
     yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
-    zr, zi = _ks_complex_dot(yr, yi, wf[0], wf[1], mode, w6=w6f)  # (q, l, p)
+    wf_arg = w6f if w6f is not None else wf
+    zr, zi = _combine_f(yr, yi, wf_arg, f, mode, sign)           # (q, l, p)
     # out[k = q*m + p, l]: swap the last two dims, merge leading (q, p)
     zr = jnp.swapaxes(zr, 1, 2).reshape(n, cols)
     zi = jnp.swapaxes(zi, 1, 2).reshape(n, cols)
     return zr, zi
 
 
-def _kernel_axis_mid_ts(m, f, tl, mode, xr_ref, xi_ref, *refs):
+def _kernel_axis_mid_ts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
     """Twostep dataflow on an (1, n, TL) mid-axis block via the n-leading
     core (no entry transpose — the block is already n-leading)."""
     consts = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
     n = m * f
     zr, zi = _ts_core_nlead(xr_ref[:].reshape(n, tl),
-                            xi_ref[:].reshape(n, tl), consts, m, f, tl, mode)
+                            xi_ref[:].reshape(n, tl), consts, m, f, tl, mode,
+                            sign)
     or_ref[:] = zr.reshape(1, n, tl)
     oi_ref[:] = zi.reshape(1, n, tl)
 
@@ -873,7 +927,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                                     lambda b, i, _r=c.ndim: (0,) * _r,
                                     memory_space=pltpu.VMEM) for c in consts]
         call = pl.pallas_call(
-            partial(_kernel_axis_mid_ts, m, f, tile, mode),
+            partial(_kernel_axis_mid_ts, m, f, tile, mode, sign),
             out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
                        jax.ShapeDtypeStruct((nb, n, cols), dtype)),
             in_specs=[spec, spec] + const_specs,

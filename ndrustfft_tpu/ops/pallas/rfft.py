@@ -115,7 +115,7 @@ def _half_fft_consts(h: int, sign: int, dtype, mode: str):
     ts = _twostep_split(h)
     if h > 256 and ts is not None and ts[0] <= config.max_base_radix:
         consts, (m, f) = _twostep_consts(h, sign, dtype, mode)
-        return consts, ("ts", m, f)
+        return consts, ("ts", m, f, sign)
     f, m, mid, lane, tw = _plan_consts(h, sign, dtype)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
     return consts, ("gen", struct, has_base, has_tw, m, f)
@@ -124,8 +124,9 @@ def _half_fft_consts(h: int, sign: int, dtype, mode: str):
 def _half_fft(wr, wi, const_vals, meta, mode):
     """Run the length-h FFT on a (rows, h) complex pair inside a kernel."""
     if meta[0] == "ts":
-        _, m, f = meta
-        return _twostep_math(wr, wi, const_vals, m, f, wr.shape[0], mode)
+        _, m, f, sign = meta
+        return _twostep_math(wr, wi, const_vals, m, f, wr.shape[0], mode,
+                             sign)
     _, struct, has_base, has_tw, m, f = meta
     stages, base, lane, tw = _unflat(const_vals, struct, has_base, has_tw)
     return _lane_last_math(wr, wi, stages, base, lane, tw, m, f, mode)
@@ -232,7 +233,7 @@ def _r2c_kernel_nat(m_, f_, mode, h, x_ref, *refs):
     # columns [z | conj(z)] through one n-leading FFT_h
     wr = jnp.concatenate([xe, xe], axis=1)
     wi = jnp.concatenate([xo, -xo], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode, -1)
     zr, zi = yr[:, :t], yi[:, :t]
     cr, ci = yr[:, t:], yi[:, t:]
     fer = 0.5 * (zr + cr)
@@ -327,7 +328,7 @@ def _c2r_kernel_nat(m_, f_, mode, h, sr_ref, si_ref, *refs):
     # columns [P | conj(Q)] through one n-leading IFFTu_h (+1 consts)
     wr = jnp.concatenate([pr, qr], axis=1)
     wi = jnp.concatenate([pi, -qi], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode, +1)
     # z = IFFTu(P) + conj(IFFTu(conj Q)); x[2l] = 2 Re z, x[2l+1] = 2 Im z
     ev = 2.0 * (yr[:, :t] + yr[:, t:])       # (h, T)
     od = 2.0 * (yi[:, :t] - yi[:, t:])
