@@ -907,7 +907,10 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
         if config.pallas_tile:
             tile = min(cols, config.pallas_tile)
-    grid = (nb, pl.cdiv(cols, tile))
+    gc = pl.cdiv(cols, tile)
+    # 1-D grid (flattened (b, i)): pallas pipelines the innermost grid dim;
+    # flattening removes the double-buffer stall at each batch boundary
+    grid = (nb * gc,)
     flops = 10.0 * n * np.log2(max(n, 2)) * nb * cols
     common = dict(
         grid=grid,
@@ -921,10 +924,10 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
     )
     if use_ts:
         consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
-        spec = pl.BlockSpec((1, n, tile), lambda b, i: (b, 0, i),
+        spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
                             memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape,
-                                    lambda b, i, _r=c.ndim: (0,) * _r,
+                                    lambda g, _r=c.ndim: (0,) * _r,
                                     memory_space=pltpu.VMEM) for c in consts]
         call = pl.pallas_call(
             partial(_kernel_axis_mid_ts, m, f, tile, mode, sign),
@@ -938,11 +941,11 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
 
     f, m, mid, lane, tw = _plan_consts(n, sign, dtype, scale)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
-    in_spec = pl.BlockSpec((1, m, f, tile), lambda b, i: (b, 0, 0, i),
+    in_spec = pl.BlockSpec((1, m, f, tile), lambda g: (g // gc, 0, 0, g % gc),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, f, m, tile), lambda b, i: (b, 0, 0, i),
+    out_spec = pl.BlockSpec((1, f, m, tile), lambda g: (g // gc, 0, 0, g % gc),
                             memory_space=pltpu.VMEM)
-    const_specs = [pl.BlockSpec(c.shape, lambda b, i, _r=c.ndim: (0,) * _r,
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
         partial(_kernel_axis_mid, struct, has_base, has_tw, m, f, mode),
