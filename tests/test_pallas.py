@@ -152,9 +152,12 @@ def test_pallas_fused_c2r_dc_nyquist_pin():
 
 
 def test_pallas_axis_mid_kernel():
-    # transpose-free mid-axis kernel: (B, n, L) along axis 1
+    # transpose-free mid-axis kernel: (B, n, L) along axis 1.
+    # n=384 -> twostep (m=128, f=3): the MXU stage-2 combine (f not a
+    # butterfly size); n=512 -> f=4 and n=1024 -> f=8 butterfly combines;
+    # n=264 -> the generic recursive body; n=16 -> dense lane path.
     rng = np.random.default_rng(11)
-    for n in [16, 264, 1024]:
+    for n in [16, 264, 384, 512, 1024]:
         x = (rng.standard_normal((3, n, 40))
              + 1j * rng.standard_normal((3, n, 40))).astype(np.complex64)
         h = FftHandler(n)
