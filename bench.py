@@ -372,13 +372,14 @@ def main():
         # serial ones (the reference's rayon lane-parallelism is inherent
         # VPU/MXU batching here; multi-chip routing engages only on
         # mesh-sharded inputs) — measured to pin that equivalence.
-        from ndrustfft_tpu import ndfft_par
+        from ndrustfft_tpu import ndifft_par
 
-        xc = (rng.standard_normal((2, 1024, 1024))
-              + 1j * rng.standard_normal((2, 1024, 1024))).astype(np.complex64)
-        hp = FftHandler(1024)
-        t = per_transform(lambda v: ndfft_par(v, hp, axis=1), xc,
-                          scale=1.0 / math.sqrt(1024), per_iter=2)
+        xc = (rng.standard_normal((16, 1024, 1024))
+              + 1j * rng.standard_normal((16, 1024, 1024))).astype(np.complex64)
+        hp = FftHandler(1024).normalization(
+            Normalization.scalar(drift / math.sqrt(1024)))
+        t = per_transform(lambda v: ndifft_par(v, hp, axis=1), xc,
+                          scale=None, per_iter=16)
         print(json.dumps({
             "metric": "fft2d_par_1024_c2c_f32_axis0", "unit": "us/transform",
             "value": round(t * 1e6, 2),

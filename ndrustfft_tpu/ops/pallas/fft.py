@@ -868,6 +868,21 @@ def _ts_core_nlead(xr, xi, consts, m, f, cols, mode, sign=None):
     return zr, zi
 
 
+def _kernel_axis_mid_dense(n, tl, mode, xr_ref, xi_ref, *refs):
+    """(1, n, TL) block, n <= 256: one dense K-stacked DFT dot; the output
+    rows land directly in the block layout (zero relayouts)."""
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    xr = xr_ref[:].reshape(n, tl)
+    xi = xi_ref[:].reshape(n, tl)
+    if len(consts) == 1:
+        zr, zi = _ks_complex_dot(xr, xi, None, None, mode, w6=consts[0])
+    else:
+        zr, zi = _ks_complex_dot(xr, xi, consts[0], consts[1], mode)
+    or_ref[:] = zr.reshape(1, n, tl)
+    oi_ref[:] = zi.reshape(1, n, tl)
+
+
 def _kernel_axis_mid_ts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
     """Twostep dataflow on an (1, n, TL) mid-axis block via the n-leading
     core (no entry transpose — the block is already n-leading)."""
@@ -901,6 +916,11 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
     dtype = jnp.dtype(dtype_str)
     ts = _twostep_split(n)
     use_ts = n > 256 and ts is not None and ts[0] <= config.max_base_radix
+    # dense single-dot for small n, and for mid-size n WITHOUT a {128,256}
+    # split (e.g. the reference's 264 grid), where the only alternative is
+    # the slow recursive leading-dot body (measured 34 us at 264 vs the
+    # dense dot's MXU estimate of ~8)
+    use_dense = n <= 256 or (not use_ts and n <= 512)
     if cols <= 128:
         tile = cols
     else:
@@ -922,6 +942,32 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
+    if use_dense:
+        # n <= 256: ONE dense K-stacked DFT dot, zero relayouts — the
+        # (2n, TL) output rows ARE the out block's layout. Replaces the
+        # recursive leading-dot body (measured 5x slower at n=128 on the
+        # --all grid: fft2d_128 9.9 us vs the comparable rfft/dct rows'
+        # ~2 us).
+        wr_, wi_ = dft_matrix(n, sign)
+        if mode == "bf16x3":
+            consts = [ks_w6_np(wr_ * scale, wi_ * scale)]
+        else:
+            consts = [np.asarray(wr_ * scale, dtype),
+                      np.asarray(wi_ * scale, dtype)]
+        spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(c.shape,
+                                    lambda g, _r=c.ndim: (0,) * _r,
+                                    memory_space=pltpu.VMEM) for c in consts]
+        call = pl.pallas_call(
+            partial(_kernel_axis_mid_dense, n, tile, mode),
+            out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
+                       jax.ShapeDtypeStruct((nb, n, cols), dtype)),
+            in_specs=[spec, spec] + const_specs,
+            out_specs=(spec, spec),
+            **common,
+        )
+        return lambda xr, xi: call(xr, xi, *consts)
     if use_ts:
         consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
         spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),

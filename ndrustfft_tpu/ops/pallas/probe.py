@@ -134,6 +134,7 @@ PROBES = [
     ("c2r_nat   n=1024", _probe_c2r_nat, dict(n=1024, batch=256)),
     ("axis_mid  n=1024", _probe_axis_mid, dict(n=1024, nb=4, cols=256)),
     ("axis_mid  n=264", _probe_axis_mid, dict(n=264, nb=4, cols=256)),
+    ("axis_mid  n=128 dense", _probe_axis_mid, dict(n=128, nb=4, cols=256)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
     ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),
 ]
