@@ -144,13 +144,41 @@ def _c2c_impl(x, handler, axis, sign):
     return jnp.moveaxis(y, -1, axis)
 
 
+def _mid_dims(x, axis):
+    """(nb, cols) for the axis-mid kernels, or None when ineligible."""
+    import numpy as _np
+
+    from .config import config as _cfg
+
+    if axis >= x.ndim - 1:
+        return None
+    cols = int(_np.prod(x.shape[axis + 1:]))
+    if cols < (8 if _cfg.pallas_interpret else 128):
+        return None
+    nb = int(_np.prod(x.shape[:axis])) if axis else 1
+    return nb, cols
+
+
 def _r2c_impl(x, handler, axis):
     axis = _norm_axis(axis, x.ndim)
     _check_size(x.shape[axis], handler.n)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise TypeError("ndfft_r2c expects a real input array")
+    plan = get_r2c_plan(handler.n)
+    dims = _mid_dims(x, axis)
+    if dims is not None:
+        # axis-mid natural kernel: no moveaxis HBM passes, and the even/odd
+        # de-interleave is a free middle-dim reshape inside the kernel
+        from .ops.pallas.rfft import r2c_pallas_mid, rfft_nat_supported
+
+        if rfft_nat_supported(plan, x.dtype):
+            nb, cols = dims
+            n, m = handler.n, handler.m
+            sr, si = r2c_pallas_mid(x.reshape(nb, n, cols), plan)
+            out_shape = x.shape[:axis] + (m,) + x.shape[axis + 1:]
+            return jax.lax.complex(sr, si).reshape(out_shape)
     xm = jnp.moveaxis(x, axis, -1)
-    sr, si = _engine.r2c(xm, get_r2c_plan(handler.n))
+    sr, si = _engine.r2c(xm, plan)
     return jnp.moveaxis(jax.lax.complex(sr, si), -1, axis)
 
 
@@ -159,19 +187,32 @@ def _c2r_impl(xhat, handler, axis):
     n, m = handler.n, handler.m
     _check_size(xhat.shape[axis], m)
     rdt = _real_dtype(xhat.dtype)
-    xm = jnp.moveaxis(xhat, axis, -1)
     # Reference order (src/lib.rs:506-523): normalization FIRST on the
     # m-length spectrum (Default = 1/n over the FULL length n), THEN the
     # DC/Nyquist imag zeroing, then the inverse. Scalar policies (incl.
-    # Default) and the zeroing are handed to the engine, which fuses both
-    # into the kernel constants on the Pallas path.
+    # Default) and the zeroing are fused into the kernel constants on the
+    # Pallas paths.
     norm = handler.norm
     scale = None
     if norm.kind == "default":
         scale = 1.0 / n
     elif norm.kind == "scalar":
         scale = norm.value
-    elif norm.kind == "custom":
+    dims = _mid_dims(xhat, axis) if norm.kind != "custom" else None
+    if dims is not None:
+        from .ops.pallas.rfft import c2r_pallas_mid, rfft_nat_supported
+
+        from .plan import get_r2c_plan as _grp
+
+        if n % 2 == 0 and rfft_nat_supported(_grp(n), rdt):
+            nb, cols = dims
+            sr = jnp.real(xhat).astype(rdt).reshape(nb, m, cols)
+            si = jnp.imag(xhat).astype(rdt).reshape(nb, m, cols)
+            y = c2r_pallas_mid(sr, si, n, scale)
+            out_shape = xhat.shape[:axis] + (n,) + xhat.shape[axis + 1:]
+            return y.reshape(out_shape)
+    xm = jnp.moveaxis(xhat, axis, -1)
+    if norm.kind == "custom":
         xm = norm.fn(xm)
     sr = jnp.real(xm).astype(rdt)
     si = jnp.imag(xm).astype(rdt)
@@ -184,6 +225,25 @@ def _dct_impl(x, handler, axis, dct_type):
     _check_size(x.shape[axis], handler.n, what="dct")
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise TypeError("nddct expects a real input array")
+    if dct_type in (2, 3) and handler.norm.kind != "custom":
+        dims = _mid_dims(x, axis)
+        if dims is not None:
+            # axis-mid fused DCT kernels: no moveaxis passes, no kernel
+            # transposes (the Makhoul structure is a free middle-dim
+            # reshape in this orientation)
+            from .ops.pallas.dct import (
+                dct2_pallas_mid, dct3_pallas_mid, dct_pallas_supported,
+            )
+
+            if dct_pallas_supported(handler.n, x.dtype):
+                norm = handler.norm
+                scale = (2.0 if norm.kind == "default"
+                         else norm.value if norm.kind == "scalar" else None)
+                nb, cols = dims
+                xm3 = x.reshape(nb, handler.n, cols)
+                y = (dct2_pallas_mid(xm3, scale) if dct_type == 2
+                     else dct3_pallas_mid(xm3, scale))
+                return y.reshape(x.shape)
     xm = jnp.moveaxis(x, axis, -1)
     # Normalization BEFORE the transform (src/lib.rs:688-741); Default = x2
     # converts the rustdct convention to scipy's unnormalized dct. The DCT

@@ -296,3 +296,152 @@ def dct3_pallas(x, scale=None):
     # unperm: z[2t] = head[t], z[2t+1] = flip(tail)[t]  (XLA interleave)
     z = jnp.stack([ev, od[:, ::-1]], axis=-1).reshape(batch, n)
     return z
+
+
+# --------------------------------------------------------------------------
+# axis-mid variants: transform along the MIDDLE axis of (B, n, L) blocks —
+# no entry/exit transposes at all (the even/odd structure is a free
+# middle-dim reshape) and no API moveaxis passes.
+# --------------------------------------------------------------------------
+
+
+def _dct2_kernel_mid(m, f, mode, h, x_ref, *refs):
+    """Block (1, n, TL) real -> (1, n, TL): natural DCT-II, mid-axis."""
+    consts = [r[:] for r in refs[:-3]]
+    w_r = refs[-3][:]               # (n, 1) post twiddle
+    w_i = refs[-2][:]
+    out_ref = refs[-1]
+    tl = x_ref.shape[-1]
+    n = m * f
+    xt = x_ref[:].reshape(h, 2, tl)              # free even/odd split
+    xe = xt[:, 0, :].reshape(m // 2, f * tl)
+    xo3 = xt[:, 1, :].reshape(m // 2, f, tl)
+    xo2 = jnp.concatenate([xo3[:, jj, :] for jj in range(f - 1, -1, -1)],
+                          axis=1)                # Makhoul j-reversal
+    x2 = jnp.concatenate([xe, xo2], axis=0)
+    zr, zi = _real_ts_core_x2(x2, consts, m, f, tl, mode, re_only=False)
+    out_ref[:] = (zr * w_r - zi * w_i).reshape(1, n, tl)
+
+
+def _dct3_kernel_mid(m, f, mode, x_ref, *refs):
+    """Block (1, n, TL) real -> ((1, n/2, TL) head, (1, n/2, TL) tail)."""
+    consts = [r[:] for r in refs[:-3]]
+    h0 = refs[-3][:]                # (n, 1) x0-halving mask
+    ev_ref, od_ref = refs[-2:]
+    tl = x_ref.shape[-1]
+    n = m * f
+    c = x_ref[:].reshape(n, tl) * h0
+    zr, _ = _real_ts_core_x2(c.reshape(m, f * tl), consts, m, f, tl, mode,
+                             re_only=True)
+    half = n // 2
+    ev_ref[:] = zr[:half, :].reshape(1, half, tl)
+    od_ref[:] = zr[half:, :].reshape(1, half, tl)
+
+
+def _mid_tile(cols: int) -> int:
+    if cols <= 128:
+        return cols
+    t = 256
+    if config.pallas_tile:
+        t = min(cols, config.pallas_tile)
+    return t
+
+
+@lru_cache(maxsize=256)
+def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
+                    interpret: bool, mode: str, scale: float = 1.0):
+    dtype = jnp.dtype(dtype_str)
+    m0, _f0 = _twostep_split(n)
+    perm = np.concatenate([np.arange(m0 // 2),
+                           np.arange(m0 - 1, m0 // 2 - 1, -1)])
+    m, f, consts = _fft_consts(n, -1, dtype, mode, scale=scale,
+                               row_perm=perm)
+    k = np.arange(n, dtype=np.int64)
+    w = _cis(k, 2 * n, -1)
+    consts = consts + [np.asarray(w[0], dtype).reshape(n, 1),
+                       np.asarray(w[1], dtype).reshape(n, 1)]
+    h = n // 2
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                      memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_dct2_kernel_mid, m, f, mode, h),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[sn] + const_specs,
+        out_specs=sn,
+        cost_estimate=pl.CostEstimate(
+            flops=int(7 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+@lru_cache(maxsize=256)
+def _build_dct3_mid(n: int, nb: int, cols: int, dtype_str: str,
+                    interpret: bool, mode: str, scale: float = 1.0):
+    dtype = jnp.dtype(dtype_str)
+    m0, f0 = _twostep_split(n)
+    tp = np.arange(m0, dtype=np.int64)
+    a = _cis(tp, 2 * m0, -1)
+    j = np.arange(f0, dtype=np.int64)
+    b = _cis(j, 2 * n, -1)
+    m, f, consts = _fft_consts(n, -1, dtype, mode, scale=scale,
+                               pre_a=a, pre_b=b, re_only_s2=True)
+    h0 = np.ones((n, 1), dtype)
+    h0[0, 0] = 0.5
+    consts = consts + [h0]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                      memory_space=pltpu.VMEM)
+    sh = pl.BlockSpec((1, n // 2, tile), lambda g: (g // gc, 0, g % gc),
+                      memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_dct3_kernel_mid, m, f, mode),
+        out_shape=(jax.ShapeDtypeStruct((nb, n // 2, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, n // 2, cols), dtype)),
+        grid=grid,
+        in_specs=[sn] + const_specs,
+        out_specs=(sh, sh),
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+def dct2_pallas_mid(x, scale=None):
+    """(B, n, L) real -> scale * DCT-II along axis 1 (no moveaxis, no
+    transposes)."""
+    nb, n, cols = x.shape
+    run = _build_dct2_mid(n, nb, cols, str(x.dtype),
+                          bool(config.pallas_interpret), dot_mode(),
+                          float(1.0 if scale is None else scale))
+    return run(x)
+
+
+def dct3_pallas_mid(x, scale=None):
+    """(B, n, L) real -> scale * DCT-III along axis 1; the un-permutation
+    (z[2t] = head, z[2t+1] = flip(tail)) runs as one XLA middle-axis pass."""
+    nb, n, cols = x.shape
+    run = _build_dct3_mid(n, nb, cols, str(x.dtype),
+                          bool(config.pallas_interpret), dot_mode(),
+                          float(1.0 if scale is None else scale))
+    ev, od = run(x)
+    odf = od[:, ::-1, :]
+    z = jnp.stack([ev, odf], axis=2).reshape(nb, n, cols)
+    return z

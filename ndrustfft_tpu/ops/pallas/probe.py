@@ -119,6 +119,44 @@ def _probe_dct3(n, batch, mode):
     return run, (x,)
 
 
+def _probe_r2c_mid(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_r2c_mid(n, nb, cols, "float32", _interp(), mode)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
+def _probe_c2r_mid(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_c2r_mid(n, nb, cols, "float32", _interp(), mode, 1.0 / n)
+    rng = np.random.default_rng(0)
+    m = n // 2 + 1
+    sr = rng.standard_normal((nb, m, cols)).astype(np.float32)
+    si = rng.standard_normal((nb, m, cols)).astype(np.float32)
+    return run, (sr, si)
+
+
+def _probe_dct2_mid(n, nb, cols, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct2_mid(n, nb, cols, "float32", _interp(), mode, 2.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
+def _probe_dct3_mid(n, nb, cols, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct3_mid(n, nb, cols, "float32", _interp(), mode, 2.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
 # (label, builder, kwargs). n=1024 is the headline shape; n=264 covers the
 # non-power-of-two mixed-radix path; n=128 the dense single-matmul path.
 PROBES = [
@@ -137,6 +175,10 @@ PROBES = [
     ("axis_mid  n=128 dense", _probe_axis_mid, dict(n=128, nb=4, cols=256)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
     ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),
+    ("r2c_mid   n=1024", _probe_r2c_mid, dict(n=1024, nb=4, cols=256)),
+    ("c2r_mid   n=1024", _probe_c2r_mid, dict(n=1024, nb=4, cols=256)),
+    ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
+    ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
 ]
 
 MODES = ["bf16x3", "highest", "default"]

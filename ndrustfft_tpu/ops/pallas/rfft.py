@@ -400,3 +400,192 @@ def c2r_pallas_nat(sr, si, n: int, scale=None):
                          bool(config.pallas_interpret), dot_mode(),
                          float(1.0 if scale is None else scale))
     return run(sr, si)
+
+
+# --------------------------------------------------------------------------
+# axis-mid natural kernels: transform along the MIDDLE axis of (B, n, L)
+# blocks. In this orientation the even/odd (de)interleave is FREE — a
+# middle-dim reshape (1, n, TL) <-> (h, 2, TL) is Mosaic-legal (only the
+# LANE dim may not be split), so these kernels have ZERO transposes at
+# either boundary, and the API avoids its moveaxis HBM passes for every
+# non-minor transform axis (the reference benchmark configuration).
+# --------------------------------------------------------------------------
+
+
+def _r2c_kernel_mid(m_, f_, mode, h, x_ref, *refs):
+    """Block (1, n, TL) real -> ((1, m, TL) re, (1, m, TL) im)."""
+    const_vals = [r[:] for r in refs[:-4]]
+    ur = refs[-4][:]                # (h, 1) column unpack twiddle
+    ui = refs[-3][:]
+    or_ref, oi_ref = refs[-2:]
+    tl = x_ref.shape[-1]
+    xt = x_ref[:].reshape(h, 2, tl)          # free even/odd de-interleave
+    xe = xt[:, 0, :]                         # (h, TL)
+    xo = xt[:, 1, :]
+    wr = jnp.concatenate([xe, xe], axis=1)   # columns [z | conj(z)]
+    wi = jnp.concatenate([xo, -xo], axis=1)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, -1)
+    zr, zi = yr[:, :tl], yi[:, :tl]
+    cr, ci = yr[:, tl:], yi[:, tl:]
+    fer = 0.5 * (zr + cr)
+    fei = 0.5 * (zi + ci)
+    for_ = 0.5 * (zi - ci)
+    foi = -0.5 * (zr - cr)
+    xr = fer + for_ * ur - foi * ui          # (h, TL)
+    xi = fei + for_ * ui + foi * ur
+    last = zr[:1, :] - zi[:1, :]             # Nyquist row
+    or_ref[:] = jnp.concatenate([xr, last], axis=0).reshape(1, h + 1, tl)
+    oi_ref[:] = jnp.concatenate([xi, jnp.zeros_like(last)],
+                                axis=0).reshape(1, h + 1, tl)
+
+
+def _c2r_kernel_mid(m_, f_, mode, h, sr_ref, si_ref, *refs):
+    """Blocks (1, m, TL) re/im RAW spectrum -> (1, n, TL) real; the
+    reference pre-steps fused as in _c2r_kernel_nat; the even/odd
+    interleave is a free middle-dim reshape."""
+    const_vals = [r[:] for r in refs[:-7]]
+    ar, ai = refs[-7][:], refs[-6][:]        # (h, 1), scale-folded
+    cr_, ci_ = refs[-5][:], refs[-4][:]
+    b0 = refs[-3][:]                         # (2, 1)
+    mk = refs[-2][:]                         # (h, 1)
+    o_ref = refs[-1]
+    tl = sr_ref.shape[-1]
+    sr_t = sr_ref[:].reshape(h + 1, tl)
+    si_t = si_ref[:].reshape(h + 1, tl)
+    skr = sr_t[:h, :]
+    ski = si_t[:h, :] * mk                   # DC imag forced 0
+    pr = ar * skr - ai * ski
+    pi = ar * ski + ai * skr
+    qr = cr_ * skr + ci_ * ski
+    qi = ci_ * skr - cr_ * ski
+    snr = sr_t[h:, :]                        # Nyquist re (imag never read)
+    q0r = qr[:1, :] + b0[:1, :] * snr
+    q0i = qi[:1, :] + b0[1:, :] * snr
+    qr = jnp.concatenate([q0r, qr[1:, :]], axis=0)
+    qi = jnp.concatenate([q0i, qi[1:, :]], axis=0)
+    wr = jnp.concatenate([pr, qr], axis=1)   # columns [P | conj(Q)]
+    wi = jnp.concatenate([pi, -qi], axis=1)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, +1)
+    ev = 2.0 * (yr[:, :tl] + yr[:, tl:])     # (h, TL)
+    od = 2.0 * (yi[:, :tl] - yi[:, tl:])
+    d = jnp.concatenate([ev.reshape(h, 1, tl), od.reshape(h, 1, tl)], axis=1)
+    o_ref[:] = d.reshape(1, 2 * h, tl)       # free interleave
+
+
+def _mid_tile(cols: int) -> int:
+    if cols <= 128:
+        return cols
+    t = 256
+    if config.pallas_tile:
+        t = min(cols, config.pallas_tile)
+    return t
+
+
+@lru_cache(maxsize=256)
+def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
+                   interpret: bool, mode: str):
+    """(B, n, L) real -> (B, m, L) split re/im, transform along axis 1."""
+    h = n // 2
+    m = h + 1
+    dtype = jnp.dtype(dtype_str)
+    m_, f_ = _nat_ts(h)
+    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    k = np.arange(h, dtype=np.int64)
+    ur, ui = _cis(2 * k, n, -1)
+    consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
+                       np.asarray(ui, dtype).reshape(h, 1)]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    in_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_r2c_kernel_mid, m_, f_, mode, h),
+        out_shape=(jax.ShapeDtypeStruct((nb, m, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, m, cols), dtype)),
+        grid=grid,
+        in_specs=[in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(3 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+@lru_cache(maxsize=256)
+def _build_c2r_mid(n: int, nb: int, cols: int, dtype_str: str,
+                   interpret: bool, mode: str, scale: float):
+    """(B, m, L) RAW split re/im -> (B, n, L) real, transform along axis 1;
+    normalization + DC/Nyquist masking fused."""
+    h = n // 2
+    m = h + 1
+    dtype = jnp.dtype(dtype_str)
+    m_, f_ = _nat_ts(h)
+    consts, _ = _twostep_consts(h, +1, dtype, mode)
+    k = np.arange(h, dtype=np.int64)
+    ur, ui = _cis(2 * k, n, +1)
+    a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur
+    b_r, b_i = 0.5 * (1.0 + ui), -0.5 * ur
+    idx = (-k) % h
+    c_r, c_i = b_r[idx].copy(), b_i[idx].copy()
+    c_r[0] = 0.0
+    c_i[0] = 0.0
+    mk = np.ones((h, 1), np.float64)
+    mk[0, 0] = 0.0
+    consts = consts + [
+        np.asarray(a_r * scale, dtype).reshape(h, 1),
+        np.asarray(a_i * scale, dtype).reshape(h, 1),
+        np.asarray(c_r * scale, dtype).reshape(h, 1),
+        np.asarray(c_i * scale, dtype).reshape(h, 1),
+        np.asarray([[b_r[0] * scale], [b_i[0] * scale]], dtype),
+        np.asarray(mk, dtype),
+    ]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    in_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_c2r_kernel_mid, m_, f_, mode, h),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=out_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(3 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda sr, si: call(sr, si, *consts)
+
+
+def r2c_pallas_mid(x, plan: R2CPlan):
+    """(B, n, L) real -> (B, m, L) split re/im along axis 1 (no moveaxis,
+    no transposes — the axis-mid natural kernel)."""
+    nb, n, cols = x.shape
+    run = _build_r2c_mid(n, nb, cols, str(x.dtype),
+                         bool(config.pallas_interpret), dot_mode())
+    return run(x)
+
+
+def c2r_pallas_mid(sr, si, n: int, scale=None):
+    """(B, m, L) RAW split re/im -> (B, n, L) real along axis 1."""
+    nb, _m, cols = sr.shape
+    run = _build_c2r_mid(n, nb, cols, str(sr.dtype),
+                         bool(config.pallas_interpret), dot_mode(),
+                         float(1.0 if scale is None else scale))
+    return run(sr, si)

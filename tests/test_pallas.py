@@ -278,3 +278,46 @@ def test_pallas_dct_scalar_norm_fused():
         got = np.asarray(fn(jnp.asarray(x), hs, axis=1))
         ref = 0.7 * np.asarray(fn(jnp.asarray(x), hn, axis=1))
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-3, fn
+
+
+def test_pallas_r2c_c2r_axis_mid():
+    # axis-mid natural r2c/c2r kernels: transform along axis 1 of
+    # (B, n, L), no moveaxis, free middle-dim (de)interleave
+    from ndrustfft_tpu import ndifft_r2c
+
+    rng = np.random.default_rng(15)
+    for n in [512, 1024]:
+        x = rng.standard_normal((3, n, 16)).astype(np.float32)
+        h = R2cFftHandler(n)
+        got = np.asarray(ndfft_r2c(jnp.asarray(x), h, axis=1))
+        ref = np.fft.rfft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, n
+        back = np.asarray(ndifft_r2c(jnp.asarray(got), h, axis=1))
+        assert np.abs(back - x).max() < 5e-4, n
+    # DC/Nyquist edge semantics through the mid kernel
+    n, m = 1024, 513
+    spec = (rng.standard_normal((2, m, 16)) + 1j * rng.standard_normal(
+        (2, m, 16))).astype(np.complex64)
+    spec[:, 0, :] += 100j
+    spec[:, -1, :] += 100j
+    got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
+    ref = np.fft.irfft(spec, n=n, axis=1)
+    assert np.abs(got - ref).max() < 5e-4
+
+
+def test_pallas_dct_axis_mid():
+    # axis-mid fused DCT-II/III: transform along axis 1 of (B, n, L)
+    import scipy.fft
+
+    from ndrustfft_tpu import DctHandler, nddct2, nddct3
+
+    rng = np.random.default_rng(16)
+    for n in [512, 1024]:
+        x = rng.standard_normal((3, n, 16)).astype(np.float32)
+        h = DctHandler(n)
+        got2 = np.asarray(nddct2(jnp.asarray(x), h, axis=1))
+        ref2 = scipy.fft.dct(x, type=2, axis=1)
+        assert np.abs(got2 - ref2).max() / np.abs(ref2).max() < 1e-4, n
+        got3 = np.asarray(nddct3(jnp.asarray(x), h, axis=1))
+        ref3 = scipy.fft.dct(x, type=3, axis=1)
+        assert np.abs(got3 - ref3).max() / np.abs(ref3).max() < 1e-4, n

@@ -25,7 +25,8 @@ B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 if variant in ("twostep", "mosaic"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
     os.environ["NDRUSTFFT_TPU_PALLAS_FLAVOR"] = variant
-elif variant in ("r2c_pallas", "axis_mid", "dct_pallas", "fused_ifft"):
+elif variant in ("r2c_pallas", "axis_mid", "dct_pallas", "fused_ifft",
+                 "r2c_mid", "dct_mid"):
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "1"
 else:
     os.environ["NDRUSTFFT_TPU_PALLAS"] = "0"
@@ -40,15 +41,19 @@ from bench import per_transform  # noqa: E402
 rng = np.random.default_rng(0)
 
 if variant.startswith("dct"):
+    # dct_mid: axis-1 pair through the axis-mid kernels, fused drift norm
+    ax = 1 if variant == "dct_mid" else 2
     x = rng.standard_normal((B, n, n)).astype(np.float32)
 
     def make_step():
-        from ndrustfft_tpu import DctHandler, nddct2, nddct3
+        from ndrustfft_tpu import DctHandler, Normalization, nddct2, nddct3
 
-        h = DctHandler(n)
-        return lambda v: nddct3(nddct2(v, h, axis=2), h, axis=2) / (2.0 * n)
+        h2 = DctHandler(n).normalization(Normalization.NONE)
+        h3 = DctHandler(n).normalization(
+            Normalization.scalar(2.0 * 1.001 / n))
+        return lambda v: nddct3(nddct2(v, h2, axis=ax), h3, axis=ax)
 
-    t = per_transform(make_step(), x, scale=1.0, per_iter=2 * B)
+    t = per_transform(make_step(), x, scale=None, per_iter=2 * B)
 elif variant.startswith("r2c"):
     if variant == "r2c_hybrid":
         # XLA pack/unpack around the Pallas C2C_h kernel (no fused rfft)
@@ -56,15 +61,20 @@ elif variant.startswith("r2c"):
         import ndrustfft_tpu.ops.pallas.rfft as _rf
 
         _rf.rfft_pallas_supported = lambda *a, **k: False
+    ax = 1 if variant == "r2c_mid" else 2
     x = rng.standard_normal((B, n, n)).astype(np.float32)
 
     def make_step():
-        from ndrustfft_tpu import R2cFftHandler, ndfft_r2c, ndifft_r2c
+        from ndrustfft_tpu import (
+            Normalization, R2cFftHandler, ndfft_r2c, ndifft_r2c,
+        )
 
         h = R2cFftHandler(n)
-        return lambda v: ndifft_r2c(ndfft_r2c(v, h, axis=2), h, axis=2)
+        hi = R2cFftHandler(n).normalization(
+            Normalization.scalar(1.001 / n))
+        return lambda v: ndifft_r2c(ndfft_r2c(v, h, axis=ax), hi, axis=ax)
 
-    t = per_transform(make_step(), x, scale=1.0, per_iter=2 * B)
+    t = per_transform(make_step(), x, scale=None, per_iter=2 * B)
 elif variant in ("fused_ifft", "jnp_ifft"):
     # kernel-only chain: v <- c * ifft_u(v), c = sqrt(n)*(1+1e-3) keeps
     # magnitude ~neutral and guarantees no two iterations compute the same
