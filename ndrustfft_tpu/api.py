@@ -225,6 +225,34 @@ def _dct_impl(x, handler, axis, dct_type):
     _check_size(x.shape[axis], handler.n, what="dct")
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise TypeError("nddct expects a real input array")
+    if dct_type == 1 and handler.norm.kind != "custom" and handler.n >= 2:
+        # DCT-I axis-mid: even-extension streams assembled as ONE XLA
+        # middle-axis pass, then the packed-mid r2c kernel with the 0.5 and
+        # the handler's scalar norm folded into the combine constants — no
+        # moveaxis passes (the reference's dct2d bench measures DCT-I)
+        dims = _mid_dims(x, axis)
+        if dims is not None:
+            from .ops.pallas.rfft import (
+                r2c_pallas_packed_mid, rfft_nat_supported,
+            )
+            from .plan import get_r2c_plan as _grp
+
+            n_ = handler.n
+            ext = 2 * n_ - 2
+            if ext >= 4 and rfft_nat_supported(_grp(ext), x.dtype):
+                norm = handler.norm
+                s = (2.0 if norm.kind == "default"
+                     else norm.value if norm.kind == "scalar" else 1.0)
+                nb, cols = dims
+                xm3 = x.reshape(nb, n_, cols)
+                xe = jnp.concatenate(
+                    [xm3[:, 0::2, :], xm3[:, 2:n_ - 1:2, :][:, ::-1, :]],
+                    axis=1)
+                xo = jnp.concatenate(
+                    [xm3[:, 1::2, :],
+                     xm3[:, 1:n_ - 2 + (n_ % 2):2, :][:, ::-1, :]], axis=1)
+                sr, _si = r2c_pallas_packed_mid(xe, xo, ext, 0.5 * s)
+                return sr.reshape(x.shape)
     if dct_type in (2, 3) and handler.norm.kind != "custom":
         dims = _mid_dims(x, axis)
         if dims is not None:

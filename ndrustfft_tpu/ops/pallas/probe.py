@@ -139,6 +139,18 @@ def _probe_c2r_mid(n, nb, cols, mode):
     return run, (sr, si)
 
 
+def _probe_r2c_packed_mid(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_r2c_packed_mid(n, nb, cols, "float32", _interp(), mode,
+                                  1.0)
+    rng = np.random.default_rng(0)
+    h = n // 2
+    xe = rng.standard_normal((nb, h, cols)).astype(np.float32)
+    xo = rng.standard_normal((nb, h, cols)).astype(np.float32)
+    return run, (xe, xo)
+
+
 def _probe_dct2_mid(n, nb, cols, mode):
     from ..pallas import dct as D
 
@@ -179,6 +191,7 @@ PROBES = [
     ("c2r_mid   n=1024", _probe_c2r_mid, dict(n=1024, nb=4, cols=256)),
     ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
+    ("r2c_pk_mid n=2048", _probe_r2c_packed_mid, dict(n=2048, nb=4, cols=256)),
 ]
 
 MODES = ["bf16x3", "highest", "default"]

@@ -589,3 +589,83 @@ def c2r_pallas_mid(sr, si, n: int, scale=None):
                          bool(config.pallas_interpret), dot_mode(),
                          float(1.0 if scale is None else scale))
     return run(sr, si)
+
+
+def _r2c_kernel_packed_mid(m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
+    """Blocks (1, h, TL) even/odd streams -> ((1, m, TL) re, im) * scale.
+
+    Mid-axis packed variant for callers that assemble the streams
+    themselves (the DCT-I even extension); ``scale`` (e.g. DCT-I's 0.5 x
+    norm) is folded into the combine literals."""
+    const_vals = [r[:] for r in refs[:-4]]
+    ur = refs[-4][:]                # (h, 1), pre-scaled at build
+    ui = refs[-3][:]
+    or_ref, oi_ref = refs[-2:]
+    tl = xe_ref.shape[-1]
+    xe = xe_ref[:].reshape(h, tl)
+    xo = xo_ref[:].reshape(h, tl)
+    wr = jnp.concatenate([xe, xe], axis=1)
+    wi = jnp.concatenate([xo, -xo], axis=1)
+    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, -1)
+    zr, zi = yr[:, :tl], yi[:, :tl]
+    cr, ci = yr[:, tl:], yi[:, tl:]
+    half_s = 0.5 * scale
+    fer = half_s * (zr + cr)
+    fei = half_s * (zi + ci)
+    for_ = half_s * (zi - ci)
+    foi = -half_s * (zr - cr)
+    xr = fer + for_ * ur - foi * ui          # ur/ui carry NO extra scale
+    xi = fei + for_ * ui + foi * ur
+    last = scale * (zr[:1, :] - zi[:1, :])
+    or_ref[:] = jnp.concatenate([xr, last], axis=0).reshape(1, h + 1, tl)
+    oi_ref[:] = jnp.concatenate([xi, jnp.zeros_like(last)],
+                                axis=0).reshape(1, h + 1, tl)
+
+
+@lru_cache(maxsize=256)
+def _build_r2c_packed_mid(n: int, nb: int, cols: int, dtype_str: str,
+                          interpret: bool, mode: str, scale: float):
+    """(B, h, L) even/odd pair -> (B, m, L) split re/im * scale, axis 1."""
+    h = n // 2
+    m = h + 1
+    dtype = jnp.dtype(dtype_str)
+    m_, f_ = _nat_ts(h)
+    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    k = np.arange(h, dtype=np.int64)
+    ur, ui = _cis(2 * k, n, -1)
+    consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
+                       np.asarray(ui, dtype).reshape(h, 1)]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    in_spec = pl.BlockSpec((1, h, tile), lambda g: (g // gc, 0, g % gc),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_r2c_kernel_packed_mid, m_, f_, mode, h, scale),
+        out_shape=(jax.ShapeDtypeStruct((nb, m, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, m, cols), dtype)),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(3 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda xe, xo: call(xe, xo, *consts)
+
+
+def r2c_pallas_packed_mid(xe, xo, n: int, scale=None):
+    """(B, h, L) even/odd streams -> (B, m, L) split re/im * scale along
+    axis 1 (the DCT-I even-extension caller)."""
+    nb, _h, cols = xe.shape
+    run = _build_r2c_packed_mid(n, nb, cols, str(xe.dtype),
+                                bool(config.pallas_interpret), dot_mode(),
+                                float(1.0 if scale is None else scale))
+    return run(xe, xo)

@@ -321,3 +321,18 @@ def test_pallas_dct_axis_mid():
         got3 = np.asarray(nddct3(jnp.asarray(x), h, axis=1))
         ref3 = scipy.fft.dct(x, type=3, axis=1)
         assert np.abs(got3 - ref3).max() / np.abs(ref3).max() < 1e-4, n
+
+
+def test_pallas_dct1_axis_mid():
+    # DCT-I along axis 1 via the packed-mid r2c kernel (ext = 2n-2)
+    import scipy.fft
+
+    from ndrustfft_tpu import DctHandler, nddct1
+
+    rng = np.random.default_rng(17)
+    for n in [513, 1025]:
+        x = rng.standard_normal((2, n, 16)).astype(np.float32)
+        h = DctHandler(n)
+        got = np.asarray(nddct1(jnp.asarray(x), h, axis=1))
+        ref = scipy.fft.dct(x, type=1, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, n
