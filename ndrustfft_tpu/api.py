@@ -272,6 +272,23 @@ def _dct_impl(x, handler, axis, dct_type):
                 y = (dct2_pallas_mid(xm3, scale) if dct_type == 2
                      else dct3_pallas_mid(xm3, scale))
                 return y.reshape(x.shape)
+    if handler.norm.kind != "custom":
+        # dense-matrix fallback kernel: odd n (the reference's dct2d grid
+        # sizes), DCT-IV, and sizes without a fused O(n log n) kernel
+        dims = _mid_dims(x, axis)
+        if dims is not None:
+            from .ops.pallas.dct import (
+                dct_dense_mid_supported, dct_dense_pallas_mid,
+            )
+
+            if dct_dense_mid_supported(handler.n, x.dtype):
+                norm = handler.norm
+                scale = (2.0 if norm.kind == "default"
+                         else norm.value if norm.kind == "scalar" else None)
+                nb, cols = dims
+                y = dct_dense_pallas_mid(x.reshape(nb, handler.n, cols),
+                                         dct_type, scale)
+                return y.reshape(x.shape)
     xm = jnp.moveaxis(x, axis, -1)
     # Normalization BEFORE the transform (src/lib.rs:688-741); Default = x2
     # converts the rustdct convention to scipy's unnormalized dct. The DCT

@@ -445,3 +445,106 @@ def dct3_pallas_mid(x, scale=None):
     odf = od[:, ::-1, :]
     z = jnp.stack([ev, odf], axis=2).reshape(nb, n, cols)
     return z
+
+
+# --------------------------------------------------------------------------
+# dense-matrix DCT kernel (axis-mid): every DCT type has an exact real
+# (n, n) matrix, so any moderate n — including ODD sizes (the reference's
+# dct2d grid: 129/265/513/1025) and DCT-IV, which have no O(n log n) fused
+# kernel here — runs as ONE K-stacked real MXU dot with ZERO relayouts:
+# the dot's output rows land directly in the (1, n, TL) block layout.
+# O(n^2) MACs beat the XLA odd-n lowering's many HBM passes by ~an order
+# of magnitude at these sizes (428 us -> MXU estimate ~40 at n=1025).
+# --------------------------------------------------------------------------
+
+_DENSE_DCT_MAX = 1100   # W3 bf16 const = 6n^2 bytes (7.3 MB at the cap)
+
+
+def _dct_dense_matrix(n: int, dct_type: int):
+    """Exact f64 (n, n) DCT matrix M[k, t], rustdct convention
+    (== scipy unnormalized / 2); integer-exact angle reduction."""
+    t = np.arange(n, dtype=np.int64)
+    k = np.arange(n, dtype=np.int64)
+    if dct_type == 1:
+        m_ = _cis(np.outer(k, t), n - 1, -1)[0]
+        m_[:, 0] *= 0.5
+        m_[:, n - 1] *= 0.5
+    elif dct_type == 2:
+        m_ = _cis(np.outer(k, 2 * t + 1), 2 * n, -1)[0]
+    elif dct_type == 3:
+        m_ = _cis(np.outer(2 * k + 1, t), 2 * n, -1)[0]
+        m_[:, 0] = 0.5
+    elif dct_type == 4:
+        m_ = _cis(np.outer(2 * k + 1, 2 * t + 1), 4 * n, -1)[0]
+    else:
+        raise ValueError(f"bad dct type {dct_type}")
+    return m_
+
+
+def dct_dense_mid_supported(n: int, dtype) -> bool:
+    if not config.use_pallas:
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if n < 2 or n > _DENSE_DCT_MAX:
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or config.pallas_interpret
+
+
+def _dct_dense_kernel(n, mode, x_ref, *refs):
+    """(1, n, TL) real -> (1, n, TL): one dense real dot."""
+    consts = [r[:] for r in refs[:-1]]
+    out_ref = refs[-1]
+    tl = x_ref.shape[-1]
+    x = x_ref[:].reshape(n, tl)
+    if mode == "bf16x3":
+        z, _ = _ks_real_dot(x, None, None, mode, im_out=False, w3=consts[0])
+    else:
+        from .fft import _dg
+
+        z = _dg(consts[0], x, (((0,), (0,)), ((), ())), mode)
+    out_ref[:] = z.reshape(1, n, tl)
+
+
+@lru_cache(maxsize=256)
+def _build_dct_dense_mid(n: int, dct_type: int, nb: int, cols: int,
+                         dtype_str: str, interpret: bool, mode: str,
+                         scale: float):
+    dtype = jnp.dtype(dtype_str)
+    m_ = _dct_dense_matrix(n, dct_type) * scale
+    if mode == "bf16x3":
+        consts = [ks_w3_np(m_.T)]        # w[t, k] = M^T
+    else:
+        consts = [np.asarray(m_.T, dtype)]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                      memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_dct_dense_kernel, n, mode),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[sn] + const_specs,
+        out_specs=sn,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n * n * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+def dct_dense_pallas_mid(x, dct_type: int, scale=None):
+    """(B, n, L) real -> scale * DCT-<type> along axis 1 via the dense
+    matrix kernel (odd n / DCT-IV / sizes without a twostep split)."""
+    nb, n, cols = x.shape
+    run = _build_dct_dense_mid(n, dct_type, nb, cols, str(x.dtype),
+                               bool(config.pallas_interpret), dot_mode(),
+                               float(1.0 if scale is None else scale))
+    return run(x)

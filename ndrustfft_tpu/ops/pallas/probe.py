@@ -151,6 +151,16 @@ def _probe_r2c_packed_mid(n, nb, cols, mode):
     return run, (xe, xo)
 
 
+def _probe_dct_dense(n, nb, cols, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct_dense_mid(n, 1, nb, cols, "float32", _interp(), mode,
+                                 2.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
 def _probe_dct2_mid(n, nb, cols, mode):
     from ..pallas import dct as D
 
@@ -192,6 +202,7 @@ PROBES = [
     ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
     ("r2c_pk_mid n=2048", _probe_r2c_packed_mid, dict(n=2048, nb=4, cols=256)),
+    ("dct_dense n=1025", _probe_dct_dense, dict(n=1025, nb=2, cols=256)),
 ]
 
 MODES = ["bf16x3", "highest", "default"]

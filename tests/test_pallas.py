@@ -336,3 +336,26 @@ def test_pallas_dct1_axis_mid():
         got = np.asarray(nddct1(jnp.asarray(x), h, axis=1))
         ref = scipy.fft.dct(x, type=1, axis=1)
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, n
+
+
+def test_pallas_dct_dense_mid_all_types():
+    # dense-matrix DCT kernel: odd sizes (the reference's dct2d grid) and
+    # DCT-IV, all four types vs scipy
+    import scipy.fft
+
+    from ndrustfft_tpu import DctHandler, nddct1, nddct2, nddct3, nddct4
+
+    rng = np.random.default_rng(18)
+    fns = {1: nddct1, 2: nddct2, 3: nddct3, 4: nddct4}
+    for n in [129, 265]:
+        x = rng.standard_normal((2, n, 16)).astype(np.float32)
+        h = DctHandler(n)
+        for k, fn in fns.items():
+            got = np.asarray(fn(jnp.asarray(x), h, axis=1))
+            ref = scipy.fft.dct(x, type=k, axis=1)
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4, (n, k)
+    # even DCT-IV also routes dense
+    x = rng.standard_normal((2, 512, 16)).astype(np.float32)
+    got = np.asarray(nddct4(jnp.asarray(x), DctHandler(512), axis=1))
+    ref = scipy.fft.dct(x, type=4, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4
