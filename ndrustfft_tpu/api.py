@@ -168,14 +168,21 @@ def _r2c_impl(x, handler, axis):
     dims = _mid_dims(x, axis)
     if dims is not None:
         # axis-mid natural kernel: no moveaxis HBM passes, and the even/odd
-        # de-interleave is a free middle-dim reshape inside the kernel
-        from .ops.pallas.rfft import r2c_pallas_mid, rfft_nat_supported
+        # de-interleave is a free middle-dim reshape inside the kernel;
+        # small/no-split even n falls to the dense single-dot kernel
+        from .ops.pallas.rfft import (
+            r2c_dense_pallas_mid, r2c_pallas_mid, rfft_dense_mid_supported,
+            rfft_nat_supported,
+        )
 
+        n, m = handler.n, handler.m
+        nb, cols = dims
+        out_shape = x.shape[:axis] + (m,) + x.shape[axis + 1:]
         if rfft_nat_supported(plan, x.dtype):
-            nb, cols = dims
-            n, m = handler.n, handler.m
             sr, si = r2c_pallas_mid(x.reshape(nb, n, cols), plan)
-            out_shape = x.shape[:axis] + (m,) + x.shape[axis + 1:]
+            return jax.lax.complex(sr, si).reshape(out_shape)
+        if plan.half and rfft_dense_mid_supported(n, x.dtype):
+            sr, si = r2c_dense_pallas_mid(x.reshape(nb, n, cols), plan)
             return jax.lax.complex(sr, si).reshape(out_shape)
     xm = jnp.moveaxis(x, axis, -1)
     sr, si = _engine.r2c(xm, plan)
@@ -199,17 +206,21 @@ def _c2r_impl(xhat, handler, axis):
     elif norm.kind == "scalar":
         scale = norm.value
     dims = _mid_dims(xhat, axis) if norm.kind != "custom" else None
-    if dims is not None:
-        from .ops.pallas.rfft import c2r_pallas_mid, rfft_nat_supported
-
+    if dims is not None and n % 2 == 0:
+        from .ops.pallas.rfft import (
+            c2r_dense_pallas_mid, c2r_pallas_mid, rfft_dense_mid_supported,
+            rfft_nat_supported,
+        )
         from .plan import get_r2c_plan as _grp
 
-        if n % 2 == 0 and rfft_nat_supported(_grp(n), rdt):
-            nb, cols = dims
+        nb, cols = dims
+        out_shape = xhat.shape[:axis] + (n,) + xhat.shape[axis + 1:]
+        use_nat = rfft_nat_supported(_grp(n), rdt)
+        if use_nat or rfft_dense_mid_supported(n, rdt):
             sr = jnp.real(xhat).astype(rdt).reshape(nb, m, cols)
             si = jnp.imag(xhat).astype(rdt).reshape(nb, m, cols)
-            y = c2r_pallas_mid(sr, si, n, scale)
-            out_shape = xhat.shape[:axis] + (n,) + xhat.shape[axis + 1:]
+            y = (c2r_pallas_mid(sr, si, n, scale) if use_nat
+                 else c2r_dense_pallas_mid(sr, si, n, scale))
             return y.reshape(out_shape)
     xm = jnp.moveaxis(xhat, axis, -1)
     if norm.kind == "custom":

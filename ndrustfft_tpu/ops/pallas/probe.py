@@ -161,6 +161,27 @@ def _probe_dct_dense(n, nb, cols, mode):
     return run, (x,)
 
 
+def _probe_r2c_dense(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_r2c_dense_mid(n, nb, cols, "float32", _interp(), mode)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
+def _probe_c2r_dense(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_c2r_dense_mid(n, nb, cols, "float32", _interp(), mode,
+                                 1.0 / n)
+    rng = np.random.default_rng(0)
+    m = n // 2 + 1
+    sr = rng.standard_normal((nb, m, cols)).astype(np.float32)
+    si = rng.standard_normal((nb, m, cols)).astype(np.float32)
+    return run, (sr, si)
+
+
 def _probe_dct2_mid(n, nb, cols, mode):
     from ..pallas import dct as D
 
@@ -203,6 +224,8 @@ PROBES = [
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
     ("r2c_pk_mid n=2048", _probe_r2c_packed_mid, dict(n=2048, nb=4, cols=256)),
     ("dct_dense n=1025", _probe_dct_dense, dict(n=1025, nb=2, cols=256)),
+    ("r2c_dense n=264", _probe_r2c_dense, dict(n=264, nb=4, cols=256)),
+    ("c2r_dense n=264", _probe_c2r_dense, dict(n=264, nb=4, cols=256)),
 ]
 
 MODES = ["bf16x3", "highest", "default"]

@@ -74,6 +74,7 @@ from ...plan import R2CPlan, _cis, get_c2c_plan
 from .fft import (
     _VMEM_LIMIT,
     _flat_consts,
+    _ks_real_dot,
     _lane_last_math,
     _lane_tile,
     _plan_consts,
@@ -669,3 +670,168 @@ def r2c_pallas_packed_mid(xe, xo, n: int, scale=None):
                                 bool(config.pallas_interpret), dot_mode(),
                                 float(1.0 if scale is None else scale))
     return run(xe, xo)
+
+
+# --------------------------------------------------------------------------
+# dense-matrix R2C/C2R kernels (axis-mid): for even n without a twostep-
+# eligible half (n <= 512), the whole forward/inverse real transform is
+# ONE K-stacked real MXU dot with zero relayouts. The C2R matrix absorbs
+# the Hermitian extension, the DC/Nyquist imag masking AND the
+# normalization: B's DC/Nyquist columns are zero and every entry carries
+# the scale — the entire reference ifft_r2c semantics as one constant.
+# --------------------------------------------------------------------------
+
+_DENSE_RFFT_MAX = 512
+
+
+def rfft_dense_mid_supported(n: int, dtype) -> bool:
+    if not config.use_pallas:
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if n < 4 or n % 2 or n > _DENSE_RFFT_MAX:
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or config.pallas_interpret
+
+
+def _r2c_dense_w(n: int):
+    """(n, 2m) f64: [cos(2pi t k/n) | -sin(2pi t k/n)] columns."""
+    t = np.arange(n, dtype=np.int64)
+    k = np.arange(n // 2 + 1, dtype=np.int64)
+    cr, si = _cis(2 * np.outer(t, k), n, -1)   # e^{-i 2pi tk/n}
+    return np.concatenate([cr, si], axis=1)    # si already carries the -
+
+
+def _c2r_dense_w(n: int, scale: float):
+    """(2m, n): rows [A^T; B^T] with x = A S_re + B S_im; the Hermitian
+    fold (x2 weights), DC/Nyquist masking (zero B columns) and ``scale``
+    are all in the constants."""
+    h = n // 2
+    m = h + 1
+    t = np.arange(n, dtype=np.int64)
+    k = np.arange(m, dtype=np.int64)
+    cr, sn = _cis(2 * np.outer(t, k), n, +1)   # e^{+i 2pi tk/n}
+    a = 2.0 * cr                                # (n, m)
+    b = -2.0 * sn
+    a[:, 0] *= 0.5
+    a[:, h] *= 0.5
+    b[:, 0] = 0.0                               # DC imag never read
+    b[:, h] = 0.0                               # Nyquist imag never read
+    return np.concatenate([a.T, b.T], axis=0) * scale   # (2m, n)
+
+
+def _r2c_dense_kernel(n, mode, x_ref, *refs):
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    tl = x_ref.shape[-1]
+    m = n // 2 + 1
+    x = x_ref[:].reshape(n, tl)
+    if mode == "bf16x3":
+        z, _ = _ks_real_dot(x, None, None, mode, im_out=False, w3=consts[0])
+    else:
+        from .fft import _dg
+
+        z = _dg(consts[0], x, (((0,), (0,)), ((), ())), mode)
+    or_ref[:] = z[:m, :].reshape(1, m, tl)
+    oi_ref[:] = z[m:, :].reshape(1, m, tl)
+
+
+def _c2r_dense_kernel(n, mode, sr_ref, si_ref, *refs):
+    consts = [r[:] for r in refs[:-1]]
+    o_ref = refs[-1]
+    tl = sr_ref.shape[-1]
+    m = n // 2 + 1
+    x2 = jnp.concatenate([sr_ref[:].reshape(m, tl),
+                          si_ref[:].reshape(m, tl)], axis=0)
+    if mode == "bf16x3":
+        z, _ = _ks_real_dot(x2, None, None, mode, im_out=False, w3=consts[0])
+    else:
+        from .fft import _dg
+
+        z = _dg(consts[0], x2, (((0,), (0,)), ((), ())), mode)
+    o_ref[:] = z.reshape(1, n, tl)
+
+
+@lru_cache(maxsize=256)
+def _build_r2c_dense_mid(n: int, nb: int, cols: int, dtype_str: str,
+                         interpret: bool, mode: str):
+    from .fft import ks_w3_np
+
+    dtype = jnp.dtype(dtype_str)
+    m = n // 2 + 1
+    w = _r2c_dense_w(n)
+    consts = [ks_w3_np(w) if mode == "bf16x3" else np.asarray(w, dtype)]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    in_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_r2c_dense_kernel, n, mode),
+        out_shape=(jax.ShapeDtypeStruct((nb, m, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, m, cols), dtype)),
+        grid=grid,
+        in_specs=[in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n * (2 * m) * nb * cols),
+            bytes_accessed=int(3 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+@lru_cache(maxsize=256)
+def _build_c2r_dense_mid(n: int, nb: int, cols: int, dtype_str: str,
+                         interpret: bool, mode: str, scale: float):
+    from .fft import ks_w3_np
+
+    dtype = jnp.dtype(dtype_str)
+    m = n // 2 + 1
+    w = _c2r_dense_w(n, scale)
+    consts = [ks_w3_np(w) if mode == "bf16x3" else np.asarray(w, dtype)]
+    tile = _mid_tile(cols)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    in_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_c2r_dense_kernel, n, mode),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=out_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n * (2 * m) * nb * cols),
+            bytes_accessed=int(3 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda sr, si: call(sr, si, *consts)
+
+
+def r2c_dense_pallas_mid(x, plan: R2CPlan):
+    nb, n, cols = x.shape
+    run = _build_r2c_dense_mid(n, nb, cols, str(x.dtype),
+                               bool(config.pallas_interpret), dot_mode())
+    return run(x)
+
+
+def c2r_dense_pallas_mid(sr, si, n: int, scale=None):
+    nb, _m, cols = sr.shape
+    run = _build_c2r_dense_mid(n, nb, cols, str(sr.dtype),
+                               bool(config.pallas_interpret), dot_mode(),
+                               float(1.0 if scale is None else scale))
+    return run(sr, si)

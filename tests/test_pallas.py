@@ -359,3 +359,27 @@ def test_pallas_dct_dense_mid_all_types():
     got = np.asarray(nddct4(jnp.asarray(x), DctHandler(512), axis=1))
     ref = scipy.fft.dct(x, type=4, axis=1)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4
+
+
+def test_pallas_rfft_dense_mid():
+    # dense r2c/c2r mid kernels for even n without a twostep-eligible half
+    # (n=264: h=132), incl. the DC/Nyquist semantics baked into the matrix
+    from ndrustfft_tpu import ndifft_r2c
+
+    rng = np.random.default_rng(19)
+    for n in [128, 264]:
+        x = rng.standard_normal((2, n, 16)).astype(np.float32)
+        h = R2cFftHandler(n)
+        got = np.asarray(ndfft_r2c(jnp.asarray(x), h, axis=1))
+        ref = np.fft.rfft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4, n
+        back = np.asarray(ndifft_r2c(jnp.asarray(got), h, axis=1))
+        assert np.abs(back - x).max() < 1e-3, n
+    n, m = 264, 133
+    spec = (rng.standard_normal((2, m, 16)) + 1j * rng.standard_normal(
+        (2, m, 16))).astype(np.complex64)
+    spec[:, 0, :] += 100j
+    spec[:, -1, :] += 100j
+    got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
+    ref = np.fft.irfft(spec, n=n, axis=1)
+    assert np.abs(got - ref).max() < 1e-3
