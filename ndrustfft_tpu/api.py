@@ -236,11 +236,31 @@ def _dct_impl(x, handler, axis, dct_type):
     _check_size(x.shape[axis], handler.n, what="dct")
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise TypeError("nddct expects a real input array")
+    if handler.norm.kind != "custom":
+        # dense-matrix kernel FIRST: for n <= its cap one real MXU dot
+        # beats every O(n log n) lowering here (measured: DCT-I 513 was
+        # 47.6 us via the ext-stream path vs 8.2 for the dense dot) —
+        # covers odd n, DCT-IV, and all small sizes
+        dims = _mid_dims(x, axis)
+        if dims is not None:
+            from .ops.pallas.dct import (
+                dct_dense_mid_supported, dct_dense_pallas_mid,
+            )
+
+            if dct_dense_mid_supported(handler.n, x.dtype):
+                norm = handler.norm
+                scale = (2.0 if norm.kind == "default"
+                         else norm.value if norm.kind == "scalar" else None)
+                nb, cols = dims
+                y = dct_dense_pallas_mid(x.reshape(nb, handler.n, cols),
+                                         dct_type, scale)
+                return y.reshape(x.shape)
     if dct_type == 1 and handler.norm.kind != "custom" and handler.n >= 2:
-        # DCT-I axis-mid: even-extension streams assembled as ONE XLA
-        # middle-axis pass, then the packed-mid r2c kernel with the 0.5 and
-        # the handler's scalar norm folded into the combine constants — no
-        # moveaxis passes (the reference's dct2d bench measures DCT-I)
+        # DCT-I axis-mid (n beyond the dense cap): even-extension streams
+        # assembled as ONE XLA middle-axis pass, then the packed-mid r2c
+        # kernel with the 0.5 and the handler's scalar norm folded into
+        # the combine constants — no moveaxis passes (the reference's
+        # dct2d bench measures DCT-I)
         dims = _mid_dims(x, axis)
         if dims is not None:
             from .ops.pallas.rfft import (
