@@ -117,14 +117,11 @@ def _c2c_impl(x, handler, axis, sign):
         # moveaxis (the transpose materializes in HBM before the kernel), so
         # route through the transpose-free axis-mid kernel, which consumes
         # the natural (pre, n, post) layout directly.
-        import numpy as _np
-
         from .ops.pallas.fft import c2c_pallas_axis_mid, pallas_supported
 
-        nb = int(_np.prod(x.shape[:axis])) if axis else 1
-        cols = int(_np.prod(x.shape[axis + 1:]))
-        if (cols >= (8 if _cfg.pallas_interpret else 128)
-                and pallas_supported(plan, rdt)):
+        dims = _mid_dims(x, axis)
+        if dims is not None and pallas_supported(plan, rdt):
+            nb, cols = dims
             shape = x.shape
             xr = jnp.real(x).astype(rdt).reshape(nb, handler.n, cols)
             xi = jnp.imag(x).astype(rdt).reshape(nb, handler.n, cols)
@@ -303,23 +300,6 @@ def _dct_impl(x, handler, axis, dct_type):
                 y = (dct2_pallas_mid(xm3, scale) if dct_type == 2
                      else dct3_pallas_mid(xm3, scale))
                 return y.reshape(x.shape)
-    if handler.norm.kind != "custom":
-        # dense-matrix fallback kernel: odd n (the reference's dct2d grid
-        # sizes), DCT-IV, and sizes without a fused O(n log n) kernel
-        dims = _mid_dims(x, axis)
-        if dims is not None:
-            from .ops.pallas.dct import (
-                dct_dense_mid_supported, dct_dense_pallas_mid,
-            )
-
-            if dct_dense_mid_supported(handler.n, x.dtype):
-                norm = handler.norm
-                scale = (2.0 if norm.kind == "default"
-                         else norm.value if norm.kind == "scalar" else None)
-                nb, cols = dims
-                y = dct_dense_pallas_mid(x.reshape(nb, handler.n, cols),
-                                         dct_type, scale)
-                return y.reshape(x.shape)
     xm = jnp.moveaxis(x, axis, -1)
     # Normalization BEFORE the transform (src/lib.rs:688-741); Default = x2
     # converts the rustdct convention to scipy's unnormalized dct. The DCT
@@ -398,7 +378,13 @@ def _check_tpu_f64(dtype, devices):
 
 def _dispatch(kind, x, handler, axis):
     if isinstance(x, jax.core.Tracer):
-        return _IMPLS[kind](x, handler, axis)  # already inside a user jit
+        # inside a user jit the argument has no devices, but the dtype is
+        # known — guard against the backend the trace will compile for
+        # (otherwise an f64 program reaches the TPU compiler and SIGABRTs
+        # instead of raising, NOTES_TPU.md)
+        if jnp.dtype(x.dtype) in (jnp.float64, jnp.complex128):
+            _check_tpu_f64(x.dtype, jax.devices())
+        return _IMPLS[kind](x, handler, axis)
     devs = getattr(x, "devices", None)
     if callable(devs):
         _check_tpu_f64(x.dtype, devs())

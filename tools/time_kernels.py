@@ -84,15 +84,19 @@ elif variant in ("fused_ifft", "jnp_ifft"):
 
     x = (rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
          ).astype(np.complex64)
-    c = _math.sqrt(n) * 1.001
+    # both compute v <- (1.001/sqrt(n)) * IFFT_u(v): the scalar policy
+    # REPLACES the default 1/n, so ours fuses 1.001/sqrt(n); jnp's ifft
+    # includes 1/n, so its external multiply is 1.001*sqrt(n)
     if variant == "fused_ifft":
         from ndrustfft_tpu import FftHandler, Normalization, ndifft
 
-        h = FftHandler(n).normalization(Normalization.scalar(c))
+        h = FftHandler(n).normalization(
+            Normalization.scalar(1.001 / _math.sqrt(n)))
         step = lambda v: ndifft(v, h, axis=1)  # noqa: E731
     else:
         import jax.numpy as jnp
 
+        c = _math.sqrt(n) * 1.001
         step = lambda v: jnp.fft.ifft(v, axis=1) * c  # noqa: E731
     t = per_transform(step, x, scale=None, per_iter=B)
 else:
