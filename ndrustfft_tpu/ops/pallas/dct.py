@@ -338,18 +338,15 @@ def _dct3_kernel_mid(m, f, mode, x_ref, *refs):
     od_ref[:] = zr[half:, :].reshape(1, half, tl)
 
 
-def _mid_tile(cols: int) -> int:
+def _mid_tile(cols: int, tcfg: int = 0) -> int:
     if cols <= 128:
         return cols
-    t = 256
-    if config.pallas_tile:
-        t = min(cols, config.pallas_tile)
-    return t
+    return min(cols, tcfg) if tcfg else 256
 
 
 @lru_cache(maxsize=256)
 def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
-                    interpret: bool, mode: str, scale: float = 1.0):
+                    interpret: bool, mode: str, scale: float = 1.0, tcfg: int = 0):
     dtype = jnp.dtype(dtype_str)
     m0, _f0 = _twostep_split(n)
     perm = np.concatenate([np.arange(m0 // 2),
@@ -361,7 +358,7 @@ def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
     consts = consts + [np.asarray(w[0], dtype).reshape(n, 1),
                        np.asarray(w[1], dtype).reshape(n, 1)]
     h = n // 2
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
@@ -386,7 +383,7 @@ def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_dct3_mid(n: int, nb: int, cols: int, dtype_str: str,
-                    interpret: bool, mode: str, scale: float = 1.0):
+                    interpret: bool, mode: str, scale: float = 1.0, tcfg: int = 0):
     dtype = jnp.dtype(dtype_str)
     m0, f0 = _twostep_split(n)
     tp = np.arange(m0, dtype=np.int64)
@@ -398,7 +395,7 @@ def _build_dct3_mid(n: int, nb: int, cols: int, dtype_str: str,
     h0 = np.ones((n, 1), dtype)
     h0[0, 0] = 0.5
     consts = consts + [h0]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
@@ -430,7 +427,8 @@ def dct2_pallas_mid(x, scale=None):
     nb, n, cols = x.shape
     run = _build_dct2_mid(n, nb, cols, str(x.dtype),
                           bool(config.pallas_interpret), dot_mode(),
-                          float(1.0 if scale is None else scale))
+                          float(1.0 if scale is None else scale),
+                          tcfg=int(config.pallas_tile))
     return run(x)
 
 
@@ -440,7 +438,8 @@ def dct3_pallas_mid(x, scale=None):
     nb, n, cols = x.shape
     run = _build_dct3_mid(n, nb, cols, str(x.dtype),
                           bool(config.pallas_interpret), dot_mode(),
-                          float(1.0 if scale is None else scale))
+                          float(1.0 if scale is None else scale),
+                          tcfg=int(config.pallas_tile))
     ev, od = run(x)
     odf = od[:, ::-1, :]
     z = jnp.stack([ev, odf], axis=2).reshape(nb, n, cols)
@@ -510,14 +509,14 @@ def _dct_dense_kernel(n, mode, x_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_dct_dense_mid(n: int, dct_type: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
-                         scale: float):
+                         scale: float, tcfg: int = 0):
     dtype = jnp.dtype(dtype_str)
     m_ = _dct_dense_matrix(n, dct_type) * scale
     if mode == "bf16x3":
         consts = [ks_w3_np(m_.T)]        # w[t, k] = M^T
     else:
         consts = [np.asarray(m_.T, dtype)]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
@@ -546,5 +545,6 @@ def dct_dense_pallas_mid(x, dct_type: int, scale=None):
     nb, n, cols = x.shape
     run = _build_dct_dense_mid(n, dct_type, nb, cols, str(x.dtype),
                                bool(config.pallas_interpret), dot_mode(),
-                               float(1.0 if scale is None else scale))
+                               float(1.0 if scale is None else scale),
+                               tcfg=int(config.pallas_tile))
     return run(x)

@@ -703,14 +703,15 @@ def _kernel_twostep(m, f, tile, mode, sign, xr_ref, xi_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
-                        interpret: bool, mode: str, scale: float = 1.0):
+                        interpret: bool, mode: str, scale: float = 1.0,
+                        tcfg: int = 0):
     dtype = jnp.dtype(dtype_str)
     consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
     if batch >= 128:
         tile = max(tile, 128)
-    if config.pallas_tile:
-        tile = min(max(8, batch), config.pallas_tile)
+    if tcfg:
+        tile = min(max(8, batch), tcfg)
     grid = (pl.cdiv(batch, tile),)
     spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
@@ -899,7 +900,7 @@ def _kernel_axis_mid_ts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
-                         scale: float = 1.0):
+                         scale: float = 1.0, tcfg: int = 0):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
     transform along the MIDDLE axis with no HBM transposes.
 
@@ -925,8 +926,8 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         tile = cols
     else:
         tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
-        if config.pallas_tile:
-            tile = min(cols, config.pallas_tile)
+        if tcfg:
+            tile = min(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     # 1-D grid (flattened (b, i)): pallas pipelines the innermost grid dim;
     # flattening removes the double-buffer stall at each batch boundary
@@ -1041,7 +1042,8 @@ def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan, scale=None):
     nb, n, cols = xr.shape
     run = _build_call_axis_mid(n, plan.sign, nb, cols, str(xr.dtype),
                                bool(config.pallas_interpret), dot_mode(),
-                               float(1.0 if scale is None else scale))
+                               float(1.0 if scale is None else scale),
+                               int(config.pallas_tile))
     return run(xr, xi)
 
 
@@ -1052,7 +1054,8 @@ def c2c_pallas(xr, xi, plan: C2CPlan, scale=None):
     if (config.pallas_flavor == "twostep" and n > 256
             and _twostep_split(n) is not None):
         run = _build_call_twostep(n, plan.sign, batch, str(xr.dtype),
-                                  bool(config.pallas_interpret), dot_mode(), s)
+                                  bool(config.pallas_interpret), dot_mode(),
+                                  s, int(config.pallas_tile))
         return run(xr, xi)
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
                       bool(config.pallas_interpret), dot_mode(), s)

@@ -473,18 +473,15 @@ def _c2r_kernel_mid(m_, f_, mode, h, sr_ref, si_ref, *refs):
     o_ref[:] = d.reshape(1, 2 * h, tl)       # free interleave
 
 
-def _mid_tile(cols: int) -> int:
+def _mid_tile(cols: int, tcfg: int = 0) -> int:
     if cols <= 128:
         return cols
-    t = 256
-    if config.pallas_tile:
-        t = min(cols, config.pallas_tile)
-    return t
+    return min(cols, tcfg) if tcfg else 256
 
 
 @lru_cache(maxsize=256)
 def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
-                   interpret: bool, mode: str):
+                   interpret: bool, mode: str, tcfg: int = 0):
     """(B, n, L) real -> (B, m, L) split re/im, transform along axis 1."""
     h = n // 2
     m = h + 1
@@ -495,7 +492,7 @@ def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
     ur, ui = _cis(2 * k, n, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
                        np.asarray(ui, dtype).reshape(h, 1)]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     in_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
@@ -523,7 +520,7 @@ def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_c2r_mid(n: int, nb: int, cols: int, dtype_str: str,
-                   interpret: bool, mode: str, scale: float):
+                   interpret: bool, mode: str, scale: float, tcfg: int = 0):
     """(B, m, L) RAW split re/im -> (B, n, L) real, transform along axis 1;
     normalization + DC/Nyquist masking fused."""
     h = n // 2
@@ -549,7 +546,7 @@ def _build_c2r_mid(n: int, nb: int, cols: int, dtype_str: str,
         np.asarray([[b_r[0] * scale], [b_i[0] * scale]], dtype),
         np.asarray(mk, dtype),
     ]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     in_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
@@ -579,7 +576,8 @@ def r2c_pallas_mid(x, plan: R2CPlan):
     no transposes — the axis-mid natural kernel)."""
     nb, n, cols = x.shape
     run = _build_r2c_mid(n, nb, cols, str(x.dtype),
-                         bool(config.pallas_interpret), dot_mode())
+                         bool(config.pallas_interpret), dot_mode(),
+                         tcfg=int(config.pallas_tile))
     return run(x)
 
 
@@ -588,7 +586,8 @@ def c2r_pallas_mid(sr, si, n: int, scale=None):
     nb, _m, cols = sr.shape
     run = _build_c2r_mid(n, nb, cols, str(sr.dtype),
                          bool(config.pallas_interpret), dot_mode(),
-                         float(1.0 if scale is None else scale))
+                         float(1.0 if scale is None else scale),
+                         tcfg=int(config.pallas_tile))
     return run(sr, si)
 
 
@@ -625,7 +624,7 @@ def _r2c_kernel_packed_mid(m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_r2c_packed_mid(n: int, nb: int, cols: int, dtype_str: str,
-                          interpret: bool, mode: str, scale: float):
+                          interpret: bool, mode: str, scale: float, tcfg: int = 0):
     """(B, h, L) even/odd pair -> (B, m, L) split re/im * scale, axis 1."""
     h = n // 2
     m = h + 1
@@ -636,7 +635,7 @@ def _build_r2c_packed_mid(n: int, nb: int, cols: int, dtype_str: str,
     ur, ui = _cis(2 * k, n, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
                        np.asarray(ui, dtype).reshape(h, 1)]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     in_spec = pl.BlockSpec((1, h, tile), lambda g: (g // gc, 0, g % gc),
@@ -668,7 +667,8 @@ def r2c_pallas_packed_mid(xe, xo, n: int, scale=None):
     nb, _h, cols = xe.shape
     run = _build_r2c_packed_mid(n, nb, cols, str(xe.dtype),
                                 bool(config.pallas_interpret), dot_mode(),
-                                float(1.0 if scale is None else scale))
+                                float(1.0 if scale is None else scale),
+                                tcfg=int(config.pallas_tile))
     return run(xe, xo)
 
 
@@ -755,14 +755,14 @@ def _c2r_dense_kernel(n, mode, sr_ref, si_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_r2c_dense_mid(n: int, nb: int, cols: int, dtype_str: str,
-                         interpret: bool, mode: str):
+                         interpret: bool, mode: str, tcfg: int = 0):
     from .fft import ks_w3_np
 
     dtype = jnp.dtype(dtype_str)
     m = n // 2 + 1
     w = _r2c_dense_w(n)
     consts = [ks_w3_np(w) if mode == "bf16x3" else np.asarray(w, dtype)]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     in_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
@@ -790,14 +790,14 @@ def _build_r2c_dense_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_c2r_dense_mid(n: int, nb: int, cols: int, dtype_str: str,
-                         interpret: bool, mode: str, scale: float):
+                         interpret: bool, mode: str, scale: float, tcfg: int = 0):
     from .fft import ks_w3_np
 
     dtype = jnp.dtype(dtype_str)
     m = n // 2 + 1
     w = _c2r_dense_w(n, scale)
     consts = [ks_w3_np(w) if mode == "bf16x3" else np.asarray(w, dtype)]
-    tile = _mid_tile(cols)
+    tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     in_spec = pl.BlockSpec((1, m, tile), lambda g: (g // gc, 0, g % gc),
@@ -825,7 +825,8 @@ def _build_c2r_dense_mid(n: int, nb: int, cols: int, dtype_str: str,
 def r2c_dense_pallas_mid(x, plan: R2CPlan):
     nb, n, cols = x.shape
     run = _build_r2c_dense_mid(n, nb, cols, str(x.dtype),
-                               bool(config.pallas_interpret), dot_mode())
+                               bool(config.pallas_interpret), dot_mode(),
+                               tcfg=int(config.pallas_tile))
     return run(x)
 
 
@@ -833,5 +834,6 @@ def c2r_dense_pallas_mid(sr, si, n: int, scale=None):
     nb, _m, cols = sr.shape
     run = _build_c2r_dense_mid(n, nb, cols, str(sr.dtype),
                                bool(config.pallas_interpret), dot_mode(),
-                               float(1.0 if scale is None else scale))
+                               float(1.0 if scale is None else scale),
+                               tcfg=int(config.pallas_tile))
     return run(sr, si)
