@@ -35,7 +35,8 @@ batch 16, us/transform):
   + host-prebuilt K-stacked bf16 W consts (ks_w6_np)            85.2
   + fused scalar normalization (chain = kernel-only)            75.2
   + swapped stage-1 dot orientation (one relayout total)        59.8
-  jnp.fft.ifft + the same (unfusable) scale, same chain        153.4
+  + VPU butterfly combine + 1-D grid (corrected chain)          59.0
+  jnp.fft.ifft + the same (unfusable) scale, same chain        172
 
 The boundary passes were the story: jnp.real/imag extraction and the
 external normalization multiply cost more than the kernel math (see
