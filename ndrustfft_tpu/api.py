@@ -112,6 +112,21 @@ def _c2c_impl(x, handler, axis, sign):
         if custom is not None:
             y = jnp.moveaxis(custom(jnp.moveaxis(y, 0, -1)), -1, 0)
         return y
+    if axis < x.ndim - 1 and plan.kind == "bluestein" and custom is None:
+        # prime/arbitrary n on a non-minor axis: the ENTIRE chirp-z
+        # convolution fused into one Pallas pass (same HBM traffic as a
+        # smooth-size transform) — rustfft's any-n capability at kernel
+        # speed (reference src/lib.rs:295-297)
+        from .ops.pallas.fft import blue_mid_supported, c2c_pallas_axis_mid_blue
+
+        dims = _mid_dims(x, axis)
+        if dims is not None and blue_mid_supported(plan, rdt):
+            nb, cols = dims
+            shape = x.shape
+            xr = jnp.real(x).astype(rdt).reshape(nb, handler.n, cols)
+            xi = jnp.imag(x).astype(rdt).reshape(nb, handler.n, cols)
+            yr, yi = c2c_pallas_axis_mid_blue(xr, xi, plan, eng_scale)
+            return jax.lax.complex(yr, yi).reshape(shape)
     if axis < x.ndim - 1 and plan.kind == "ct" and custom is None:
         # Non-minor axis + Pallas: a Pallas input cannot absorb an XLA
         # moveaxis (the transpose materializes in HBM before the kernel), so
@@ -341,7 +356,7 @@ def _config_key():
 
     return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.pallas_flavor,
             _cfg.axis0_strategy, _cfg.matmul_precision, _cfg.max_base_radix,
-            _cfg.pallas_tile)
+            _cfg.pallas_tile, _cfg.mid_body)
 
 
 @lru_cache(maxsize=4096)

@@ -51,6 +51,12 @@ class _Config:
     #   'allow'           — hand the program to XLA anyway (demotion/crash
     #                       behavior is the backend's)
     tpu_f64: str = os.environ.get("NDRUSTFFT_TPU_F64", "error")
+    # Kernel body for the axis-mid C2C twostep flavor:
+    #   'bts' (default) — zero-relayout batched-twiddle-stage dataflow (the
+    #          stage twiddle rides per-j stage-1 matrices; VPU butterflies
+    #          combine over the leading j dim; no lane<->sublane swaps)
+    #   'ts'  — round-2 twostep core (one exit relayout)
+    mid_body: str = os.environ.get("NDRUSTFFT_TPU_MID_BODY", "bts")
     # Axis-0 execution strategy for C2C:
     #   'moveaxis' (default) — transpose to lane-last; XLA fuses the
     #                transposes into the stage matmuls (fastest measured)

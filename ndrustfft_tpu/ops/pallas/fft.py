@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
 from ...config import matmul_precision as _cfg_precision
-from ...plan import C2CPlan, dft_matrix, factorize, stage_twiddle
+from ...plan import C2CPlan, chirp, dft_matrix, factorize, stage_twiddle
 
 
 def dot_mode() -> str:
@@ -870,6 +870,360 @@ def _ts_core_nlead(xr, xi, consts, m, f, cols, mode, sign=None):
     return zr, zi
 
 
+# --------------------------------------------------------------------------
+# BTS flavor: the zero-relayout axis-mid dataflow (DIF orientation).
+#
+# The twostep core's one remaining relayout is the exit (q, l, p) -> (q, p, l)
+# lane<->sublane swap (round-2 attribution: the largest in-kernel cost).
+# Splitting the input the DIF way removes it: with t = a*m + b and
+# k = q + f*p',
+#
+#   X[q + f*p'] = sum_b W_m^{b p'} * ( W_n^{b q} * sum_a W_f^{a q} x[a*m+b] )
+#
+#   (1, n, TL) block --reshape--> (f, m, TL)            [leading split, free]
+#   stage 1: f-DFT over the LEADING a dim — VPU radix-2 butterflies for
+#            f in {2,4,8}, K-stacked leading-contract dot otherwise
+#   twiddle: (f, m, 1) broadcast multiply                          [VPU]
+#   stage 2: K-stacked dot contracting the MIDDLE b dim -> (2p', q, TL) [MXU]
+#   --reshape--> (n, TL): leading (p', q) merge IS k = q + f*p'    [free]
+#
+# No lane<->sublane relayouts at either stage, no batched dots (Mosaic
+# rejects unequal batch-dim positions — found empirically).
+# --------------------------------------------------------------------------
+
+
+def _bts_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0):
+    """BTS (DIF) kernel consts: [tw_r (f, m), tw_i, Wm(...)] (+ Wf(...) iff f
+    needs the MXU stage-1). ``scale`` folds into Wm (every element passes
+    stage 2 exactly once)."""
+    m, f = _twostep_split(n)
+    tw = stage_twiddle(f, m, sign)                 # [q, b] = W_n^{qb}
+    wm_r, wm_i = dft_matrix(m, sign)               # [b, p']
+    consts = [np.asarray(tw[0], dtype), np.asarray(tw[1], dtype)]
+    if mode == "bf16x3":
+        consts.append(ks_w6_np(wm_r * scale, wm_i * scale))
+    else:
+        consts += [np.asarray(wm_r * scale, dtype),
+                   np.asarray(wm_i * scale, dtype)]
+    if f not in _BFLY_F:
+        wf = dft_matrix(f, sign)
+        if mode == "bf16x3":
+            consts.append(ks_w6_np(wf[0], wf[1]))
+        else:
+            consts += [np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+    return consts, (m, f)
+
+
+def _bts_core(xr, xi, consts, m, f, mode, sign):
+    """(n, L) -> (n, L) via the zero-relayout DIF dataflow."""
+    n = m * f
+    cols = xr.shape[-1]
+    tw_r, tw_i = consts[0], consts[1]
+    if mode == "bf16x3":
+        wm_arg = consts[2]
+        wf_arg = consts[3] if len(consts) > 3 else None
+    else:
+        wm_arg = (consts[2], consts[3])
+        wf_arg = (consts[4], consts[5]) if len(consts) > 4 else None
+    xr3 = xr.reshape(f, m, cols)
+    xi3 = xi.reshape(f, m, cols)
+    # stage 1: f-point DFT over the leading dim (natural q order)
+    yr, yi = _combine_f(xr3, xi3, wf_arg, f, mode, sign)      # (q, b, L)
+    # twiddle W_n^{qb}
+    twr = tw_r.reshape(f, m, 1)
+    twi = tw_i.reshape(f, m, 1)
+    yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+    # stage 2: contract the middle b dim; leading output (p', q, L)
+    if mode == "bf16x3":
+        yhr, ylr = _bf16_split(yr)
+        yhi_, yli_ = _bf16_split(yi)
+        y6 = jnp.concatenate([yhr, ylr, yhr, yhi_, yli_, yhi_], axis=1)
+        out = jax.lax.dot_general(
+            wm_arg, y6, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (2p', q, L)
+        p = out.shape[0] // 2
+        zr, zi = out[:p], out[p:]
+    else:
+        def con(a, w):
+            return _dg(w, a, (((0,), (1,)), ((), ())), mode)
+
+        zr, zi = _cdot(yr, yi, wm_arg[0], wm_arg[1], con)
+    # leading (p', q) merge: flat index p'*f + q == k
+    return zr.reshape(n, cols), zi.reshape(n, cols)
+
+
+def _bts2_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0):
+    """BTS2 (DIF, per-q dots) consts: f stage-2 matrices with the stage
+    twiddle FOLDED in host-side — Wq[b, p'] = W_n^{qb} * Wm[b, p'] * scale —
+    so the kernel has zero twiddle work; plus Wf iff f needs the MXU
+    stage-1."""
+    m, f = _twostep_split(n)
+    tw_r, tw_i = stage_twiddle(f, m, sign)         # [q, b]
+    wm_r, wm_i = dft_matrix(m, sign)               # [b, p']
+    consts = []
+    for q in range(f):
+        cr = tw_r[q][:, None] * wm_r - tw_i[q][:, None] * wm_i
+        ci = tw_r[q][:, None] * wm_i + tw_i[q][:, None] * wm_r
+        if mode == "bf16x3":
+            consts.append(ks_w6_np(cr * scale, ci * scale))
+        else:
+            consts += [np.asarray(cr * scale, dtype),
+                       np.asarray(ci * scale, dtype)]
+    if f not in _BFLY_F:
+        wf = dft_matrix(f, sign)
+        if mode == "bf16x3":
+            consts.append(ks_w6_np(wf[0], wf[1]))
+        else:
+            consts += [np.asarray(wf[0], dtype), np.asarray(wf[1], dtype)]
+    return consts, (m, f)
+
+
+def _bts2_core(xr, xi, consts, m, f, mode, sign):
+    """(n, L) -> (n, L) DIF dataflow, stage 2 as f per-q 2-D K-stacked dots.
+
+    vs :func:`_bts_core`: the rank-3 middle-contraction dot (Mosaic-slow)
+    becomes f plain 2-D matmuls; the stage twiddle rides the per-q W
+    constants; the only data movement left is the exit (q, p', L) ->
+    (p', q, L) leading<->sublane permute (no lane crossing)."""
+    n = m * f
+    cols = xr.shape[-1]
+    if mode == "bf16x3":
+        wq = consts[:f]
+        wf_arg = consts[f] if len(consts) > f else None
+    else:
+        wq = [(consts[2 * q], consts[2 * q + 1]) for q in range(f)]
+        wf_arg = (tuple(consts[2 * f:2 * f + 2])
+                  if len(consts) > 2 * f else None)
+    xr3 = xr.reshape(f, m, cols)
+    xi3 = xi.reshape(f, m, cols)
+    # stage 1: f-point DFT over the leading a dim
+    if f in _BFLY_F and sign is not None:
+        planes = bfly_dft_leading([(xr3[a], xi3[a]) for a in range(f)], sign)
+    else:
+        yr, yi = _combine_f(xr3, xi3, wf_arg, f, mode, sign)
+        planes = [(yr[q], yi[q]) for q in range(f)]
+    # stage 2: per-q twiddle-folded complex dot (b -> p'), all 2-D
+    zr_parts, zi_parts = [], []
+    for q in range(f):
+        ar, ai = planes[q]
+        if mode == "bf16x3":
+            pr, pi = _ks_complex_dot(ar, ai, None, None, mode, w6=wq[q])
+        else:
+            pr, pi = _ks_complex_dot(ar, ai, wq[q][0], wq[q][1], mode)
+        zr_parts.append(pr[None])
+        zi_parts.append(pi[None])
+    zr = jnp.concatenate(zr_parts, axis=0)           # (q, p', L)
+    zi = jnp.concatenate(zi_parts, axis=0)
+    # exit: leading<->sublane swap, then the (p', q) merge IS k = q + f*p'
+    zr = jnp.transpose(zr, (1, 0, 2)).reshape(n, cols)
+    zi = jnp.transpose(zi, (1, 0, 2)).reshape(n, cols)
+    return zr, zi
+
+
+def _kernel_axis_mid_bts2(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
+    """(1, n, TL) mid-axis block through the per-q-dot DIF dataflow."""
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    n = m * f
+    zr, zi = _bts2_core(xr_ref[:].reshape(n, tl), xi_ref[:].reshape(n, tl),
+                        consts, m, f, mode, sign)
+    or_ref[:] = zr.reshape(1, n, tl)
+    oi_ref[:] = zi.reshape(1, n, tl)
+
+
+def _kernel_axis_mid_bts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
+    """(1, n, TL) mid-axis block through the zero-relayout BTS dataflow."""
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    n = m * f
+    zr, zi = _bts_core(xr_ref[:].reshape(n, tl), xi_ref[:].reshape(n, tl),
+                       consts, m, f, mode, sign)
+    or_ref[:] = zr.reshape(1, n, tl)
+    oi_ref[:] = zi.reshape(1, n, tl)
+
+
+# --------------------------------------------------------------------------
+# Fused Bluestein (chirp-z) axis-mid kernel: the ENTIRE prime/arbitrary-n
+# transform in ONE Pallas pass.
+#
+# The XLA engine's Bluestein (_bluestein, ops/engine.py) pays ~6 extra HBM
+# pass-pairs (chirp mul, pad, H mul, slice, chirp_b mul between the two
+# sub-FFTs). Here the length-M convolution lives entirely in VMEM:
+#
+#   (1, n, TL) block -> x * chirp_a -> pad to M -> FFT_M -> * H
+#                    -> IFFT_M (scale/M fused in stage consts) -> rows [:n]
+#                    -> * chirp_b -> (1, n, TL) block
+#
+# so a prime-size transform costs the same HBM traffic as a smooth-size one
+# (read n + write n), replacing rustfft's Rader/Bluestein SIMD specialists
+# (SURVEY.md §2.2 N1; /root/reference/src/lib.rs:295-297 plans any n).
+# M needs no smoothness for the kernel: any multiple of 128 with
+# f = M/m <= 256 two-steps, so the pad overhead is <= 128/(2n-1).
+# --------------------------------------------------------------------------
+
+_BLUE_MAX_M = 16384
+
+
+@lru_cache(maxsize=None)
+def blue_kernel_M(n: int):
+    """Kernel convolution length for Bluestein of size n, or None.
+
+    Dense single-dot core below 256; otherwise the smallest multiple of 128
+    (then 256) >= 2n-1 that has a twostep split."""
+    need = 2 * n - 1
+    if need <= 256:
+        return need
+    for step in (128, 256):
+        M = -(-need // step) * step
+        if M <= _BLUE_MAX_M and _twostep_split(M) is not None:
+            return M
+    return None
+
+
+def _blue_core_consts(M, sign, dtype, mode, scale=1.0):
+    """(consts, kind, (m, f)) for one length-M sub-FFT inside the kernel."""
+    if M <= 256:
+        wr_, wi_ = dft_matrix(M, sign)
+        if mode == "bf16x3":
+            return [ks_w6_np(wr_ * scale, wi_ * scale)], "dense", (M, 1)
+        return [np.asarray(wr_ * scale, dtype),
+                np.asarray(wi_ * scale, dtype)], "dense", (M, 1)
+    m, f = _twostep_split(M)
+    if f <= 16:
+        consts, _ = _bts2_consts(M, sign, dtype, mode, scale)
+        return consts, "bts2", (m, f)
+    consts, _ = _twostep_consts(M, sign, dtype, mode, scale)
+    return consts, "ts", (m, f)
+
+
+def _blue_core(xr, xi, consts, kind, m, f, cols, mode, sign):
+    if kind == "dense":
+        if len(consts) == 1:
+            return _ks_complex_dot(xr, xi, None, None, mode, w6=consts[0])
+        return _ks_complex_dot(xr, xi, consts[0], consts[1], mode)
+    if kind == "bts2":
+        return _bts2_core(xr, xi, consts, m, f, mode, sign)
+    return _ts_core_nlead(xr, xi, consts, m, f, cols, mode, sign)
+
+
+def _blue_consts(n: int, M: int, sign: int, dtype, mode: str,
+                 scale: float = 1.0):
+    """Constant tables for the fused kernel: [car, cai (n,1)], fwd core,
+    [hr, hi (M,1)], inv core (user scale and 1/M fused), [cbr, cbi (n,1)].
+    All chirp/H tables are built in f64 with integer phase reduction
+    (plan.chirp) exactly like the plan's own Bluestein constants."""
+    car, cai = chirp(n, sign)
+    cw_r, cw_i = chirp(n, -sign)
+    hr = np.zeros(M)
+    hi = np.zeros(M)
+    hr[:n], hi[:n] = cw_r, cw_i
+    hr[M - n + 1:] = cw_r[1:][::-1]
+    hi[M - n + 1:] = cw_i[1:][::-1]
+    H = np.fft.fft(hr + 1j * hi)
+    fwd, kind, (m, f) = _blue_core_consts(M, -1, dtype, mode)
+    inv, _, _ = _blue_core_consts(M, +1, dtype, mode, scale=scale / M)
+
+    def col(v):
+        return np.asarray(v, dtype).reshape(-1, 1)
+
+    # chirp_b == chirp_a (both exp(sign*i*pi*t^2/n), reference plan layout)
+    consts = ([col(car), col(cai)] + fwd + [col(H.real), col(H.imag)]
+              + inv + [col(car), col(cai)])
+    sections = (2, len(fwd), 2, len(inv), 2)
+    return consts, sections, kind, (m, f)
+
+
+def _kernel_axis_mid_blue(n, M, kind, m, f, tl, mode, sections,
+                          xr_ref, xi_ref, *refs):
+    """(1, n, TL) block -> (1, n, TL): fused chirp-z, all work in VMEM."""
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    i0 = 0
+    parts = []
+    for s in sections:
+        parts.append(consts[i0:i0 + s])
+        i0 += s
+    (car, cai), fwd, (hr, hi), inv, (cbr, cbi) = parts
+    xr = xr_ref[:].reshape(n, tl)
+    xi = xi_ref[:].reshape(n, tl)
+    ar = xr * car - xi * cai
+    ai = xr * cai + xi * car
+    pad = ((0, M - n), (0, 0))
+    ar = jnp.pad(ar, pad)
+    ai = jnp.pad(ai, pad)
+    fr, fi = _blue_core(ar, ai, fwd, kind, m, f, tl, mode, -1)
+    gr = fr * hr - fi * hi
+    gi = fr * hi + fi * hr
+    zr, zi = _blue_core(gr, gi, inv, kind, m, f, tl, mode, +1)
+    zr = zr[:n]
+    zi = zi[:n]
+    or_ref[:] = (zr * cbr - zi * cbi).reshape(1, n, tl)
+    oi_ref[:] = (zr * cbi + zi * cbr).reshape(1, n, tl)
+
+
+@lru_cache(maxsize=256)
+def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
+                              dtype_str: str, interpret: bool, mode: str,
+                              scale: float = 1.0, tcfg: int = 0):
+    dtype = jnp.dtype(dtype_str)
+    M = blue_kernel_M(n)
+    consts, sections, kind, (m, f) = _blue_consts(n, M, sign, dtype, mode,
+                                                  scale)
+    # working set carries length-M intermediates: budget the tile on 2M
+    if cols <= 128:
+        tile = cols
+    else:
+        tile = max(128, min(_lane_tile(2 * M, dtype.itemsize), 512)
+                   // 128 * 128)
+        if tcfg:
+            tile = min(cols, tcfg)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                        memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_kernel_axis_mid_blue, n, M, kind, m, f, tile, mode,
+                sections),
+        out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, n, cols), dtype)),
+        grid=grid,
+        in_specs=[spec, spec] + const_specs,
+        out_specs=(spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(20.0 * M * np.log2(max(M, 2)) * nb * cols),
+            bytes_accessed=int(4 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda xr, xi: call(xr, xi, *consts)
+
+
+def blue_mid_supported(plan: C2CPlan, dtype) -> bool:
+    """Fused-Bluestein axis-mid kernel eligibility (prime/arbitrary n)."""
+    if not config.use_pallas or plan.kind != "bluestein":
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if blue_kernel_M(plan.n) is None:
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or config.pallas_interpret
+
+
+def c2c_pallas_axis_mid_blue(xr, xi, plan: C2CPlan, scale=None):
+    """Bluestein C2C along axis 1 of (B, n, L) split re/im arrays — one
+    fused kernel pass (see module comment above)."""
+    nb, n, cols = xr.shape
+    run = _build_call_axis_mid_blue(n, plan.sign, nb, cols, str(xr.dtype),
+                                    bool(config.pallas_interpret), dot_mode(),
+                                    float(1.0 if scale is None else scale),
+                                    int(config.pallas_tile))
+    return run(xr, xi)
+
+
 def _kernel_axis_mid_dense(n, tl, mode, xr_ref, xi_ref, *refs):
     """(1, n, TL) block, n <= 256: one dense K-stacked DFT dot; the output
     rows land directly in the block layout (zero relayouts)."""
@@ -901,7 +1255,8 @@ def _kernel_axis_mid_ts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
-                         scale: float = 1.0, tcfg: int = 0):
+                         scale: float = 1.0, tcfg: int = 0,
+                         mid_body: str = "bts"):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
     transform along the MIDDLE axis with no HBM transposes.
 
@@ -971,14 +1326,22 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         )
         return lambda xr, xi: call(xr, xi, *consts)
     if use_ts:
-        consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
+        if mid_body == "bts2":
+            consts, (m, f) = _bts2_consts(n, sign, dtype, mode, scale)
+            body = partial(_kernel_axis_mid_bts2, m, f, tile, mode, sign)
+        elif mid_body == "bts":
+            consts, (m, f) = _bts_consts(n, sign, dtype, mode, scale)
+            body = partial(_kernel_axis_mid_bts, m, f, tile, mode, sign)
+        else:
+            consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
+            body = partial(_kernel_axis_mid_ts, m, f, tile, mode, sign)
         spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
                             memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape,
                                     lambda g, _r=c.ndim: (0,) * _r,
                                     memory_space=pltpu.VMEM) for c in consts]
         call = pl.pallas_call(
-            partial(_kernel_axis_mid_ts, m, f, tile, mode, sign),
+            body,
             out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
                        jax.ShapeDtypeStruct((nb, n, cols), dtype)),
             in_specs=[spec, spec] + const_specs,
@@ -1044,7 +1407,7 @@ def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan, scale=None):
     run = _build_call_axis_mid(n, plan.sign, nb, cols, str(xr.dtype),
                                bool(config.pallas_interpret), dot_mode(),
                                float(1.0 if scale is None else scale),
-                               int(config.pallas_tile))
+                               int(config.pallas_tile), str(config.mid_body))
     return run(xr, xi)
 
 
