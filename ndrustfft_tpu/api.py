@@ -71,6 +71,21 @@ def _norm_axis(axis: int, ndim: int) -> int:
 # --------------------------------------------------------------------------
 
 
+def _plan_log(kind, n, axis, path):
+    """Opt-in dispatch observability (config.debug_plan_log): one stderr
+    line per TRACED dispatch — the impls run once per compiled (kind,
+    handler, axis, shape, dtype) cache entry, so this fires exactly when a
+    new execution path is chosen, not per call (SURVEY.md §5: optional
+    debug-level plan logging only)."""
+    from .config import config as _cfg
+
+    if _cfg.debug_plan_log:
+        import sys
+
+        print(f"[ndrustfft_tpu] {kind} n={n} axis={axis} -> {path}",
+              file=sys.stderr)
+
+
 def _c2c_norm_scale(handler, sign):
     """Fusable scalar for the transform's normalization, or None.
 
@@ -107,6 +122,8 @@ def _c2c_impl(x, handler, axis, sign):
         # einsum contraction or the transpose-free Pallas kernel
         xr = jnp.real(x).astype(rdt)
         xi = jnp.imag(x).astype(rdt)
+        _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
+                  f"axis0-{_cfg.axis0_strategy}")
         yr, yi = _engine.c2c_axis0(xr, xi, plan, eng_scale)
         y = jax.lax.complex(yr, yi)
         if custom is not None:
@@ -121,10 +138,14 @@ def _c2c_impl(x, handler, axis, sign):
 
         dims = _mid_dims(x, axis)
         if dims is not None and blue_mid_supported(plan, rdt):
+            from .ops.pallas.fft import blue_kernel_M
+
             nb, cols = dims
             shape = x.shape
             xr = jnp.real(x).astype(rdt).reshape(nb, handler.n, cols)
             xi = jnp.imag(x).astype(rdt).reshape(nb, handler.n, cols)
+            _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
+                      f"pallas-blue-mid(M={blue_kernel_M(handler.n)})")
             yr, yi = c2c_pallas_axis_mid_blue(xr, xi, plan, eng_scale)
             return jax.lax.complex(yr, yi).reshape(shape)
     if axis < x.ndim - 1 and plan.kind == "ct" and custom is None:
@@ -136,10 +157,14 @@ def _c2c_impl(x, handler, axis, sign):
 
         dims = _mid_dims(x, axis)
         if dims is not None and pallas_supported(plan, rdt):
+            from .ops.pallas.fft import mid_kernel_kind
+
             nb, cols = dims
             shape = x.shape
             xr = jnp.real(x).astype(rdt).reshape(nb, handler.n, cols)
             xi = jnp.imag(x).astype(rdt).reshape(nb, handler.n, cols)
+            _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
+                      f"pallas-mid({mid_kernel_kind(handler.n)})")
             yr, yi = c2c_pallas_axis_mid(xr, xi, plan, eng_scale)
             return jax.lax.complex(yr, yi).reshape(shape)
     # Default: moveaxis + the lane-last engine — XLA fuses the transposes
@@ -149,6 +174,19 @@ def _c2c_impl(x, handler, axis, sign):
     xm = jnp.moveaxis(x, axis, -1)
     xr = jnp.real(xm).astype(rdt)
     xi = jnp.imag(xm).astype(rdt)
+    if plan.kind == "bluestein":
+        _lane_path = f"engine-bluestein(M={plan.M})"
+    else:
+        import numpy as _np
+
+        from .ops.pallas.fft import pallas_supported as _ps
+
+        _batch = int(_np.prod(xr.shape[:-1])) if xr.ndim > 1 else 1
+        _lane_path = ("pallas-lane-last"
+                      if _batch >= (8 if _cfg.pallas_interpret else 128)
+                      and _ps(plan, rdt) else "engine-lane-last")
+    _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
+              _lane_path + ("" if axis == x.ndim - 1 else "+moveaxis"))
     yr, yi = _engine.c2c(xr, xi, plan, eng_scale)
     y = jax.lax.complex(yr, yi)
     if custom is not None:
@@ -191,11 +229,16 @@ def _r2c_impl(x, handler, axis):
         nb, cols = dims
         out_shape = x.shape[:axis] + (m,) + x.shape[axis + 1:]
         if rfft_nat_supported(plan, x.dtype):
+            _plan_log("r2c", n, axis, "pallas-r2c-mid-nat")
             sr, si = r2c_pallas_mid(x.reshape(nb, n, cols), plan)
             return jax.lax.complex(sr, si).reshape(out_shape)
         if plan.half and rfft_dense_mid_supported(n, x.dtype):
+            _plan_log("r2c", n, axis, "pallas-r2c-mid-dense")
             sr, si = r2c_dense_pallas_mid(x.reshape(nb, n, cols), plan)
             return jax.lax.complex(sr, si).reshape(out_shape)
+    _plan_log("r2c", handler.n, axis,
+              "engine-r2c" + ("-half" if plan.half else "-odd")
+              + ("" if axis == x.ndim - 1 else "+moveaxis"))
     xm = jnp.moveaxis(x, axis, -1)
     sr, si = _engine.r2c(xm, plan)
     return jnp.moveaxis(jax.lax.complex(sr, si), -1, axis)
@@ -229,11 +272,16 @@ def _c2r_impl(xhat, handler, axis):
         out_shape = xhat.shape[:axis] + (n,) + xhat.shape[axis + 1:]
         use_nat = rfft_nat_supported(_grp(n), rdt)
         if use_nat or rfft_dense_mid_supported(n, rdt):
+            _plan_log("c2r", n, axis,
+                      "pallas-c2r-mid-nat" if use_nat
+                      else "pallas-c2r-mid-dense")
             sr = jnp.real(xhat).astype(rdt).reshape(nb, m, cols)
             si = jnp.imag(xhat).astype(rdt).reshape(nb, m, cols)
             y = (c2r_pallas_mid(sr, si, n, scale) if use_nat
                  else c2r_dense_pallas_mid(sr, si, n, scale))
             return y.reshape(out_shape)
+    _plan_log("c2r", n, axis,
+              "engine-c2r" + ("" if axis == xhat.ndim - 1 else "+moveaxis"))
     xm = jnp.moveaxis(xhat, axis, -1)
     if norm.kind == "custom":
         xm = norm.fn(xm)
@@ -260,6 +308,8 @@ def _dct_impl(x, handler, axis, dct_type):
             )
 
             if dct_dense_mid_supported(handler.n, x.dtype):
+                _plan_log(f"dct{dct_type}", handler.n, axis,
+                          "pallas-dct-mid-dense")
                 norm = handler.norm
                 scale = (2.0 if norm.kind == "default"
                          else norm.value if norm.kind == "scalar" else None)
@@ -286,6 +336,7 @@ def _dct_impl(x, handler, axis, dct_type):
                 norm = handler.norm
                 s = (2.0 if norm.kind == "default"
                      else norm.value if norm.kind == "scalar" else 1.0)
+                _plan_log("dct1", n_, axis, "pallas-dct1-packed-mid")
                 nb, cols = dims
                 xm3 = x.reshape(nb, n_, cols)
                 xe = jnp.concatenate(
@@ -307,6 +358,8 @@ def _dct_impl(x, handler, axis, dct_type):
             )
 
             if dct_pallas_supported(handler.n, x.dtype):
+                _plan_log(f"dct{dct_type}", handler.n, axis,
+                          f"pallas-dct{dct_type}-mid-fused")
                 norm = handler.norm
                 scale = (2.0 if norm.kind == "default"
                          else norm.value if norm.kind == "scalar" else None)
@@ -315,6 +368,8 @@ def _dct_impl(x, handler, axis, dct_type):
                 y = (dct2_pallas_mid(xm3, scale) if dct_type == 2
                      else dct3_pallas_mid(xm3, scale))
                 return y.reshape(x.shape)
+    _plan_log(f"dct{dct_type}", handler.n, axis,
+              "engine-dct" + ("" if axis == x.ndim - 1 else "+moveaxis"))
     xm = jnp.moveaxis(x, axis, -1)
     # Normalization BEFORE the transform (src/lib.rs:688-741); Default = x2
     # converts the rustdct convention to scipy's unnormalized dct. The DCT
@@ -356,7 +411,7 @@ def _config_key():
 
     return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.pallas_flavor,
             _cfg.axis0_strategy, _cfg.matmul_precision, _cfg.max_base_radix,
-            _cfg.pallas_tile, _cfg.mid_body)
+            _cfg.pallas_tile, _cfg.mid_body, _cfg.debug_plan_log)
 
 
 @lru_cache(maxsize=4096)
@@ -396,9 +451,15 @@ def _dispatch(kind, x, handler, axis):
         # inside a user jit the argument has no devices, but the dtype is
         # known — guard against the backend the trace will compile for
         # (otherwise an f64 program reaches the TPU compiler and SIGABRTs
-        # instead of raising, NOTES_TPU.md)
+        # instead of raising, NOTES_TPU.md). A jit explicitly pinned to CPU
+        # via jax.default_device(cpu) on a TPU host is legitimate f64 work:
+        # honor the pin instead of inspecting the process default backend.
         if jnp.dtype(x.dtype) in (jnp.float64, jnp.complex128):
-            _check_tpu_f64(x.dtype, jax.devices())
+            pinned = getattr(jax.config, "jax_default_device", None)
+            if pinned is not None and not _is_tpu_device(pinned):
+                pass
+            else:
+                _check_tpu_f64(x.dtype, jax.devices())
         return _IMPLS[kind](x, handler, axis)
     devs = getattr(x, "devices", None)
     if callable(devs):

@@ -52,11 +52,22 @@ class _Config:
     #                       behavior is the backend's)
     tpu_f64: str = os.environ.get("NDRUSTFFT_TPU_F64", "error")
     # Kernel body for the axis-mid C2C twostep flavor:
-    #   'bts' (default) — zero-relayout batched-twiddle-stage dataflow (the
-    #          stage twiddle rides per-j stage-1 matrices; VPU butterflies
-    #          combine over the leading j dim; no lane<->sublane swaps)
-    #   'ts'  — round-2 twostep core (one exit relayout)
-    mid_body: str = os.environ.get("NDRUSTFFT_TPU_MID_BODY", "bts")
+    #   'bts2' (default) — DIF dataflow, stage twiddle folded into per-q
+    #          stage-2 weight consts, all dots plain 2-D matmuls; exit is a
+    #          leading<->sublane permute (no lane crossing). Measured 50.5 us
+    #          vs 58.6 ('ts') at 1024^2 on v5e.
+    #   'ts'  — round-2 twostep core (one lane<->sublane exit relayout)
+    #   'bts' — DIF with a rank-3 middle-contraction stage-2 dot (measured
+    #          slower, kept as a comparison point)
+    mid_body: str = os.environ.get("NDRUSTFFT_TPU_MID_BODY", "bts2")
+    # Opt-in dispatch observability: when True, each traced dispatch prints
+    # one line to stderr stating (transform, n, axis, dtype) -> the chosen
+    # execution path (dense / bts2 / ts / generic kernel / engine /
+    # bluestein-kernel / ...), so users can tell WHY a call runs at kernel
+    # vs engine speed (SURVEY.md §5 metrics decision: optional debug-level
+    # plan logging only).
+    debug_plan_log: bool = os.environ.get("NDRUSTFFT_TPU_DEBUG_PLAN", "0") in (
+        "1", "true")
     # Axis-0 execution strategy for C2C:
     #   'moveaxis' (default) — transpose to lane-last; XLA fuses the
     #                transposes into the stage matmuls (fastest measured)

@@ -81,6 +81,14 @@ class Normalization:
         analog of the reference applying ``*= 1/n`` inside the lane pass
         (src/lib.rs:333-338) instead of as a second sweep. The built-in
         DEFAULT policy uses the same fused path.
+
+        Compile-cost note: because the scale is baked into the kernel
+        constants, every DISTINCT scalar value (per transform size) builds
+        and compiles a fresh kernel, cached thereafter. A program sweeping
+        many different scalar values on the same handler size will pay one
+        kernel compile per value and churn the builder caches — for that
+        pattern prefer ``Normalization.custom(lambda v: v * s)`` (one
+        compile, one extra elementwise pass) or apply the scale outside.
         """
         return Normalization("scalar", value=value)
 

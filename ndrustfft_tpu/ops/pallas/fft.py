@@ -1398,6 +1398,18 @@ def _kernel_axis_mid(struct, has_base, has_tw, m, f, mode,
     oi_ref[:] = zi.reshape(1, f, m, tl)
 
 
+def mid_kernel_kind(n: int) -> str:
+    """Which body the axis-mid builder will choose for n (for the
+    debug_plan_log dispatch line): dense / bts2 / ts / bts / generic."""
+    ts = _twostep_split(n)
+    use_ts = n > 256 and ts is not None and ts[0] <= config.max_base_radix
+    if n <= 256 or (not use_ts and n <= 512):
+        return "dense"
+    if use_ts:
+        return config.mid_body
+    return "generic"
+
+
 def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan, scale=None):
     """C2C along axis 1 of (B, n, L) split re/im arrays, transpose-free.
 

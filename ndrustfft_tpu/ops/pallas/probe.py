@@ -91,10 +91,22 @@ def _probe_c2r_nat(n, batch, mode):
     return run, (sr, si)
 
 
-def _probe_axis_mid(n, nb, cols, mode):
+def _probe_axis_mid(n, nb, cols, mode, body="bts2"):
     from ..pallas import fft as K
 
-    run = K._build_call_axis_mid(n, -1, nb, cols, "float32", _interp(), mode)
+    run = K._build_call_axis_mid(n, -1, nb, cols, "float32", _interp(), mode,
+                                 1.0, 0, body)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    xi = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (xr, xi)
+
+
+def _probe_blue_mid(n, nb, cols, mode):
+    from ..pallas import fft as K
+
+    run = K._build_call_axis_mid_blue(n, -1, nb, cols, "float32", _interp(),
+                                      mode)
     rng = np.random.default_rng(0)
     xr = rng.standard_normal((nb, n, cols)).astype(np.float32)
     xi = rng.standard_normal((nb, n, cols)).astype(np.float32)
@@ -214,16 +226,32 @@ PROBES = [
     ("r2c_nat   n=1024", _probe_r2c_nat, dict(n=1024, batch=256)),
     ("c2r_nat   n=1024", _probe_c2r_nat, dict(n=1024, batch=256)),
     ("axis_mid  n=1024", _probe_axis_mid, dict(n=1024, nb=4, cols=256)),
+    ("axis_mid  n=1024 ts", _probe_axis_mid,
+     dict(n=1024, nb=4, cols=256, body="ts")),
     ("axis_mid  n=264", _probe_axis_mid, dict(n=264, nb=4, cols=256)),
     ("axis_mid  n=128 dense", _probe_axis_mid, dict(n=128, nb=4, cols=256)),
+    # non-128-multiple column extents (partial/oversized lane blocks) must
+    # compile on real Mosaic, not just interpret mode (ADVICE r2)
+    ("axis_mid  n=1024 c200", _probe_axis_mid,
+     dict(n=1024, nb=4, cols=200)),
+    ("axis_mid  n=128 c200", _probe_axis_mid, dict(n=128, nb=4, cols=200)),
+    ("blue_mid  n=509", _probe_blue_mid, dict(n=509, nb=4, cols=256)),
+    ("blue_mid  n=127 dense", _probe_blue_mid, dict(n=127, nb=4, cols=256)),
+    ("blue_mid  n=2053 ts", _probe_blue_mid, dict(n=2053, nb=2, cols=256)),
+    ("blue_mid  n=509 c200", _probe_blue_mid, dict(n=509, nb=4, cols=200)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
     ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),
     ("r2c_mid   n=1024", _probe_r2c_mid, dict(n=1024, nb=4, cols=256)),
     ("c2r_mid   n=1024", _probe_c2r_mid, dict(n=1024, nb=4, cols=256)),
     ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
+    ("r2c_mid   n=1024 c200", _probe_r2c_mid, dict(n=1024, nb=4, cols=200)),
+    ("c2r_mid   n=1024 c200", _probe_c2r_mid, dict(n=1024, nb=4, cols=200)),
+    ("dct2_mid  n=1024 c200", _probe_dct2_mid, dict(n=1024, nb=4, cols=200)),
     ("r2c_pk_mid n=2048", _probe_r2c_packed_mid, dict(n=2048, nb=4, cols=256)),
     ("dct_dense n=1025", _probe_dct_dense, dict(n=1025, nb=2, cols=256)),
+    ("dct_dense n=1025 c200", _probe_dct_dense,
+     dict(n=1025, nb=2, cols=200)),
     ("r2c_dense n=264", _probe_r2c_dense, dict(n=264, nb=4, cols=256)),
     ("c2r_dense n=264", _probe_c2r_dense, dict(n=264, nb=4, cols=256)),
 ]

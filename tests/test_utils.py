@@ -63,3 +63,29 @@ def test_handler_warmup_precompiles():
     got = np.asarray(ndfft_r2c(jnp.asarray(x), R2cFftHandler(16), axis=1))
     np.testing.assert_allclose(got, np.fft.rfft(x.astype(np.float64), axis=1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_debug_plan_log(capsys):
+    """config.debug_plan_log prints one dispatch line per traced path
+    (SURVEY.md §5 metrics decision; round-2 verdict weak #8)."""
+    from ndrustfft_tpu import FftHandler, ndfft
+    from ndrustfft_tpu.config import config
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 32))
+                    + 0j, dtype=jnp.complex64)
+    h = FftHandler(32)
+    old = config.debug_plan_log
+    config.debug_plan_log = True
+    try:
+        ndfft(x, h, axis=1)
+        err = capsys.readouterr().err
+        assert "[ndrustfft_tpu] fft n=32 axis=1 -> " in err
+        # repeated call hits the compiled cache: no second line
+        ndfft(x, h, axis=1)
+        assert "[ndrustfft_tpu]" not in capsys.readouterr().err
+    finally:
+        config.debug_plan_log = old
+    # disabled: silent (config flip invalidates the jit cache, so this
+    # retraces — and must not log)
+    ndfft(x, FftHandler(32), axis=1)
+    assert "[ndrustfft_tpu]" not in capsys.readouterr().err
