@@ -51,6 +51,11 @@ def c2c(xr, xi, plan: C2CPlan, scale=None):
     if plan.kind == "bluestein":
         return _bluestein(xr, xi, plan, scale)
     dtype = xr.dtype
+    if plan.n > 65536:
+        from .pallas.fft import fourstep_supported
+
+        if fourstep_supported(plan, dtype):
+            return _fourstep(xr, xi, plan, scale)
     # fused Pallas kernel path (TPU, f32, ct plans). Real Mosaic needs
     # batch >= 128 (narrower lane tiles hit unsupported-shape-cast, found
     # empirically); the interpreter has no such limit
@@ -210,6 +215,45 @@ def c2c_axis0(xr, xi, plan: C2CPlan, scale=None):
         s = jnp.asarray(scale, dtype)
         yr, yi = yr * s, yi * s
     return yr, yi
+
+
+def _fourstep(xr, xi, plan: C2CPlan, scale=None):
+    """Four-step (Bailey) long transform: n = n1*n2 > the kernels' _MAX_N.
+
+    With t = t1*n2 + t2 and k = k1 + n1*k2:
+
+      X[k1 + n1 k2] = sum_t2 W_n2^{t2 k2} [ W_n^{t2 k1}
+                        * sum_t1 W_n1^{t1 k1} x[t1 n2 + t2] ]
+
+    Step 1+2: the axis-mid kernel transforms the t1 (middle) axis of the
+    (B, n1, n2) view — a pure reshape — with the inter-stage twiddle
+    W_n^{k1 t2} FUSED into the kernel's exit multiply (four_n). Step 3:
+    the lane-last kernel transforms t2 with the user scale folded into its
+    constants. Step 4: the single (k1, k2) -> (k2, k1) transpose every
+    four-step formulation owes, done by XLA. Total HBM traffic: three
+    read+write pass-pairs for ANY n, vs the multi-stage einsum engine's
+    one pass per stage plus un-fused twiddles. rustfft parity:
+    /root/reference/src/lib.rs:295-297 (any n at full speed)."""
+    from ..config import config as _cfg
+    from .pallas.fft import _build_call_axis_mid, dot_mode, fourstep_split
+
+    n = plan.n
+    n1, n2 = fourstep_split(n)
+    shape = xr.shape
+    batch = int(np.prod(shape[:-1])) if xr.ndim > 1 else 1
+    xr3 = xr.reshape(batch, n1, n2)
+    xi3 = xi.reshape(batch, n1, n2)
+    run1 = _build_call_axis_mid(n1, plan.sign, batch, n2, str(xr.dtype),
+                                bool(_cfg.pallas_interpret), dot_mode(),
+                                1.0, int(_cfg.pallas_tile),
+                                str(_cfg.mid_body), four_n=n)
+    yr, yi = run1(xr3, xi3)
+    sub = get_c2c_plan(n2, plan.sign)
+    yr, yi = c2c(yr.reshape(batch * n1, n2), yi.reshape(batch * n1, n2),
+                 sub, scale)
+    yr = jnp.swapaxes(yr.reshape(batch, n1, n2), 1, 2)
+    yi = jnp.swapaxes(yi.reshape(batch, n1, n2), 1, 2)
+    return yr.reshape(shape), yi.reshape(shape)
 
 
 def _bluestein(xr, xi, plan: C2CPlan, scale=None):

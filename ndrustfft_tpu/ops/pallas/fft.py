@@ -1224,6 +1224,22 @@ def c2c_pallas_axis_mid_blue(xr, xi, plan: C2CPlan, scale=None):
     return run(xr, xi)
 
 
+def _kernel_exit_mul(inner, xr_ref, xi_ref, *refs):
+    """Wrap an axis-mid kernel body with a fused elementwise complex
+    multiply on the output block — the four-step inter-stage twiddle
+    W_N^{k1*t2} rides the kernel instead of costing an XLA HBM pass. The
+    twiddle consts are the two refs before the outputs, blocked with the
+    same column tiling as the data."""
+    twr_ref, twi_ref, or_ref, oi_ref = refs[-4:]
+    inner(xr_ref, xi_ref, *refs[:-4], or_ref, oi_ref)
+    zr = or_ref[:]
+    zi = oi_ref[:]
+    twr = twr_ref[:].reshape(zr.shape)
+    twi = twi_ref[:].reshape(zr.shape)
+    or_ref[:] = zr * twr - zi * twi
+    oi_ref[:] = zr * twi + zi * twr
+
+
 def _kernel_axis_mid_dense(n, tl, mode, xr_ref, xi_ref, *refs):
     """(1, n, TL) block, n <= 256: one dense K-stacked DFT dot; the output
     rows land directly in the block layout (zero relayouts)."""
@@ -1252,11 +1268,24 @@ def _kernel_axis_mid_ts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
     oi_ref[:] = zi.reshape(1, n, tl)
 
 
+def _add_exit_tw(body, consts, const_specs, n, cols, tile, gc, sign, four_n,
+                 dtype):
+    """Append the four-step inter-stage twiddle W_{four_n}^{k1*t2} as a
+    column-tiled const pair and wrap the body with the fused exit multiply."""
+    assert four_n == n * cols, (four_n, n, cols)
+    t4r, t4i = stage_twiddle(n, cols, sign)
+    consts = consts + [np.asarray(t4r, dtype), np.asarray(t4i, dtype)]
+    tw_spec = pl.BlockSpec((n, tile), lambda g: (0, g % gc),
+                           memory_space=pltpu.VMEM)
+    const_specs = const_specs + [tw_spec, tw_spec]
+    return partial(_kernel_exit_mul, body), consts, const_specs
+
+
 @lru_cache(maxsize=256)
 def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
                          scale: float = 1.0, tcfg: int = 0,
-                         mid_body: str = "bts"):
+                         mid_body: str = "bts2", four_n: int = 0):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
     transform along the MIDDLE axis with no HBM transposes.
 
@@ -1316,8 +1345,13 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         const_specs = [pl.BlockSpec(c.shape,
                                     lambda g, _r=c.ndim: (0,) * _r,
                                     memory_space=pltpu.VMEM) for c in consts]
+        body = partial(_kernel_axis_mid_dense, n, tile, mode)
+        if four_n:
+            body, consts, const_specs = _add_exit_tw(
+                body, consts, const_specs, n, cols, tile, gc, sign, four_n,
+                dtype)
         call = pl.pallas_call(
-            partial(_kernel_axis_mid_dense, n, tile, mode),
+            body,
             out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
                        jax.ShapeDtypeStruct((nb, n, cols), dtype)),
             in_specs=[spec, spec] + const_specs,
@@ -1340,6 +1374,10 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         const_specs = [pl.BlockSpec(c.shape,
                                     lambda g, _r=c.ndim: (0,) * _r,
                                     memory_space=pltpu.VMEM) for c in consts]
+        if four_n:
+            body, consts, const_specs = _add_exit_tw(
+                body, consts, const_specs, n, cols, tile, gc, sign, four_n,
+                dtype)
         call = pl.pallas_call(
             body,
             out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
@@ -1350,6 +1388,9 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         )
         return lambda xr, xi: call(xr, xi, *consts)
 
+    if four_n:
+        raise ValueError(
+            f"four-step stage n={n} needs a dense or twostep kernel body")
     f, m, mid, lane, tw = _plan_consts(n, sign, dtype, scale)
     consts, struct, has_base, has_tw = _flat_consts(mid, lane, tw)
     in_spec = pl.BlockSpec((1, m, f, tile), lambda g: (g // gc, 0, 0, g % gc),
@@ -1396,6 +1437,58 @@ def _kernel_axis_mid(struct, has_base, has_tw, m, f, mode,
     zr, zi = _axis0_core(xr, xi, stages, base, lane, tw, m, f, mode)
     or_ref[:] = zr.reshape(1, f, m, tl)
     oi_ref[:] = zi.reshape(1, f, m, tl)
+
+
+# --------------------------------------------------------------------------
+# Four-step (Bailey) decomposition for long transforms (n > _MAX_N):
+# eligibility/split here, dataflow in ops/engine._fourstep. rustfft handles
+# any n at full speed (/root/reference/src/lib.rs:295-297); SURVEY §5 north
+# star: "single long transforms stay on-chip".
+# --------------------------------------------------------------------------
+
+_FOURSTEP_MAX_N1 = 4096     # step-1 block (1, n1, tile) VMEM bound
+_FOURSTEP_MAX_N2 = 16384    # step-3 lane-last kernel bound
+
+
+def _mid_stage_ok(k: int) -> bool:
+    """Can k be a four-step stage (dense or twostep axis-mid body)?"""
+    if k <= 256:
+        return True
+    ts = _twostep_split(k)
+    return ts is not None and ts[0] <= config.max_base_radix
+
+
+def fourstep_split(n: int):
+    return _fourstep_split_cached(n, config.max_base_radix)
+
+
+@lru_cache(maxsize=None)
+def _fourstep_split_cached(n: int, _max_base: int):
+    """(n1, n2) with n = n1*n2, both stages kernel-bodied, as balanced as
+    possible (n1 the step-1 mid size, n2 the step-3 lane size); or None."""
+    best = None
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            for n1, n2 in ((n // d, d), (d, n // d)):
+                if (n1 <= _FOURSTEP_MAX_N1 and n2 <= _FOURSTEP_MAX_N2
+                        and _mid_stage_ok(n1) and _mid_stage_ok(n2)
+                        and _lane_factor(n2) is not None):
+                    if best is None or n1 + n2 < best[0] + best[1]:
+                        best = (n1, n2)
+        d += 1
+    return best
+
+
+def fourstep_supported(plan: C2CPlan, dtype) -> bool:
+    if not config.use_pallas or plan.kind != "ct":
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if plan.n <= _MAX_N or fourstep_split(plan.n) is None:
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or config.pallas_interpret
 
 
 def mid_kernel_kind(n: int) -> str:

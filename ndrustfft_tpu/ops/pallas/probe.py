@@ -102,6 +102,19 @@ def _probe_axis_mid(n, nb, cols, mode, body="bts2"):
     return run, (xr, xi)
 
 
+def _probe_fourstep_stage1(n1, n2, nb, mode):
+    """Step-1 of the four-step long transform: axis-mid body with the fused
+    inter-stage twiddle (four_n)."""
+    from ..pallas import fft as K
+
+    run = K._build_call_axis_mid(n1, -1, nb, n2, "float32", _interp(), mode,
+                                 1.0, 0, "bts2", four_n=n1 * n2)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((nb, n1, n2)).astype(np.float32)
+    xi = rng.standard_normal((nb, n1, n2)).astype(np.float32)
+    return run, (xr, xi)
+
+
 def _probe_blue_mid(n, nb, cols, mode):
     from ..pallas import fft as K
 
@@ -235,6 +248,10 @@ PROBES = [
     ("axis_mid  n=1024 c200", _probe_axis_mid,
      dict(n=1024, nb=4, cols=200)),
     ("axis_mid  n=128 c200", _probe_axis_mid, dict(n=128, nb=4, cols=200)),
+    ("fourstep  1024x1024", _probe_fourstep_stage1,
+     dict(n1=1024, n2=1024, nb=1)),
+    ("fourstep  512x256", _probe_fourstep_stage1,
+     dict(n1=512, n2=256, nb=2)),
     ("blue_mid  n=509", _probe_blue_mid, dict(n=509, nb=4, cols=256)),
     ("blue_mid  n=127 dense", _probe_blue_mid, dict(n=127, nb=4, cols=256)),
     ("blue_mid  n=2053 ts", _probe_blue_mid, dict(n=2053, nb=2, cols=256)),

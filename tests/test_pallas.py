@@ -383,3 +383,52 @@ def test_pallas_rfft_dense_mid():
     got = np.asarray(ndifft_r2c(jnp.asarray(spec), R2cFftHandler(n), axis=1))
     ref = np.fft.irfft(spec, n=n, axis=1)
     assert np.abs(got - ref).max() < 1e-3
+
+
+def test_pallas_fused_bluestein_mid():
+    """Prime/arbitrary n on a non-minor axis rides the fused single-kernel
+    chirp-z path (dense / bts2 / ts cores by M) — rustfft any-n parity
+    (src/lib.rs:295-297) at kernel HBM cost."""
+    from ndrustfft_tpu.ops.pallas.fft import blue_kernel_M, blue_mid_supported
+    from ndrustfft_tpu.plan import get_c2c_plan
+
+    # (primes <= max_base_radix=128 plan as ct with a dense base, so the
+    # smallest Bluestein prime here is 131)
+    for n, want_M in ((131, 384), (509, 1024), (2053, 4224)):
+        assert blue_kernel_M(n) == want_M
+        plan = get_c2c_plan(n, -1)
+        assert plan.kind == "bluestein"
+        assert blue_mid_supported(plan, jnp.float32)
+        rng = np.random.default_rng(n)
+        x = (rng.standard_normal((2, n, 16))
+             + 1j * rng.standard_normal((2, n, 16))).astype(np.complex64)
+        h = FftHandler(n)
+        got = np.asarray(ndfft(jnp.asarray(x), h, axis=1))
+        ref = np.fft.fft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+        rt = np.asarray(ndifft(jnp.asarray(got), h, axis=1))
+        assert np.abs(rt - x).max() < 1e-4
+
+
+def test_pallas_fourstep_long_transform():
+    """n > 65536 stays kernel-driven via the four-step decomposition
+    (fused inter-stage twiddle; SURVEY §5 north star, round-2 verdict
+    next #2)."""
+    from ndrustfft_tpu.ops.pallas.fft import (
+        fourstep_split, fourstep_supported,
+    )
+    from ndrustfft_tpu.plan import get_c2c_plan
+
+    n = 131072
+    assert fourstep_split(n) == (512, 256)
+    plan = get_c2c_plan(n, -1)
+    assert fourstep_supported(plan, jnp.float32)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    h = FftHandler(n)
+    got = np.asarray(ndfft(jnp.asarray(x), h, axis=1))
+    ref = np.fft.fft(x, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    rt = np.asarray(ndifft(jnp.asarray(got), h, axis=1))
+    assert np.abs(rt - x).max() < 1e-3
