@@ -176,6 +176,15 @@ def _probe_r2c_packed_mid(n, nb, cols, mode):
     return run, (xe, xo)
 
 
+def _probe_dct1_mid(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_dct1_mid(n, nb, cols, "float32", _interp(), mode, 1.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x, x[:, ::-1, :].copy())
+
+
 def _probe_dct_dense(n, nb, cols, mode):
     from ..pallas import dct as D
 
@@ -266,6 +275,8 @@ PROBES = [
     ("c2r_mid   n=1024 c200", _probe_c2r_mid, dict(n=1024, nb=4, cols=200)),
     ("dct2_mid  n=1024 c200", _probe_dct2_mid, dict(n=1024, nb=4, cols=200)),
     ("r2c_pk_mid n=2048", _probe_r2c_packed_mid, dict(n=2048, nb=4, cols=256)),
+    ("dct1_mid  n=2049", _probe_dct1_mid, dict(n=2049, nb=2, cols=256)),
+    ("dct1_mid  n=2049 c200", _probe_dct1_mid, dict(n=2049, nb=2, cols=200)),
     ("dct_dense n=1025", _probe_dct_dense, dict(n=1025, nb=2, cols=256)),
     ("dct_dense n=1025 c200", _probe_dct_dense,
      dict(n=1025, nb=2, cols=200)),
