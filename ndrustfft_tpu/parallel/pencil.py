@@ -220,18 +220,20 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
 
 
 def fftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
-                inverse: bool = False, handlers=None):
+                inverse: bool = False, handlers=None,
+                pipeline_chunks: int = 1):
     """Multi-axis C2C FFT (all axes by default) on a sharded global array."""
     axes = list(range(x.ndim)) if axes is None else list(axes)
     kind = "ifft" if inverse else "fft"
     if handlers is None:
         handlers = {a: FftHandler(x.shape[a]) for a in axes}
     steps = [Step(kind, a, handlers[a]) for a in axes]
-    return pencil_transform(x, steps, mesh, in_spec)
+    return pencil_transform(x, steps, mesh, in_spec,
+                            pipeline_chunks=pipeline_chunks)
 
 
 def rfftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
-                 handlers=None):
+                 handlers=None, pipeline_chunks: int = 1):
     """Real n-D forward: R2C along the LAST of ``axes``, C2C along the rest —
     the canonical composition of the reference's rfft2 example
     (examples/rfft2.rs:29-33) generalized and sharded."""
@@ -242,11 +244,13 @@ def rfftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
                         else FftHandler(x.shape[a])) for a in axes}
     steps = [Step("r2c", r2c_axis, handlers[r2c_axis])]
     steps += [Step("fft", a, handlers[a]) for a in axes[:-1]]
-    return pencil_transform(x, steps, mesh, in_spec)
+    return pencil_transform(x, steps, mesh, in_spec,
+                            pipeline_chunks=pipeline_chunks)
 
 
 def irfftn_pencil(x, mesh: Mesh, in_spec, n_last: int,
-                  axes: Optional[Sequence[int]] = None, handlers=None):
+                  axes: Optional[Sequence[int]] = None, handlers=None,
+                  pipeline_chunks: int = 1):
     """Inverse of :func:`rfftn_pencil`; ``n_last`` is the real length of the
     final (C2R) axis."""
     axes = list(range(x.ndim)) if axes is None else list(axes)
@@ -256,4 +260,5 @@ def irfftn_pencil(x, mesh: Mesh, in_spec, n_last: int,
                         else FftHandler(x.shape[a])) for a in axes}
     steps = [Step("ifft", a, handlers[a]) for a in axes[:-1]]
     steps += [Step("c2r", c2r_axis, handlers[c2r_axis])]
-    return pencil_transform(x, steps, mesh, in_spec)
+    return pencil_transform(x, steps, mesh, in_spec,
+                            pipeline_chunks=pipeline_chunks)

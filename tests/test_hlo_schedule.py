@@ -144,3 +144,51 @@ def test_a2a_operand_count_matches_mesh_axis_size():
         lambda v: pencil_transform(v, steps, mesh, P("y", "z", None))[0], x)
     counts = sorted(n for _, n in _a2a_ops(hlo))
     assert counts == [2, 4], counts
+
+
+def test_async_all_to_all_overlaps_compute_on_tpu_schedule():
+    """Schedule-level overlap proof (round-2 verdict weak/next #6): AOT-
+    compile the chunked pencil program for an ABSTRACT v5e 2x4 topology
+    (no real chips needed) with async all-to-all enabled, and assert the
+    REAL TPU compiler's scheduled module starts a chunk's collective,
+    runs transform compute, and only then waits on the done — i.e. the
+    pipeline_chunks overlap is realized by the scheduler, not just
+    modeled."""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"TPU topology AOT unavailable: {e}")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 4), ("y", "z"))
+    steps = [Step("fft", 2, FftHandler(256)),
+             Step("fft", 1, FftHandler(256)),
+             Step("fft", 0, FftHandler(256))]
+    fn = lambda v: pencil_transform(  # noqa: E731
+        v, steps, mesh, P("y", "z", None), pipeline_chunks=2)[0]
+    xs = jax.ShapeDtypeStruct(
+        (256, 256, 256), jnp.complex64,
+        sharding=NamedSharding(mesh, P("y", "z", None)))
+    txt = jax.jit(fn).lower(xs).compile(
+        compiler_options={"xla_tpu_enable_async_all_to_all": "true"}
+    ).as_text()
+    assert "is_scheduled=true" in txt.splitlines()[0]
+    # walk the scheduled instruction order; require at least one
+    # start -> compute fusion -> done sandwich
+    op_re = re.compile(
+        r"= .*?(all-to-all-start|all-to-all-done|fusion)\(")
+    events = [m.group(1) for ln in txt.splitlines()
+              if (m := op_re.search(ln))]
+    assert events.count("all-to-all-start") >= 4, events
+    overlapped = 0
+    open_started = False
+    for ev in events:
+        if ev == "all-to-all-start":
+            open_started = True
+        elif ev == "fusion" and open_started:
+            overlapped += 1
+        elif ev == "all-to-all-done":
+            open_started = False
+    assert overlapped >= 1, (
+        f"no compute scheduled inside any async all-to-all window: {events}")
