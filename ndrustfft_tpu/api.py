@@ -428,6 +428,9 @@ def _config_key():
 
 @lru_cache(maxsize=4096)
 def _jitted(kind, handler, axis, cfg_key=None):
+    if kind.endswith(":demote"):
+        base = kind.split(":", 1)[0]
+        return jax.jit(lambda x: _run_demoted(base, x, handler, axis))
     return jax.jit(lambda x: _IMPLS[kind](x, handler, axis))
 
 
@@ -447,15 +450,49 @@ def _check_tpu_f64(dtype, devices):
         return
     from .config import config as _cfg
 
-    if _cfg.tpu_f64 == "allow":
+    if _cfg.tpu_f64 in ("allow", "demote"):
         return
     if any(_is_tpu_device(d) for d in devices):
         raise ValueError(
             f"{jnp.dtype(dtype).name} transforms are not supported on TPU "
-            "(no native float64). Run f64 work on CPU "
-            "(jax.config.update('jax_platforms', 'cpu') before first JAX "
-            "use), cast to float32/complex64 for the TPU perf path, or set "
-            "config.tpu_f64 = 'allow' to bypass this check.")
+            "(no native float64; MXU dots accumulate in f32 — DESIGN.md "
+            "§9). Run f64 work on CPU (jax.config.update('jax_platforms', "
+            "'cpu') before first JAX use), cast to float32/complex64 for "
+            "the TPU perf path, set config.tpu_f64 = 'demote' for opt-in "
+            "f32-compute-cast-back (~3e-7 tier), or 'allow' to bypass "
+            "this check.")
+
+
+_F32_TWIN = {jnp.dtype(jnp.float64): jnp.float32,
+             jnp.dtype(jnp.complex128): jnp.complex64}
+
+
+def _demote_wanted(dtype, devices) -> bool:
+    """True when the 'demote' policy applies to this dtype on these
+    devices: compute in f32/c64 at HIGHEST dot precision, cast back."""
+    from .config import config as _cfg
+
+    if _cfg.tpu_f64 != "demote" or jnp.dtype(dtype) not in _F32_TWIN:
+        return False
+    return any(_is_tpu_device(d) for d in devices)
+
+
+def _run_demoted(kind, x, handler, axis):
+    """f64/c128 on TPU under tpu_f64='demote': run the f32 twin at HIGHEST
+    (f32-exact) dot precision and cast back. Measured ~3e-7 relative at
+    n=1024 — the best any MXU-dot lowering can do (DESIGN.md §9)."""
+    from .config import config as _cfg
+
+    orig = jnp.dtype(x.dtype)
+    old = _cfg.matmul_precision
+    _cfg.matmul_precision = "highest"
+    try:
+        y = _IMPLS[kind](x.astype(_F32_TWIN[orig]), handler, axis)
+    finally:
+        _cfg.matmul_precision = old
+    wide = (jnp.complex128 if jnp.issubdtype(y.dtype, jnp.complexfloating)
+            else jnp.float64)
+    return y.astype(wide)
 
 
 def _dispatch(kind, x, handler, axis):
@@ -470,11 +507,15 @@ def _dispatch(kind, x, handler, axis):
             pinned = getattr(jax.config, "jax_default_device", None)
             if pinned is not None and not _is_tpu_device(pinned):
                 pass
+            elif _demote_wanted(x.dtype, jax.devices()):
+                return _run_demoted(kind, x, handler, axis)
             else:
                 _check_tpu_f64(x.dtype, jax.devices())
         return _IMPLS[kind](x, handler, axis)
     devs = getattr(x, "devices", None)
     if callable(devs):
+        if _demote_wanted(x.dtype, devs()):
+            return _jitted(kind + ":demote", handler, axis, _config_key())(x)
         _check_tpu_f64(x.dtype, devs())
     return _jitted(kind, handler, axis, _config_key())(x)
 

@@ -46,8 +46,14 @@ class _Config:
     # Policy for float64/complex128 transforms requested on a TPU backend.
     # TPU has no native f64; in this image an f64 program SIGABRTs the
     # compile helper with no clean error (NOTES_TPU.md), so the library
-    # refuses eagerly by default:
-    #   'error' (default) — raise ValueError before dispatch
+    # refuses eagerly by default. True ~1e-12 emulation is NOT offered:
+    # every MXU dot accumulates in f32, so a length-n contraction carries
+    # ~1e-7 relative error no matter how operands are split — see
+    # DESIGN.md §9 for the full decision record.
+    #   'error' (default) — raise ValueError before dispatch, with guidance
+    #   'demote'          — opt-in: compute in f32/complex64 at HIGHEST
+    #                       (f32-exact) dot precision and cast back to
+    #                       f64/c128; measured ~3e-7 relative at n=1024
     #   'allow'           — hand the program to XLA anyway (demotion/crash
     #                       behavior is the backend's)
     tpu_f64: str = os.environ.get("NDRUSTFFT_TPU_F64", "error")

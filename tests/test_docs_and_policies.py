@@ -100,3 +100,40 @@ def test_max_base_radix_validation():
             factorize(12)
     finally:
         ndrustfft_tpu.config.max_base_radix = old
+
+
+def test_tpu_f64_demote_policy():
+    """tpu_f64='demote': f64/c128 on a TPU target computes the f32 twin at
+    HIGHEST dot precision and casts back (~3e-7 tier); the decision record
+    for why no ~1e-10 MXU path exists is DESIGN.md §9."""
+    from ndrustfft_tpu.api import _check_tpu_f64, _demote_wanted, _run_demoted
+
+    ndrustfft_tpu.config.tpu_f64 = "demote"
+    try:
+        # the error-path guard stands down
+        _check_tpu_f64(jnp.float64, [_FakeTpuDevice()])
+        assert _demote_wanted(jnp.complex128, [_FakeTpuDevice()])
+        assert not _demote_wanted(jnp.complex128, [_FakeCpuDevice()])
+        assert not _demote_wanted(jnp.complex64, [_FakeTpuDevice()])
+        # end-to-end demoted run (CPU execution, same code path)
+        from ndrustfft_tpu import FftHandler
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((8, 256)) + 1j * rng.standard_normal((8, 256))
+        h = FftHandler(256)
+        y = _run_demoted("fft", jnp.asarray(x, jnp.complex128), h, 1)
+        assert y.dtype == jnp.complex128
+        ref = np.fft.fft(x, axis=1)
+        err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+        assert err < 1e-5, err  # the f32-exact tier, not the f64 tier
+        # precision flip is restored afterwards
+        assert ndrustfft_tpu.config.matmul_precision == "high"
+    finally:
+        ndrustfft_tpu.config.tpu_f64 = "error"
+    # DESIGN.md §9 documents the decision
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    design = open(os.path.join(root, "DESIGN.md")).read()
+    assert "f64 on TPU: a decision record" in design
+    assert "'demote'" in design
