@@ -232,7 +232,7 @@ def _r2c_impl(x, handler, axis):
             _plan_log("r2c", n, axis, "pallas-r2c-mid-nat")
             sr, si = r2c_pallas_mid(x.reshape(nb, n, cols), plan)
             return jax.lax.complex(sr, si).reshape(out_shape)
-        if plan.half and rfft_dense_mid_supported(n, x.dtype):
+        if rfft_dense_mid_supported(n, x.dtype):
             _plan_log("r2c", n, axis, "pallas-r2c-mid-dense")
             sr, si = r2c_dense_pallas_mid(x.reshape(nb, n, cols), plan)
             return jax.lax.complex(sr, si).reshape(out_shape)
@@ -261,7 +261,7 @@ def _c2r_impl(xhat, handler, axis):
     elif norm.kind == "scalar":
         scale = norm.value
     dims = _mid_dims(xhat, axis) if norm.kind != "custom" else None
-    if dims is not None and n % 2 == 0:
+    if dims is not None:
         from .ops.pallas.rfft import (
             c2r_dense_pallas_mid, c2r_pallas_mid, rfft_dense_mid_supported,
             rfft_nat_supported,
