@@ -49,19 +49,23 @@ class _HandlerBase:
     # transform kinds this handler serves: (kind, input_is_complex)
     _kinds: tuple = ()
 
-    def warmup(self, shape, axis: int = -1, float64: bool = False):
-        """AOT-compile this handler's transforms for a forward-input shape.
+    def warmup(self, shape, axis: int = -1, float64: bool = False,
+               run: bool = True):
+        """Precompile this handler's transforms for a forward-input shape.
 
         Serving-style precompilation: compiles every transform kind the
         handler serves (forward AND inverse, with the inverse input shape
-        derived on the transform axis) without running anything.
-
-        NOTE: JAX AOT compilation does not populate the jit dispatch cache,
-        so the first real call still traces and compiles; warmup is only
-        effective together with ``utils.cache.enable_persistent_cache``,
-        which lets that first call hit the on-disk XLA compilation cache
-        instead of recompiling. This is the deployment analog of the
+        derived on the transform axis). With ``run=True`` (default) each
+        compiled program is also EXECUTED once on zeros (blocking), which
+        populates the jit dispatch cache — the first real call then
+        neither traces nor compiles. This is the deployment analog of the
         reference's plan-once-use-forever handlers.
+
+        ``run=False`` AOT-compiles only (no device execution); that alone
+        does not populate the jit dispatch cache, so it is effective only
+        together with ``utils.cache.enable_persistent_cache`` (the first
+        real call then hits the on-disk XLA compilation cache instead of
+        recompiling).
         """
         import jax
         import jax.numpy as jnp
@@ -76,8 +80,13 @@ class _HandlerBase:
             s = list(shape)
             if kind == "c2r":
                 s[ax] = getattr(self, "m")
-            x = jax.ShapeDtypeStruct(tuple(s), cdt if is_cplx else rdt)
-            api._jitted(kind, self, ax, api._config_key()).lower(x).compile()
+            fn = api._jitted(kind, self, ax, api._config_key())
+            if run:
+                jax.block_until_ready(
+                    fn(jnp.zeros(tuple(s), cdt if is_cplx else rdt)))
+            else:
+                fn.lower(jax.ShapeDtypeStruct(
+                    tuple(s), cdt if is_cplx else rdt)).compile()
         return self
 
 
