@@ -66,6 +66,11 @@ class _Config:
     #   'bts' — DIF with a rank-3 middle-contraction stage-2 dot (measured
     #          slower, kept as a comparison point)
     mid_body: str = os.environ.get("NDRUSTFFT_TPU_MID_BODY", "bts2")
+    # Force the twostep sublane factor m for the bts2 body (0 = auto =
+    # minimal m+f). m=128 gives f=8 (3 VPU butterfly levels, least MXU);
+    # m=256 gives f=4 (2 levels, 2x stage-2 MACs) — a VPU/MXU tradeoff
+    # knob for per-n tuning.
+    mid_split: int = int(os.environ.get("NDRUSTFFT_TPU_MID_SPLIT", "0"))
     # Opt-in dispatch observability: when True, each traced dispatch prints
     # one line to stderr stating (transform, n, axis, dtype) -> the chosen
     # execution path (dense / bts2 / ts / generic kernel / engine /

@@ -623,15 +623,19 @@ def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
 
 
 @lru_cache(maxsize=None)
-def _twostep_split(n: int):
+def _twostep_split(n: int, m_pref: int = 0):
     """(m, f) with m in [128, 256] dividing n and f = n/m <= 256, or None.
 
     m must be a multiple of 128: other sublane extents hit Mosaic's
     unsupported-shape-cast on the (n, T) -> (m, f*T) view (m=132 measured to
-    fail); among {128, 256} prefer minimal m + f (dense MACs/element)."""
+    fail); among {128, 256} prefer minimal m + f (dense MACs/element).
+    ``m_pref`` forces a specific m when it divides n (perf experiments,
+    config.mid_split)."""
     cands = [d for d in (128, 256) if n % d == 0 and n // d <= 256]
     if not cands:
         return None
+    if m_pref in cands:
+        return m_pref, n // m_pref
     m = min(cands, key=lambda d: d + n // d)
     return m, n // m
 
@@ -952,12 +956,13 @@ def _bts_core(xr, xi, consts, m, f, mode, sign):
     return zr.reshape(n, cols), zi.reshape(n, cols)
 
 
-def _bts2_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0):
+def _bts2_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
+                 m_pref: int = 0):
     """BTS2 (DIF, per-q dots) consts: f stage-2 matrices with the stage
     twiddle FOLDED in host-side — Wq[b, p'] = W_n^{qb} * Wm[b, p'] * scale —
     so the kernel has zero twiddle work; plus Wf iff f needs the MXU
     stage-1."""
-    m, f = _twostep_split(n)
+    m, f = _twostep_split(n, m_pref)
     tw_r, tw_i = stage_twiddle(f, m, sign)         # [q, b]
     wm_r, wm_i = dft_matrix(m, sign)               # [b, p']
     consts = []
@@ -1285,7 +1290,8 @@ def _add_exit_tw(body, consts, const_specs, n, cols, tile, gc, sign, four_n,
 def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
                          scale: float = 1.0, tcfg: int = 0,
-                         mid_body: str = "bts2", four_n: int = 0):
+                         mid_body: str = "bts2", four_n: int = 0,
+                         mid_split: int = 0):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
     transform along the MIDDLE axis with no HBM transposes.
 
@@ -1361,7 +1367,8 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
         return lambda xr, xi: call(xr, xi, *consts)
     if use_ts:
         if mid_body == "bts2":
-            consts, (m, f) = _bts2_consts(n, sign, dtype, mode, scale)
+            consts, (m, f) = _bts2_consts(n, sign, dtype, mode, scale,
+                                          mid_split)
             body = partial(_kernel_axis_mid_bts2, m, f, tile, mode, sign)
         elif mid_body == "bts":
             consts, (m, f) = _bts_consts(n, sign, dtype, mode, scale)
@@ -1512,7 +1519,8 @@ def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan, scale=None):
     run = _build_call_axis_mid(n, plan.sign, nb, cols, str(xr.dtype),
                                bool(config.pallas_interpret), dot_mode(),
                                float(1.0 if scale is None else scale),
-                               int(config.pallas_tile), str(config.mid_body))
+                               int(config.pallas_tile), str(config.mid_body),
+                               0, int(config.mid_split))
     return run(xr, xi)
 
 
