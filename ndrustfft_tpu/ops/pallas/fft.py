@@ -1047,6 +1047,30 @@ def _kernel_axis_mid_bts(m, f, tl, mode, sign, xr_ref, xi_ref, *refs):
     oi_ref[:] = zi.reshape(1, n, tl)
 
 
+def _nlead_core(body, xr, xi, consts, m, f, mode, sign):
+    """n-leading (n, C) -> (n, C) core dispatch shared by the natural-layout
+    R2C/C2R/DCT kernels: 'bts2' = zero-lane-relayout DIF dataflow (per-q
+    twiddle-folded dots), 'ts' = the round-2 core (one exit relayout)."""
+    if body == "bts2":
+        return _bts2_core(xr, xi, consts, m, f, mode, sign)
+    return _ts_core_nlead(xr, xi, consts, m, f, xr.shape[-1], mode, sign)
+
+
+def _nlead_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
+                  body: str = "bts2", m_pref: int = 0):
+    """Constants for :func:`_nlead_core` (same (consts, (m, f)) contract as
+    _twostep_consts/_bts2_consts)."""
+    if body == "bts2":
+        return _bts2_consts(n, sign, dtype, mode, scale, m_pref)
+    return _twostep_consts(n, sign, dtype, mode, scale)
+
+
+def mid_core_body() -> str:
+    """Which n-leading core the natural-layout kernels should use for the
+    current config ('bts'/'bts2' C2C experiments both map to bts2 here)."""
+    return "bts2" if config.mid_body != "ts" else "ts"
+
+
 # --------------------------------------------------------------------------
 # Fused Bluestein (chirp-z) axis-mid kernel: the ENTIRE prime/arbitrary-n
 # transform in ONE Pallas pass.

@@ -77,6 +77,8 @@ from .fft import (
     _ks_real_dot,
     _lane_last_math,
     _lane_tile,
+    _nlead_consts,
+    _nlead_core,
     _plan_consts,
     _ts_core_nlead,
     _twostep_consts,
@@ -84,6 +86,7 @@ from .fft import (
     _twostep_split,
     _unflat,
     dot_mode,
+    mid_core_body,
     pallas_supported,
 )
 
@@ -217,7 +220,7 @@ def r2c_pallas(xe, xo, plan: R2CPlan):
 # --------------------------------------------------------------------------
 
 
-def _r2c_kernel_nat(m_, f_, mode, h, x_ref, *refs):
+def _r2c_kernel_nat(core, m_, f_, mode, h, x_ref, *refs):
     """Block (T, n) real -> ((T, m) re, (T, m) im), m = h + 1.
 
     The entry transpose puts n leading; (n, T) -> (h, 2, T) + middle slices
@@ -234,7 +237,7 @@ def _r2c_kernel_nat(m_, f_, mode, h, x_ref, *refs):
     # columns [z | conj(z)] through one n-leading FFT_h
     wr = jnp.concatenate([xe, xe], axis=1)
     wi = jnp.concatenate([xo, -xo], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode, -1)
+    yr, yi = _nlead_core(core, wr, wi, const_vals, m_, f_, mode, -1)
     zr, zi = yr[:, :t], yi[:, :t]
     cr, ci = yr[:, t:], yi[:, t:]
     fer = 0.5 * (zr + cr)
@@ -250,13 +253,13 @@ def _r2c_kernel_nat(m_, f_, mode, h, x_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_r2c_nat(n: int, batch: int, dtype_str: str, interpret: bool,
-                   mode: str):
+                   mode: str, core: str = "bts2"):
     """(B, n) real -> (B, m) split re/im spectrum; no external pack pass."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
     m_, f_ = _nat_ts(h)
-    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)     # W_n^k, k = 0..h-1
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -272,7 +275,7 @@ def _build_r2c_nat(n: int, batch: int, dtype_str: str, interpret: bool,
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_r2c_kernel_nat, m_, f_, mode, h),
+        partial(_r2c_kernel_nat, core, m_, f_, mode, h),
         out_shape=(jax.ShapeDtypeStruct((batch, m), dtype),
                    jax.ShapeDtypeStruct((batch, m), dtype)),
         grid=grid,
@@ -292,11 +295,12 @@ def r2c_pallas_nat(x, plan: R2CPlan):
     """(B, n) real -> (B, m) split re/im via the natural-layout kernel."""
     batch, _n = x.shape
     run = _build_r2c_nat(plan.n, batch, str(x.dtype),
-                         bool(config.pallas_interpret), dot_mode())
+                         bool(config.pallas_interpret), dot_mode(),
+                         core=mid_core_body())
     return run(x)
 
 
-def _c2r_kernel_nat(m_, f_, mode, h, sr_ref, si_ref, *refs):
+def _c2r_kernel_nat(core, m_, f_, mode, h, sr_ref, si_ref, *refs):
     """Blocks (T, m) re/im RAW spectrum -> (T, n) real samples.
 
     Fuses the reference's pre-steps (src/lib.rs:506-523): the normalization
@@ -329,7 +333,7 @@ def _c2r_kernel_nat(m_, f_, mode, h, sr_ref, si_ref, *refs):
     # columns [P | conj(Q)] through one n-leading IFFTu_h (+1 consts)
     wr = jnp.concatenate([pr, qr], axis=1)
     wi = jnp.concatenate([pi, -qi], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * t, mode, +1)
+    yr, yi = _nlead_core(core, wr, wi, const_vals, m_, f_, mode, +1)
     # z = IFFTu(P) + conj(IFFTu(conj Q)); x[2l] = 2 Re z, x[2l+1] = 2 Im z
     ev = 2.0 * (yr[:, :t] + yr[:, t:])       # (h, T)
     od = 2.0 * (yi[:, :t] - yi[:, t:])
@@ -339,14 +343,14 @@ def _c2r_kernel_nat(m_, f_, mode, h, sr_ref, si_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_c2r_nat(n: int, batch: int, dtype_str: str, interpret: bool,
-                   mode: str, scale: float):
+                   mode: str, scale: float, core: str = "bts2"):
     """(B, m) RAW split re/im spectrum -> (B, n) real; normalization and
     DC/Nyquist masking fused (no external passes)."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
     m_, f_ = _nat_ts(h)
-    consts, _ = _twostep_consts(h, +1, dtype, mode)
+    consts, _ = _nlead_consts(h, +1, dtype, mode, body=core)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, +1)     # W_n^{-k} under the forward convention
     a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur          # (1 + i u)/2
@@ -377,7 +381,7 @@ def _build_c2r_nat(n: int, batch: int, dtype_str: str, interpret: bool,
     const_specs = [pl.BlockSpec(c.shape, lambda i, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_c2r_kernel_nat, m_, f_, mode, h),
+        partial(_c2r_kernel_nat, core, m_, f_, mode, h),
         out_shape=jax.ShapeDtypeStruct((batch, n), dtype),
         grid=grid,
         in_specs=[in_spec, in_spec] + const_specs,
@@ -399,7 +403,8 @@ def c2r_pallas_nat(sr, si, n: int, scale=None):
     batch = sr.shape[0]
     run = _build_c2r_nat(n, batch, str(sr.dtype),
                          bool(config.pallas_interpret), dot_mode(),
-                         float(1.0 if scale is None else scale))
+                         float(1.0 if scale is None else scale),
+                         core=mid_core_body())
     return run(sr, si)
 
 
@@ -413,7 +418,7 @@ def c2r_pallas_nat(sr, si, n: int, scale=None):
 # --------------------------------------------------------------------------
 
 
-def _r2c_kernel_mid(m_, f_, mode, h, x_ref, *refs):
+def _r2c_kernel_mid(core, m_, f_, mode, h, x_ref, *refs):
     """Block (1, n, TL) real -> ((1, m, TL) re, (1, m, TL) im)."""
     const_vals = [r[:] for r in refs[:-4]]
     ur = refs[-4][:]                # (h, 1) column unpack twiddle
@@ -425,7 +430,7 @@ def _r2c_kernel_mid(m_, f_, mode, h, x_ref, *refs):
     xo = xt[:, 1, :]
     wr = jnp.concatenate([xe, xe], axis=1)   # columns [z | conj(z)]
     wi = jnp.concatenate([xo, -xo], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, -1)
+    yr, yi = _nlead_core(core, wr, wi, const_vals, m_, f_, mode, -1)
     zr, zi = yr[:, :tl], yi[:, :tl]
     cr, ci = yr[:, tl:], yi[:, tl:]
     fer = 0.5 * (zr + cr)
@@ -440,7 +445,7 @@ def _r2c_kernel_mid(m_, f_, mode, h, x_ref, *refs):
                                 axis=0).reshape(1, h + 1, tl)
 
 
-def _c2r_kernel_mid(m_, f_, mode, h, sr_ref, si_ref, *refs):
+def _c2r_kernel_mid(core, m_, f_, mode, h, sr_ref, si_ref, *refs):
     """Blocks (1, m, TL) re/im RAW spectrum -> (1, n, TL) real; the
     reference pre-steps fused as in _c2r_kernel_nat; the even/odd
     interleave is a free middle-dim reshape."""
@@ -466,7 +471,7 @@ def _c2r_kernel_mid(m_, f_, mode, h, sr_ref, si_ref, *refs):
     qi = jnp.concatenate([q0i, qi[1:, :]], axis=0)
     wr = jnp.concatenate([pr, qr], axis=1)   # columns [P | conj(Q)]
     wi = jnp.concatenate([pi, -qi], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, +1)
+    yr, yi = _nlead_core(core, wr, wi, const_vals, m_, f_, mode, +1)
     ev = 2.0 * (yr[:, :tl] + yr[:, tl:])     # (h, TL)
     od = 2.0 * (yi[:, :tl] - yi[:, tl:])
     d = jnp.concatenate([ev.reshape(h, 1, tl), od.reshape(h, 1, tl)], axis=1)
@@ -481,13 +486,14 @@ def _mid_tile(cols: int, tcfg: int = 0) -> int:
 
 @lru_cache(maxsize=256)
 def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
-                   interpret: bool, mode: str, tcfg: int = 0):
+                   interpret: bool, mode: str, tcfg: int = 0,
+                   core: str = "bts2"):
     """(B, n, L) real -> (B, m, L) split re/im, transform along axis 1."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
     m_, f_ = _nat_ts(h)
-    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -502,7 +508,7 @@ def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_r2c_kernel_mid, m_, f_, mode, h),
+        partial(_r2c_kernel_mid, core, m_, f_, mode, h),
         out_shape=(jax.ShapeDtypeStruct((nb, m, cols), dtype),
                    jax.ShapeDtypeStruct((nb, m, cols), dtype)),
         grid=grid,
@@ -520,14 +526,15 @@ def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_c2r_mid(n: int, nb: int, cols: int, dtype_str: str,
-                   interpret: bool, mode: str, scale: float, tcfg: int = 0):
+                   interpret: bool, mode: str, scale: float, tcfg: int = 0,
+                   core: str = "bts2"):
     """(B, m, L) RAW split re/im -> (B, n, L) real, transform along axis 1;
     normalization + DC/Nyquist masking fused."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
     m_, f_ = _nat_ts(h)
-    consts, _ = _twostep_consts(h, +1, dtype, mode)
+    consts, _ = _nlead_consts(h, +1, dtype, mode, body=core)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, +1)
     a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur
@@ -556,7 +563,7 @@ def _build_c2r_mid(n: int, nb: int, cols: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_c2r_kernel_mid, m_, f_, mode, h),
+        partial(_c2r_kernel_mid, core, m_, f_, mode, h),
         out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
         grid=grid,
         in_specs=[in_spec, in_spec] + const_specs,
@@ -577,7 +584,8 @@ def r2c_pallas_mid(x, plan: R2CPlan):
     nb, n, cols = x.shape
     run = _build_r2c_mid(n, nb, cols, str(x.dtype),
                          bool(config.pallas_interpret), dot_mode(),
-                         tcfg=int(config.pallas_tile))
+                         tcfg=int(config.pallas_tile),
+                         core=mid_core_body())
     return run(x)
 
 
@@ -587,11 +595,12 @@ def c2r_pallas_mid(sr, si, n: int, scale=None):
     run = _build_c2r_mid(n, nb, cols, str(sr.dtype),
                          bool(config.pallas_interpret), dot_mode(),
                          float(1.0 if scale is None else scale),
-                         tcfg=int(config.pallas_tile))
+                         tcfg=int(config.pallas_tile),
+                         core=mid_core_body())
     return run(sr, si)
 
 
-def _r2c_kernel_packed_mid(m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
+def _r2c_kernel_packed_mid(core, m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
     """Blocks (1, h, TL) even/odd streams -> ((1, m, TL) re, im) * scale.
 
     Mid-axis packed variant for callers that assemble the streams
@@ -606,7 +615,7 @@ def _r2c_kernel_packed_mid(m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
     xo = xo_ref[:].reshape(h, tl)
     wr = jnp.concatenate([xe, xe], axis=1)
     wi = jnp.concatenate([xo, -xo], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, -1)
+    yr, yi = _nlead_core(core, wr, wi, const_vals, m_, f_, mode, -1)
     zr, zi = yr[:, :tl], yi[:, :tl]
     cr, ci = yr[:, tl:], yi[:, tl:]
     half_s = 0.5 * scale
@@ -624,13 +633,14 @@ def _r2c_kernel_packed_mid(m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_r2c_packed_mid(n: int, nb: int, cols: int, dtype_str: str,
-                          interpret: bool, mode: str, scale: float, tcfg: int = 0):
+                          interpret: bool, mode: str, scale: float,
+                          tcfg: int = 0, core: str = "bts2"):
     """(B, h, L) even/odd pair -> (B, m, L) split re/im * scale, axis 1."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
     m_, f_ = _nat_ts(h)
-    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -645,7 +655,7 @@ def _build_r2c_packed_mid(n: int, nb: int, cols: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_r2c_kernel_packed_mid, m_, f_, mode, h, scale),
+        partial(_r2c_kernel_packed_mid, core, m_, f_, mode, h, scale),
         out_shape=(jax.ShapeDtypeStruct((nb, m, cols), dtype),
                    jax.ShapeDtypeStruct((nb, m, cols), dtype)),
         grid=grid,
@@ -668,7 +678,8 @@ def r2c_pallas_packed_mid(xe, xo, n: int, scale=None):
     run = _build_r2c_packed_mid(n, nb, cols, str(xe.dtype),
                                 bool(config.pallas_interpret), dot_mode(),
                                 float(1.0 if scale is None else scale),
-                                tcfg=int(config.pallas_tile))
+                                tcfg=int(config.pallas_tile),
+                                core=mid_core_body())
     return run(xe, xo)
 
 
@@ -684,7 +695,7 @@ def r2c_pallas_packed_mid(xe, xo, n: int, scale=None):
 # --------------------------------------------------------------------------
 
 
-def _dct1_kernel_mid(m_, f_, mode, n, scale, x_ref, xf_ref, *refs):
+def _dct1_kernel_mid(core, m_, f_, mode, n, scale, x_ref, xf_ref, *refs):
     """(1, n, TL) natural block + its flip -> (1, n, TL) DCT-I * scale.
 
     With n = 2p+1, h = n-1 and e the even extension (len 2h), the streams
@@ -707,7 +718,7 @@ def _dct1_kernel_mid(m_, f_, mode, n, scale, x_ref, xf_ref, *refs):
     xo = jnp.concatenate([xp[:, 1, :], fp[:, 1, :]], axis=0)
     wr = jnp.concatenate([xe, xe], axis=1)
     wi = jnp.concatenate([xo, -xo], axis=1)
-    yr, yi = _ts_core_nlead(wr, wi, const_vals, m_, f_, 2 * tl, mode, -1)
+    yr, yi = _nlead_core(core, wr, wi, const_vals, m_, f_, mode, -1)
     zr, zi = yr[:, :tl], yi[:, :tl]
     cr, ci = yr[:, tl:], yi[:, tl:]
     half_s = 0.5 * scale
@@ -721,13 +732,14 @@ def _dct1_kernel_mid(m_, f_, mode, n, scale, x_ref, xf_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
-                    interpret: bool, mode: str, scale: float, tcfg: int = 0):
+                    interpret: bool, mode: str, scale: float, tcfg: int = 0,
+                    core: str = "bts2"):
     """(B, n, L) x and flip(x) -> (B, n, L) DCT-I * scale along axis 1."""
     h = n - 1
     ext = 2 * h
     dtype = jnp.dtype(dtype_str)
     m_, f_ = _nat_ts(h)
-    consts, _ = _twostep_consts(h, -1, dtype, mode)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, ext, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -740,7 +752,7 @@ def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_dct1_kernel_mid, m_, f_, mode, n, scale),
+        partial(_dct1_kernel_mid, core, m_, f_, mode, n, scale),
         out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
         grid=grid,
         in_specs=[spec, spec] + const_specs,
@@ -773,7 +785,8 @@ def dct1_pallas_mid(x, scale=None):
     run = _build_dct1_mid(n, nb, cols, str(x.dtype),
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
-                          tcfg=int(config.pallas_tile))
+                          tcfg=int(config.pallas_tile),
+                          core=mid_core_body())
     return run(x, xf)
 
 
