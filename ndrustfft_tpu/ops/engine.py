@@ -248,6 +248,20 @@ def _fourstep(xr, xi, plan: C2CPlan, scale=None):
                                 1.0, int(_cfg.pallas_tile),
                                 str(_cfg.mid_body), four_n=n)
     yr, yi = run1(xr3, xi3)
+    from .pallas.fft import (
+        _build_call_lane_store_t, _twostep_split, mid_core_body,
+    )
+
+    if _twostep_split(n2) is not None:
+        # step 3+4 in ONE kernel: lane-dim FFT with a transposed store —
+        # the four-step's global transpose costs no separate HBM pass
+        # (two pass-pairs total for any n)
+        run2 = _build_call_lane_store_t(
+            n2, plan.sign, batch, n1, str(xr.dtype),
+            bool(_cfg.pallas_interpret), dot_mode(),
+            float(1.0 if scale is None else scale), mid_core_body())
+        yr, yi = run2(yr, yi)                    # (B, k2, k1)
+        return yr.reshape(shape), yi.reshape(shape)
     sub = get_c2c_plan(n2, plan.sign)
     yr, yi = c2c(yr.reshape(batch * n1, n2), yi.reshape(batch * n1, n2),
                  sub, scale)

@@ -1511,6 +1511,55 @@ def _fourstep_split_cached(n: int, _max_base: int):
     return best
 
 
+def _kernel_lane_store_t(n2, ts, core, m, f, mode, sign, xr_ref, xi_ref,
+                         *refs):
+    """(1, TS, n2) block -> (1, n2, TS): FFT along the LANE dim with a
+    TRANSPOSED store — the four-step's final (k1, k2) -> (k2, k1) global
+    transpose rides this kernel's one entry relayout instead of costing a
+    separate XLA HBM pass."""
+    consts = [r[:] for r in refs[:-2]]
+    or_ref, oi_ref = refs[-2:]
+    xr = jnp.swapaxes(xr_ref[:].reshape(ts, n2), 0, 1)   # one relayout
+    xi = jnp.swapaxes(xi_ref[:].reshape(ts, n2), 0, 1)
+    zr, zi = _nlead_core(core, xr, xi, consts, m, f, mode, sign)
+    or_ref[:] = zr.reshape(1, n2, ts)
+    oi_ref[:] = zi.reshape(1, n2, ts)
+
+
+@lru_cache(maxsize=256)
+def _build_call_lane_store_t(n2: int, sign: int, nb: int, rows: int,
+                             dtype_str: str, interpret: bool, mode: str,
+                             scale: float = 1.0, core: str = "bts2"):
+    """(B, rows, n2) re/im -> (B, n2, rows): lane-dim FFT + transposed
+    store (four-step step 3+4)."""
+    dtype = jnp.dtype(dtype_str)
+    consts, (m, f) = _nlead_consts(n2, sign, dtype, mode, scale, core)
+    ts = 256 if rows % 256 == 0 else 128
+    gc = pl.cdiv(rows, ts)
+    grid = (nb * gc,)
+    in_spec = pl.BlockSpec((1, ts, n2), lambda g: (g // gc, g % gc, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n2, ts), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_kernel_lane_store_t, n2, ts, core, m, f, mode, sign),
+        out_shape=(jax.ShapeDtypeStruct((nb, n2, rows), dtype),
+                   jax.ShapeDtypeStruct((nb, n2, rows), dtype)),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + const_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * n2 * np.log2(max(n2, 2)) * nb * rows),
+            bytes_accessed=int(4 * nb * rows * n2 * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda xr, xi: call(xr, xi, *consts)
+
+
 def fourstep_supported(plan: C2CPlan, dtype) -> bool:
     if not config.use_pallas or plan.kind != "ct":
         return False
