@@ -487,6 +487,66 @@ def main():
                 "gflops": round(5.0 * m * math.log2(m) * m / t / 1e9, 1),
             }))
 
+        # long transforms (round-2 verdict next #2): 2^18 and 2^20 1-D C2C
+        # through the four-step kernel path vs the multi-stage XLA engine
+        from ndrustfft_tpu import config as _cfg2
+
+        for ln in [1 << 18, 1 << 20]:
+            bm = max(2, (1 << 27) // (ln * 8))
+            xc = (rng.standard_normal((bm, ln))
+                  + 1j * rng.standard_normal((bm, ln))).astype(np.complex64)
+            hm = FftHandler(ln).normalization(
+                Normalization.scalar(drift / math.sqrt(ln)))
+            row = {"metric": f"fft1d_long_{ln}_c2c_f32",
+                   "unit": "us/transform"}
+            try:
+                t = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1),
+                                  xc, scale=None, per_iter=bm)
+                row["value"] = round(t * 1e6, 2)
+                row["gflops"] = round(
+                    5.0 * ln * math.log2(ln) / t / 1e9, 1)
+            except Exception:  # noqa: BLE001
+                row["value"] = None
+            try:
+                _cfg2.use_pallas = False
+                t_e = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1),
+                                    xc, scale=None, per_iter=bm)
+                row["engine_us"] = round(t_e * 1e6, 2)
+            except Exception:  # noqa: BLE001
+                row["engine_us"] = None
+            finally:
+                _cfg2.use_pallas = True
+            print(json.dumps(row))
+
+        # DCT-I beyond the dense cap (round-2 verdict next #5): n=2049
+        # through the natural in-kernel-streams kernel, with the same-size
+        # DCT-II/III pair as the comparison point
+        d = 2049
+        bm = max(1, (1 << 27) // (d * d * 4))
+        xd = rng.standard_normal((bm, d, d)).astype(np.float32)
+        hd1a = DctHandler(d).normalization(Normalization.NONE)
+        hd1b = DctHandler(d).normalization(
+            Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
+        t = per_transform(
+            lambda v, _ha=hd1a, _hb=hd1b: nddct1(
+                nddct1(v, _ha, axis=1), _hb, axis=1),
+            xd, scale=None, per_iter=2 * bm)
+        print(json.dumps({
+            "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
+            "value": round(t * 1e6, 2),
+        }))
+        hd2n = DctHandler(d).normalization(Normalization.NONE)
+        hd3 = DctHandler(d).normalization(
+            Normalization.scalar(2.0 * drift / d))
+        t = per_transform(
+            lambda v, _h2=hd2n, _h3=hd3: nddct3(
+                nddct2(v, _h2, axis=1), _h3, axis=1),
+            xd, scale=None, per_iter=2 * bm)
+        print(json.dumps({
+            "metric": f"dct2d_23_{d}_f32_axis0", "unit": "us/transform",
+            "value": round(t * 1e6, 2),
+        }))
+
         # `_par` twins (reference benches/ndrustfft_par.rs:14-67): on a
         # single chip the _par entry points are exact synonyms of the
         # serial ones (the reference's rayon lane-parallelism is inherent

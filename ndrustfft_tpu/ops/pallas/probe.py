@@ -115,6 +115,18 @@ def _probe_fourstep_stage1(n1, n2, nb, mode):
     return run, (xr, xi)
 
 
+def _probe_lane_store_t(n2, rows, nb, mode):
+    """Four-step step-3+4: lane FFT with transposed store."""
+    from ..pallas import fft as K
+
+    run = K._build_call_lane_store_t(n2, -1, nb, rows, "float32", _interp(),
+                                     mode)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((nb, rows, n2)).astype(np.float32)
+    xi = rng.standard_normal((nb, rows, n2)).astype(np.float32)
+    return run, (xr, xi)
+
+
 def _probe_blue_mid(n, nb, cols, mode):
     from ..pallas import fft as K
 
@@ -259,6 +271,8 @@ PROBES = [
     ("axis_mid  n=128 c200", _probe_axis_mid, dict(n=128, nb=4, cols=200)),
     ("fourstep  1024x1024", _probe_fourstep_stage1,
      dict(n1=1024, n2=1024, nb=1)),
+    ("lane_store_t 256x512", _probe_lane_store_t,
+     dict(n2=256, rows=512, nb=2)),
     ("fourstep  512x256", _probe_fourstep_stage1,
      dict(n1=512, n2=256, nb=2)),
     ("blue_mid  n=509", _probe_blue_mid, dict(n=509, nb=4, cols=256)),

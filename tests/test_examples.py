@@ -7,7 +7,8 @@ import sys
 
 import pytest
 
-EXAMPLES = ["fft1", "fft2", "rfft2", "fft_norm", "poisson", "pencil3d"]
+EXAMPLES = ["fft1", "fft2", "rfft2", "fft_norm", "poisson", "pencil3d",
+            "any_n"]
 _EX_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "examples")
 
