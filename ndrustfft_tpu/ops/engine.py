@@ -51,7 +51,9 @@ def c2c(xr, xi, plan: C2CPlan, scale=None):
     if plan.kind == "bluestein":
         return _bluestein(xr, xi, plan, scale)
     dtype = xr.dtype
-    if plan.n > 65536:
+    if plan.n > 16384:
+        # beyond the single-kernel range (> _MAX_N, or failing its VMEM
+        # working-set bound): two-kernel four-step decomposition
         from .pallas.fft import fourstep_supported
 
         if fourstep_supported(plan, dtype):

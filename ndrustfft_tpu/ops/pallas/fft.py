@@ -1561,12 +1561,19 @@ def _build_call_lane_store_t(n2: int, sign: int, nb: int, rows: int,
 
 
 def fourstep_supported(plan: C2CPlan, dtype) -> bool:
+    """Four-step eligibility: n beyond the single-kernel range — either
+    > _MAX_N, or inside it but failing the single-kernel VMEM working-set
+    check (n ~20481..65536, which previously fell silently to the
+    engine)."""
     if not config.use_pallas or plan.kind != "ct":
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if plan.n <= _MAX_N or fourstep_split(plan.n) is None:
+    if fourstep_split(plan.n) is None:
         return False
+    if plan.n <= _MAX_N and _LIVE_COPIES * 128 * plan.n * 4 <= int(
+            0.8 * _VMEM_LIMIT):
+        return False    # the (faster) single-kernel path covers it
     backend = jax.default_backend()
     return backend == "tpu" or config.pallas_interpret
 
