@@ -1202,8 +1202,7 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
     if cols <= 128:
         tile = cols
     else:
-        tile = max(128, min(_lane_tile(2 * M, dtype.itemsize), 512)
-                   // 128 * 128)
+        tile = _mid_tile_budget(2 * M, dtype.itemsize)
         if tcfg:
             tile = min(cols, tcfg)
     gc = pl.cdiv(cols, tile)
