@@ -148,34 +148,51 @@ def build():
     return lambda xr, xi: call(xr, xi, *[jnp.asarray(c) for c in consts])
 
 
-K = 34
 run_call = build()
 
 
-@jax.jit
-def chain(r, i):
-    def it(_, c):
-        return run_call(c[0], c[1])
+def make_chain(K):
+    @jax.jit
+    def chain(r, i):
+        def it(_, c):
+            return run_call(c[0], c[1])
 
-    rr, ii = jax.lax.fori_loop(0, K, it, (r, i))
-    return jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ii))
+        rr, ii = jax.lax.fori_loop(0, K, it, (r, i))
+        return jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ii))
+
+    return chain
 
 
+K1, K2 = 34, 134
+c1, c2 = make_chain(K1), make_chain(K2)
 rng = np.random.default_rng(0)
 r0 = jnp.asarray(rng.standard_normal((B, n, cols)), jnp.float32)
 i0 = jnp.asarray(rng.standard_normal((B, n, cols)), jnp.float32)
 
-probe = float(chain(r0, i0))  # compile + sanity (finite => chain is neutral)
+probe = float(c1(r0, i0))  # compile + sanity (finite => chain is neutral)
 assert math.isfinite(probe), probe
-ts = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    float(chain(r0, i0))
-    ts.append(time.perf_counter() - t0)
-t = min(ts) / (K * B)
+assert math.isfinite(float(c2(r0, i0)))
+
+
+def timed(call, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(call(r0, i0))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+# interleave to share window drift; SLOPE cancels fixed per-call overhead
+# (tunnel dispatch latency), which can dwarf the chain itself in degraded
+# windows (measured: a copy chain "floor" of 110 us/transform at K=34 vs
+# the known healthy 28 us floor)
+t1, t2 = timed(c1), timed(c2)
+t = (t2 - t1) / ((K2 - K1) * B)
 print(json.dumps({
     "variant": variant, "n": n, "B": B, "tile": tl, "mode": mode,
     "us_per_transform": round(t * 1e6, 2),
+    "us_k34_apparent": round(t1 / (K1 * B) * 1e6, 2),
     "gflops": round(5.0 * n * math.log2(n) * cols / t / 1e9, 1),
     "probe": probe,
 }))
