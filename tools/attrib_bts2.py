@@ -18,6 +18,10 @@ Variants:
            rows permuted; timing-only bound for a zero-cost exit)
   dense  — ONE n x n K-stacked complex DFT dot (zero relayouts, ~8x the
            MXU MACs of two-step at n=1024; wins iff DMA/compute overlap)
+  copym  — merged-plane copy: re/im ride ONE (B, 2n, L) array (rows 0..n-1
+           = re, n..2n-1 = im), HALF the DMA descriptors of `copy` at the
+           same bytes — probes whether the floor is descriptor-bound
+  fullm  — production bts2 body with the merged-plane I/O of copym
 One variant per process: a failed TPU program poisons the session.
 Prints one JSON line {variant, n, tile, us_per_transform, gflops}.
 """
@@ -75,6 +79,23 @@ def _bts2_planes(xr, xi, consts, m, f, tile):
     return outs
 
 
+def kbody_m(which, m, f, tile, x_ref, *refs):
+    """Merged-plane body: one (1, 2n, TL) in/out block."""
+    consts = [r[:] for r in refs[:-1]]
+    o_ref = refs[-1]
+    x2 = x_ref[:].reshape(2 * n, tile)
+    xr, xi = x2[:n], x2[n:]
+    if which == "copym":
+        o_ref[:] = (1.001 * x2).reshape(1, 2 * n, tile)
+        return
+    outs = _bts2_planes(xr, xi, consts, m, f, tile)
+    zr = jnp.concatenate([pr[None] for pr, _ in outs], axis=0)
+    zi = jnp.concatenate([pi[None] for _, pi in outs], axis=0)
+    zr = jnp.transpose(zr, (1, 0, 2)).reshape(n, tile)
+    zi = jnp.transpose(zi, (1, 0, 2)).reshape(n, tile)
+    o_ref[:] = jnp.concatenate([zr, zi], axis=0).reshape(1, 2 * n, tile)
+
+
 def kbody(which, m, f, tile, xr_ref, xi_ref, *refs):
     consts = [r[:] for r in refs[:-2]]
     or_ref, oi_ref = refs[-2:]
@@ -112,7 +133,7 @@ def kbody(which, m, f, tile, xr_ref, xi_ref, *refs):
 
 
 def build():
-    if variant == "copy":
+    if variant in ("copy", "copym"):
         consts = [np.zeros((8, 128), dtype)]  # dummy, keeps arity uniform
         m = f = 0
     elif variant == "dense":
@@ -127,17 +148,10 @@ def build():
         consts, (m, f) = _bts2_consts(n, sign, np.dtype(dtype), mode, scale)
     gc = pl.cdiv(cols, tl)
     grid = (B * gc,)
-    spec = pl.BlockSpec((1, n, tl), lambda g: (g // gc, 0, g % gc),
-                        memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
-    call = pl.pallas_call(
-        partial(kbody, variant, m, f, tl),
-        out_shape=(jax.ShapeDtypeStruct((B, n, cols), jnp.float32),
-                   jax.ShapeDtypeStruct((B, n, cols), jnp.float32)),
+    kw = dict(
         grid=grid,
-        in_specs=[spec, spec] + const_specs,
-        out_specs=(spec, spec),
         cost_estimate=pl.CostEstimate(
             flops=int(10.0 * n * math.log2(n) * B * cols),
             bytes_accessed=int(4 * B * cols * n * 4),
@@ -145,13 +159,40 @@ def build():
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )
+    if variant.endswith("m"):
+        spec = pl.BlockSpec((1, 2 * n, tl), lambda g: (g // gc, 0, g % gc),
+                            memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            partial(kbody_m, variant, m, f, tl),
+            out_shape=jax.ShapeDtypeStruct((B, 2 * n, cols), jnp.float32),
+            in_specs=[spec] + const_specs, out_specs=spec, **kw)
+        return lambda x: call(x, *[jnp.asarray(c) for c in consts])
+    spec = pl.BlockSpec((1, n, tl), lambda g: (g // gc, 0, g % gc),
+                        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        partial(kbody, variant, m, f, tl),
+        out_shape=(jax.ShapeDtypeStruct((B, n, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n, cols), jnp.float32)),
+        in_specs=[spec, spec] + const_specs,
+        out_specs=(spec, spec), **kw)
     return lambda xr, xi: call(xr, xi, *[jnp.asarray(c) for c in consts])
 
 
 run_call = build()
 
 
+merged = variant.endswith("m")
+
+
 def make_chain(K):
+    if merged:
+        @jax.jit
+        def chainm(x):
+            y = jax.lax.fori_loop(0, K, lambda _, c: run_call(c), x)
+            return jnp.sum(jnp.abs(y))
+
+        return chainm
+
     @jax.jit
     def chain(r, i):
         def it(_, c):
@@ -166,19 +207,22 @@ def make_chain(K):
 K1, K2 = 34, 134
 c1, c2 = make_chain(K1), make_chain(K2)
 rng = np.random.default_rng(0)
-r0 = jnp.asarray(rng.standard_normal((B, n, cols)), jnp.float32)
-i0 = jnp.asarray(rng.standard_normal((B, n, cols)), jnp.float32)
+if merged:
+    args = (jnp.asarray(rng.standard_normal((B, 2 * n, cols)), jnp.float32),)
+else:
+    args = (jnp.asarray(rng.standard_normal((B, n, cols)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, n, cols)), jnp.float32))
 
-probe = float(c1(r0, i0))  # compile + sanity (finite => chain is neutral)
+probe = float(c1(*args))  # compile + sanity (finite => chain is neutral)
 assert math.isfinite(probe), probe
-assert math.isfinite(float(c2(r0, i0)))
+assert math.isfinite(float(c2(*args)))
 
 
 def timed(call, reps=3):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(call(r0, i0))
+        float(call(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
