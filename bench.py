@@ -171,6 +171,64 @@ def _hbm_gbps():
     return chip_spec()[0]
 
 
+def _copy_floor(n, B, tl=512):
+    """Measured us/transform for a pure chained Pallas copy at the headline
+    shape — the SAME block specs, grid, and slope protocol as the production
+    axis-mid kernel, with the transform replaced by out = 1.001*in.
+
+    This is the practical HBM bound through this host/tunnel stack in THIS
+    measurement window (it drifts with tunnel health; round-3 slope
+    measurements saw 28-50 us at 1024^2). The headline reports
+    pct_copy_floor = floor/t so the driver capture carries the
+    binding-constraint evidence alongside the nominal-roofline pct
+    (slope attribution: full bts2 body = floor + ~2 us; compute and exit
+    fully DMA-hidden — tools/attrib_bts2.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ndrustfft_tpu.ops.pallas.fft import _VMEM_LIMIT
+
+    gc = pl.cdiv(n, tl)
+    spec = pl.BlockSpec((1, n, tl), lambda g: (g // gc, 0, g % gc),
+                        memory_space=pltpu.VMEM)
+
+    def body(xr_ref, xi_ref, or_ref, oi_ref):
+        or_ref[:] = 1.001 * xr_ref[:]
+        oi_ref[:] = 1.001 * xi_ref[:]
+
+    call = pl.pallas_call(
+        body,
+        out_shape=(jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n, n), jnp.float32)),
+        grid=(B * gc,),
+        in_specs=[spec, spec], out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    def chain(K):
+        @jax.jit
+        def run(r, i):
+            rr, ii = jax.lax.fori_loop(0, K, lambda _, c: call(c[0], c[1]),
+                                       (r, i))
+            return jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ii))
+
+        return run
+
+    rng = np.random.default_rng(1)
+    r0 = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32)
+    i0 = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32)
+    K1, K2 = 2, 34
+    c1, c2 = chain(K1), chain(K2)
+    a = _time_call(lambda: float(c1(r0, i0)))
+    b = _time_call(lambda: float(c2(r0, i0)))
+    return max((b - a) / ((K2 - K1) * B), 1e-9)
+
+
 def compile_check():
     """AOT-lower + compile every Pallas kernel flavor on the real toolchain.
 
@@ -565,6 +623,14 @@ def main():
             "value": round(t * 1e6, 2),
         }))
 
+    # same-window practical HBM bound (chained Pallas copy, same specs)
+    try:
+        t_floor = _copy_floor(n, B)
+    except Exception:  # noqa: BLE001
+        t_floor = None
+    pct_floor = (100.0 * t_floor / t_med
+                 if t_floor and t_med and t_med > 1e-8 else None)
+
     print(json.dumps({
         "metric": f"fft2d_{n}_c2c_f32_axis0",
         "value": round(gflops, 2) if gflops is not None else None,
@@ -572,6 +638,8 @@ def main():
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "pct_hbm_roofline": (round(pct_roofline, 1)
                              if pct_roofline is not None else None),
+        "copy_floor_us": (round(t_floor * 1e6, 2) if t_floor else None),
+        "pct_copy_floor": (round(pct_floor, 1) if pct_floor else None),
         "protocol": "fused-scalar-norm inverse chain (see bench.py)",
         "unfused_us_per_transform": (round(t_unfused * 1e6, 2)
                                      if t_unfused else None),
