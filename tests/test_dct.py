@@ -100,3 +100,39 @@ def test_size_mismatch_dct_message():
 def test_dct_complex_rejected():
     with pytest.raises(TypeError, match="real"):
         nddct2(jnp.zeros(6, jnp.complex128), DctHandler(6), 0)
+
+
+def test_grad_through_dct():
+    # differentiability across the DCT lowering (Makhoul + r2c composition):
+    # finite-difference check per type (SURVEY §4 plan: functional
+    # transforms are a framework capability the Rust reference lacks)
+    import jax
+
+    n = 12
+    x = jnp.asarray(np.random.default_rng(40).standard_normal(n))
+    for t, nd in ((1, nddct1), (2, nddct2), (3, nddct3), (4, nddct4)):
+        h = DctHandler(n)
+
+        def loss(v, _nd=nd, _h=h):
+            return jnp.sum(jnp.abs(_nd(v, _h, 0)) ** 2)
+
+        g = jax.grad(loss)(x)
+        eps = 1e-6
+        e0 = np.zeros(n)
+        e0[5] = eps
+        fd = (float(loss(x + e0)) - float(loss(x - e0))) / (2 * eps)
+        np.testing.assert_allclose(float(g[5]), fd, rtol=1e-4,
+                                   err_msg=f"dct type {t}")
+
+
+def test_vmap_equivalence_dct():
+    # serial == vmap over a leading batch dim, both DCT-II and DCT-I
+    import jax
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((4, 3, 10)))
+    for nd in (nddct1, nddct2):
+        h = DctHandler(10)
+        direct = np.asarray(nd(x, h, axis=2))
+        mapped = np.asarray(jax.vmap(lambda v, _nd=nd, _h=h: _nd(v, _h, axis=1))(x))
+        np.testing.assert_allclose(mapped, direct, rtol=1e-11, atol=1e-11)

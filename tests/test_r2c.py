@@ -172,3 +172,21 @@ def test_odd_n_dense_kernel_routing_and_semantics():
         config.pallas_interpret = old_i
         config.use_pallas = old_u
         _jitted.cache_clear()
+
+
+def test_vmap_equivalence_r2c():
+    # serial == vmap (SURVEY §4 plan) across the R2C pack and C2R unpack
+    import jax
+
+    from ndrustfft_tpu import ndifft_r2c
+
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((5, 3, 14)))
+    h = R2cFftHandler(14)
+    direct = ndfft_r2c(x, h, axis=2)
+    mapped = jax.vmap(lambda v: ndfft_r2c(v, h, axis=1))(x)
+    np.testing.assert_allclose(np.asarray(mapped), np.asarray(direct),
+                               rtol=1e-11, atol=1e-11)
+    back_d = np.asarray(ndifft_r2c(direct, h, axis=2))
+    back_m = np.asarray(jax.vmap(lambda v: ndifft_r2c(v, h, axis=1))(mapped))
+    np.testing.assert_allclose(back_m, back_d, rtol=1e-11, atol=1e-11)
