@@ -342,6 +342,10 @@ def main():
                     help="on-chip numeric verification; one JSON verdict line")
     ap.add_argument("--compile-check", action="store_true",
                     help="compile every Pallas kernel flavor; pass/fail matrix")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated substrings: with --all, measure "
+                         "only grid rows whose metric name matches (tunnel "
+                         "windows are short; re-runs shouldn't repeat rows)")
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=16,
                     help="arrays per chain iteration (sized to defeat VMEM "
@@ -390,8 +394,11 @@ def main():
     bytes_per_transform = 2.0 * n * n * 8  # c64 read + write, ideal
     t_bound = bytes_per_transform / (hbm * 1e9)
     sane = 30.0 * t_bound
+    # a filtered grid re-run (--all --only ...) measures ONLY the named
+    # rows: skip the multi-minute headline A/B chain entirely
+    skip_headline = bool(args.all and args.only)
     tas = tbs = ratios = None
-    for attempt in range(3):
+    for attempt in range(0 if skip_headline else 3):
         try:
             tas, tbs, ratios = compare(ours, xla, x,
                                        scale=None, per_iter=B)
@@ -416,7 +423,7 @@ def main():
             "ratio_spread": [round(min(ratios), 3), round(max(ratios), 3)],
             "rounds_used": len(tas),
         }
-    else:
+    elif not skip_headline:
         try:
             t_med = per_transform(ours, x, scale=None, per_iter=B)
         except Exception:  # noqa: BLE001
@@ -433,11 +440,13 @@ def main():
     # transparency row: the old protocol (forward fft + external
     # 1/sqrt(n)*(1+eps*k) multiply), i.e. our library paying the same
     # extra elementwise pass the baseline pays
-    try:
-        t_unfused = per_transform(lambda v: ndfft(v, h, axis=1), x,
-                                  scale=rsqrt_n, per_iter=B)
-    except Exception:  # noqa: BLE001
-        t_unfused = None
+    t_unfused = None
+    if not skip_headline:
+        try:
+            t_unfused = per_transform(lambda v: ndfft(v, h, axis=1), x,
+                                      scale=rsqrt_n, per_iter=B)
+        except Exception:  # noqa: BLE001
+            t_unfused = None
 
     if args.all:
         # the reference's full criterion grid (benches/ndrustfft.rs:6-7),
@@ -452,85 +461,109 @@ def main():
         # identity by a (1 + 1e-3) factor folded into the inverse handler's
         # scalar policy, so each iteration is public-API calls only.
         drift = 1.001
+        only = [s for s in args.only.split(",") if s]
+
+        def _want(metric):
+            return not only or any(s in metric for s in only)
+
         for m in [128, 264, 512, 1024]:
             # batch each size so in+out exceeds VMEM (>= 256 MB working set)
-            bm = max(1, (1 << 27) // (m * m * 8))
-            xc = (rng.standard_normal((bm, m, m))
-                  + 1j * rng.standard_normal((bm, m, m))).astype(np.complex64)
-            hm = FftHandler(m).normalization(
-                Normalization.scalar(drift / math.sqrt(m)))
-            t = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
-                              scale=None, per_iter=bm)
-            print(json.dumps({
-                "metric": f"fft2d_{m}_c2c_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-                "gflops": round(5.0 * m * math.log2(m) * m / t / 1e9, 1),
-                "pct_hbm_roofline": round(100 * 2 * m * m * 8 / (hbm * 1e9) / t, 1),
-            }))
-            bm = max(1, (1 << 27) // (m * m * 4))
-            xr = rng.standard_normal((bm, m, m)).astype(np.float32)
-            hr = R2cFftHandler(m)
-            hri = R2cFftHandler(m).normalization(
-                Normalization.scalar(drift / m))
-            t = per_transform(
-                lambda v, _h=hr, _hi=hri: ndifft_r2c(
-                    ndfft_r2c(v, _h, axis=1), _hi, axis=1),
-                xr, scale=None, per_iter=2 * bm)
-            print(json.dumps({
-                "metric": f"rfft2d_{m}_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-                "gflops": round(0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
-            }))
+            if _want(f"fft2d_{m}_"):
+                bm = max(1, (1 << 27) // (m * m * 8))
+                xc = (rng.standard_normal((bm, m, m)) + 1j
+                      * rng.standard_normal((bm, m, m))).astype(np.complex64)
+                hm = FftHandler(m).normalization(
+                    Normalization.scalar(drift / math.sqrt(m)))
+                t = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
+                                  scale=None, per_iter=bm)
+                print(json.dumps({
+                    "metric": f"fft2d_{m}_c2c_f32_axis0",
+                    "unit": "us/transform",
+                    "value": round(t * 1e6, 2),
+                    "gflops": round(5.0 * m * math.log2(m) * m / t / 1e9, 1),
+                    "pct_hbm_roofline": round(
+                        100 * 2 * m * m * 8 / (hbm * 1e9) / t, 1),
+                }))
+            if _want(f"rfft2d_{m}_"):
+                bm = max(1, (1 << 27) // (m * m * 4))
+                xr = rng.standard_normal((bm, m, m)).astype(np.float32)
+                hr = R2cFftHandler(m)
+                hri = R2cFftHandler(m).normalization(
+                    Normalization.scalar(drift / m))
+                t = per_transform(
+                    lambda v, _h=hr, _hi=hri: ndifft_r2c(
+                        ndfft_r2c(v, _h, axis=1), _hi, axis=1),
+                    xr, scale=None, per_iter=2 * bm)
+                print(json.dumps({
+                    "metric": f"rfft2d_{m}_f32_axis0", "unit": "us/transform",
+                    "value": round(t * 1e6, 2),
+                    "gflops": round(
+                        0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
+                }))
             d = m + 1
             bm = max(1, (1 << 27) // (d * d * 4))
-            xd = rng.standard_normal((bm, d, d)).astype(np.float32)
-            # dct3(dct2(x)) = (n/2) x in the rustdct convention: fold the
-            # 2/n + drift into the dct3 handler's scalar policy
-            hd2n = DctHandler(d).normalization(Normalization.NONE)
-            hd3 = DctHandler(d).normalization(
-                Normalization.scalar(2.0 * drift / d))
-            t = per_transform(
-                lambda v, _h2=hd2n, _h3=hd3: nddct3(
-                    nddct2(v, _h2, axis=1), _h3, axis=1),
-                xd, scale=None, per_iter=2 * bm)
-            print(json.dumps({
-                "metric": f"dct2d_23_{d}_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-                "gflops": round(0.5 * 5.0 * d * math.log2(d) * d / t / 1e9, 1),
-            }))
-            # the reference's dct2d group benches DCT-I (self-inverse up to
-            # 2(n-1) in this convention): fold 1/(2(n-1)) + drift in
-            hd1a = DctHandler(d).normalization(Normalization.NONE)
-            hd1b = DctHandler(d).normalization(
-                Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
-            t = per_transform(
-                lambda v, _ha=hd1a, _hb=hd1b: nddct1(
-                    nddct1(v, _ha, axis=1), _hb, axis=1),
-                xd, scale=None, per_iter=2 * bm)
-            print(json.dumps({
-                "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-            }))
-            # even-size DCT-II/III twin (runs the fused Pallas DCT kernels;
-            # the reference's n+1 grid sizes are odd and keep the XLA path)
-            xd2 = rng.standard_normal((bm, m, m)).astype(np.float32)
-            he2 = DctHandler(m).normalization(Normalization.NONE)
-            he3 = DctHandler(m).normalization(
-                Normalization.scalar(2.0 * drift / m))
-            t = per_transform(
-                lambda v, _h2=he2, _h3=he3: nddct3(
-                    nddct2(v, _h2, axis=1), _h3, axis=1),
-                xd2, scale=None, per_iter=2 * bm)
-            print(json.dumps({
-                "metric": f"dct2d_23_{m}_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-                "gflops": round(0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
-            }))
+            xd = None
+            if _want(f"dct2d_23_{d}_"):
+                xd = rng.standard_normal((bm, d, d)).astype(np.float32)
+                # dct3(dct2(x)) = (n/2) x in the rustdct convention: fold
+                # the 2/n + drift into the dct3 handler's scalar policy
+                hd2n = DctHandler(d).normalization(Normalization.NONE)
+                hd3 = DctHandler(d).normalization(
+                    Normalization.scalar(2.0 * drift / d))
+                t = per_transform(
+                    lambda v, _h2=hd2n, _h3=hd3: nddct3(
+                        nddct2(v, _h2, axis=1), _h3, axis=1),
+                    xd, scale=None, per_iter=2 * bm)
+                print(json.dumps({
+                    "metric": f"dct2d_23_{d}_f32_axis0",
+                    "unit": "us/transform",
+                    "value": round(t * 1e6, 2),
+                    "gflops": round(
+                        0.5 * 5.0 * d * math.log2(d) * d / t / 1e9, 1),
+                }))
+            if _want(f"dct2d_1_{d}_"):
+                if xd is None:
+                    xd = rng.standard_normal((bm, d, d)).astype(np.float32)
+                # the reference's dct2d group benches DCT-I (self-inverse up
+                # to 2(n-1) in this convention): fold 1/(2(n-1)) + drift in
+                hd1a = DctHandler(d).normalization(Normalization.NONE)
+                hd1b = DctHandler(d).normalization(
+                    Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
+                t = per_transform(
+                    lambda v, _ha=hd1a, _hb=hd1b: nddct1(
+                        nddct1(v, _ha, axis=1), _hb, axis=1),
+                    xd, scale=None, per_iter=2 * bm)
+                print(json.dumps({
+                    "metric": f"dct2d_1_{d}_f32_axis0",
+                    "unit": "us/transform",
+                    "value": round(t * 1e6, 2),
+                }))
+            if _want(f"dct2d_23_{m}_"):
+                # even-size DCT-II/III twin (runs the fused Pallas DCT
+                # kernels; the reference's n+1 grid sizes are odd and keep
+                # the XLA path)
+                xd2 = rng.standard_normal((bm, m, m)).astype(np.float32)
+                he2 = DctHandler(m).normalization(Normalization.NONE)
+                he3 = DctHandler(m).normalization(
+                    Normalization.scalar(2.0 * drift / m))
+                t = per_transform(
+                    lambda v, _h2=he2, _h3=he3: nddct3(
+                        nddct2(v, _h2, axis=1), _h3, axis=1),
+                    xd2, scale=None, per_iter=2 * bm)
+                print(json.dumps({
+                    "metric": f"dct2d_23_{m}_f32_axis0",
+                    "unit": "us/transform",
+                    "value": round(t * 1e6, 2),
+                    "gflops": round(
+                        0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
+                }))
 
         # prime sizes (rustfft covers these via Rader/Bluestein; here the
         # fused single-kernel chirp-z path — round-2 verdict next #3:
         # "prime rows at kernel-path speeds")
         for m in [509, 1021]:
+            if not _want(f"fft2d_prime_{m}_"):
+                continue
             bm = max(1, (1 << 27) // (m * m * 8))
             xc = (rng.standard_normal((bm, m, m))
                   + 1j * rng.standard_normal((bm, m, m))).astype(np.complex64)
@@ -550,6 +583,8 @@ def main():
         from ndrustfft_tpu import config as _cfg2
 
         for ln in [1 << 18, 1 << 20]:
+            if not _want(f"fft1d_long_{ln}_"):
+                continue
             bm = max(2, (1 << 27) // (ln * 8))
             xc = (rng.standard_normal((bm, ln))
                   + 1j * rng.standard_normal((bm, ln))).astype(np.complex64)
@@ -581,48 +616,57 @@ def main():
         # DCT-II/III pair as the comparison point
         d = 2049
         bm = max(1, (1 << 27) // (d * d * 4))
-        xd = rng.standard_normal((bm, d, d)).astype(np.float32)
-        hd1a = DctHandler(d).normalization(Normalization.NONE)
-        hd1b = DctHandler(d).normalization(
-            Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
-        t = per_transform(
-            lambda v, _ha=hd1a, _hb=hd1b: nddct1(
-                nddct1(v, _ha, axis=1), _hb, axis=1),
-            xd, scale=None, per_iter=2 * bm)
-        print(json.dumps({
-            "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
-            "value": round(t * 1e6, 2),
-        }))
-        hd2n = DctHandler(d).normalization(Normalization.NONE)
-        hd3 = DctHandler(d).normalization(
-            Normalization.scalar(2.0 * drift / d))
-        t = per_transform(
-            lambda v, _h2=hd2n, _h3=hd3: nddct3(
-                nddct2(v, _h2, axis=1), _h3, axis=1),
-            xd, scale=None, per_iter=2 * bm)
-        print(json.dumps({
-            "metric": f"dct2d_23_{d}_f32_axis0", "unit": "us/transform",
-            "value": round(t * 1e6, 2),
-        }))
+        xd = None
+        if _want(f"dct2d_1_{d}_"):
+            xd = rng.standard_normal((bm, d, d)).astype(np.float32)
+            hd1a = DctHandler(d).normalization(Normalization.NONE)
+            hd1b = DctHandler(d).normalization(
+                Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
+            t = per_transform(
+                lambda v, _ha=hd1a, _hb=hd1b: nddct1(
+                    nddct1(v, _ha, axis=1), _hb, axis=1),
+                xd, scale=None, per_iter=2 * bm)
+            print(json.dumps({
+                "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
+                "value": round(t * 1e6, 2),
+            }))
+        if _want(f"dct2d_23_{d}_"):
+            if xd is None:
+                xd = rng.standard_normal((bm, d, d)).astype(np.float32)
+            hd2n = DctHandler(d).normalization(Normalization.NONE)
+            hd3 = DctHandler(d).normalization(
+                Normalization.scalar(2.0 * drift / d))
+            t = per_transform(
+                lambda v, _h2=hd2n, _h3=hd3: nddct3(
+                    nddct2(v, _h2, axis=1), _h3, axis=1),
+                xd, scale=None, per_iter=2 * bm)
+            print(json.dumps({
+                "metric": f"dct2d_23_{d}_f32_axis0", "unit": "us/transform",
+                "value": round(t * 1e6, 2),
+            }))
 
         # `_par` twins (reference benches/ndrustfft_par.rs:14-67): on a
         # single chip the _par entry points are exact synonyms of the
         # serial ones (the reference's rayon lane-parallelism is inherent
         # VPU/MXU batching here; multi-chip routing engages only on
         # mesh-sharded inputs) — measured to pin that equivalence.
-        from ndrustfft_tpu import ndifft_par
+        if _want("fft2d_par_1024_"):
+            from ndrustfft_tpu import ndifft_par
 
-        xc = (rng.standard_normal((16, 1024, 1024))
-              + 1j * rng.standard_normal((16, 1024, 1024))).astype(np.complex64)
-        hp = FftHandler(1024).normalization(
-            Normalization.scalar(drift / math.sqrt(1024)))
-        t = per_transform(lambda v: ndifft_par(v, hp, axis=1), xc,
-                          scale=None, per_iter=16)
-        print(json.dumps({
-            "metric": "fft2d_par_1024_c2c_f32_axis0", "unit": "us/transform",
-            "value": round(t * 1e6, 2),
-        }))
+            xc = (rng.standard_normal((16, 1024, 1024)) + 1j
+                  * rng.standard_normal((16, 1024, 1024))).astype(np.complex64)
+            hp = FftHandler(1024).normalization(
+                Normalization.scalar(drift / math.sqrt(1024)))
+            t = per_transform(lambda v: ndifft_par(v, hp, axis=1), xc,
+                              scale=None, per_iter=16)
+            print(json.dumps({
+                "metric": "fft2d_par_1024_c2c_f32_axis0",
+                "unit": "us/transform",
+                "value": round(t * 1e6, 2),
+            }))
 
+    if skip_headline:
+        return      # filtered grid re-run: named rows only, no headline
     # same-window practical HBM bound (chained Pallas copy, same specs)
     try:
         t_floor = _copy_floor(n, B)

@@ -174,19 +174,27 @@ def _c2c_impl(x, handler, axis, sign):
     xm = jnp.moveaxis(x, axis, -1)
     xr = jnp.real(xm).astype(rdt)
     xi = jnp.imag(xm).astype(rdt)
-    if plan.kind == "bluestein":
-        _lane_path = f"engine-bluestein(M={plan.M})"
-    else:
-        import numpy as _np
+    if _cfg.debug_plan_log:
+        # mirrors engine.c2c's dispatch order exactly (bluestein ->
+        # four-step -> batched kernel -> einsum engine); keep in sync
+        if plan.kind == "bluestein":
+            _lane_path = f"engine-bluestein(M={plan.M})"
+        else:
+            import numpy as _np
 
-        from .ops.pallas.fft import pallas_supported as _ps
+            from .ops.pallas.fft import fourstep_supported as _fss
+            from .ops.pallas.fft import pallas_supported as _ps
 
-        _batch = int(_np.prod(xr.shape[:-1])) if xr.ndim > 1 else 1
-        _lane_path = ("pallas-lane-last"
-                      if _batch >= (8 if _cfg.pallas_interpret else 128)
-                      and _ps(plan, rdt) else "engine-lane-last")
-    _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
-              _lane_path + ("" if axis == x.ndim - 1 else "+moveaxis"))
+            _batch = int(_np.prod(xr.shape[:-1])) if xr.ndim > 1 else 1
+            if plan.n > 16384 and _fss(plan, rdt):
+                _lane_path = "pallas-fourstep"
+            elif (_batch >= (8 if _cfg.pallas_interpret else 128)
+                    and _ps(plan, rdt)):
+                _lane_path = "pallas-lane-last"
+            else:
+                _lane_path = "engine-lane-last"
+        _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
+                  _lane_path + ("" if axis == x.ndim - 1 else "+moveaxis"))
     yr, yi = _engine.c2c(xr, xi, plan, eng_scale)
     y = jax.lax.complex(yr, yi)
     if custom is not None:
@@ -482,15 +490,13 @@ def _run_demoted(kind, x, handler, axis):
     """f64/c128 on TPU under tpu_f64='demote': run the f32 twin at HIGHEST
     (f32-exact) dot precision and cast back. Measured ~3e-7 relative at
     n=1024 — the best any MXU-dot lowering can do (DESIGN.md §9)."""
-    from .config import config as _cfg
+    from .config import precision_override
 
     orig = jnp.dtype(x.dtype)
-    old = _cfg.matmul_precision
-    _cfg.matmul_precision = "highest"
-    try:
+    # thread-local scope: concurrently traced transforms on other threads
+    # keep their configured precision
+    with precision_override("highest"):
         y = _IMPLS[kind](x.astype(_F32_TWIN[orig]), handler, axis)
-    finally:
-        _cfg.matmul_precision = old
     wide = (jnp.complex128 if jnp.issubdtype(y.dtype, jnp.complexfloating)
             else jnp.float64)
     return y.astype(wide)

@@ -10,6 +10,7 @@ and whether Pallas kernels are used on TPU (vs the pure-XLA engine).
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 
 
@@ -89,12 +90,36 @@ class _Config:
 
 config = _Config()
 
+# Thread-local precision override (precision_override below): scoped,
+# per-thread alternative to mutating config.matmul_precision, so e.g. the
+# tpu_f64='demote' path can trace at 'highest' without silently changing
+# the precision of transforms being traced concurrently on other threads.
+_tls = threading.local()
+
 
 def matmul_precision():
     import jax
 
+    name = getattr(_tls, "precision", None) or config.matmul_precision
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
-    }[config.matmul_precision]
+    }[name]
+
+
+class precision_override:
+    """Context manager: force the matmul precision for the CURRENT THREAD
+    only (trace-time scope; nestable)."""
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def __enter__(self):
+        self._prev = getattr(_tls, "precision", None)
+        _tls.precision = self._name
+        return self
+
+    def __exit__(self, *exc):
+        _tls.precision = self._prev
+        return False

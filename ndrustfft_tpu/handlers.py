@@ -80,13 +80,22 @@ class _HandlerBase:
             s = list(shape)
             if kind == "c2r":
                 s[ax] = getattr(self, "m")
-            fn = api._jitted(kind, self, ax, api._config_key())
+            dt = cdt if is_cplx else rdt
+            # same tpu_f64 policy as _dispatch: refuse f64 headed for TPU
+            # (default) or warm the ':demote' cache entry dispatch will
+            # actually use — a raw f64 program must never reach the TPU
+            # compiler (SIGABRT, NOTES_TPU.md)
+            jkind = kind
+            if float64:
+                if api._demote_wanted(dt, jax.devices()):
+                    jkind = kind + ":demote"
+                else:
+                    api._check_tpu_f64(dt, jax.devices())
+            fn = api._jitted(jkind, self, ax, api._config_key())
             if run:
-                jax.block_until_ready(
-                    fn(jnp.zeros(tuple(s), cdt if is_cplx else rdt)))
+                jax.block_until_ready(fn(jnp.zeros(tuple(s), dt)))
             else:
-                fn.lower(jax.ShapeDtypeStruct(
-                    tuple(s), cdt if is_cplx else rdt)).compile()
+                fn.lower(jax.ShapeDtypeStruct(tuple(s), dt)).compile()
         return self
 
 

@@ -248,7 +248,8 @@ def _fourstep(xr, xi, plan: C2CPlan, scale=None):
     run1 = _build_call_axis_mid(n1, plan.sign, batch, n2, str(xr.dtype),
                                 bool(_cfg.pallas_interpret), dot_mode(),
                                 1.0, int(_cfg.pallas_tile),
-                                str(_cfg.mid_body), four_n=n)
+                                str(_cfg.mid_body), four_n=n,
+                                mid_split=int(_cfg.mid_split))
     yr, yi = run1(xr3, xi3)
     from .pallas.fft import (
         _build_call_lane_store_t, _twostep_split, mid_core_body,

@@ -1229,13 +1229,23 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
     return lambda xr, xi: call(xr, xi, *consts)
 
 
+# the fused-Bluestein body holds ~a dozen (M, tile) f32 intermediates live
+# at once (chirp-mul, pad, fwd core, H-mul, inv core, exit chirp); bound the
+# worst case at the tile floor of 128 like pallas_supported does, so
+# oversized M falls back to the engine instead of failing Mosaic compile
+_BLUE_LIVE_COPIES = 12
+
+
 def blue_mid_supported(plan: C2CPlan, dtype) -> bool:
     """Fused-Bluestein axis-mid kernel eligibility (prime/arbitrary n)."""
     if not config.use_pallas or plan.kind != "bluestein":
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if blue_kernel_M(plan.n) is None:
+    M = blue_kernel_M(plan.n)
+    if M is None:
+        return False
+    if _BLUE_LIVE_COPIES * 128 * M * 4 > int(0.8 * _VMEM_LIMIT):
         return False
     backend = jax.default_backend()
     return backend == "tpu" or config.pallas_interpret
@@ -1341,8 +1351,16 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
     * generic body (other n): blocks (1, m, f, TL), recursive axis-0 core.
     """
     dtype = jnp.dtype(dtype_str)
+    # mid_split is a bts2-body knob (config.py): the other bodies compute
+    # their own split, so honoring it there would produce a gate/consts
+    # mismatch
+    mid_split = mid_split if mid_body == "bts2" else 0
     ts = _twostep_split(n, mid_split)
-    use_ts = n > 256 and ts is not None and ts[0] <= config.max_base_radix
+    # an explicitly forced mid_split wins the max_base_radix gate: the knob
+    # exists to A/B the bts2 m=256/f=4 variant, which would otherwise be
+    # silently rerouted to the generic body (m > max_base_radix)
+    use_ts = n > 256 and ts is not None and (
+        ts[0] <= config.max_base_radix or ts[0] == mid_split)
     # dense single-dot for small n, and for mid-size n WITHOUT a {128,256}
     # split (e.g. the reference's 264 grid), where the only alternative is
     # the slow recursive leading-dot body (measured 34 us at 264 vs the
@@ -1359,11 +1377,14 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
     # flattening removes the double-buffer stall at each batch boundary
     grid = (nb * gc,)
     flops = 10.0 * n * np.log2(max(n, 2)) * nb * cols
+    # with a four-step exit twiddle the (n, tile) const pair streams once
+    # per grid step — the same volume as one extra input pass-pair
+    io_passes = 6 if four_n else 4
     common = dict(
         grid=grid,
         cost_estimate=pl.CostEstimate(
             flops=int(flops),
-            bytes_accessed=int(4 * nb * cols * n * dtype.itemsize),
+            bytes_accessed=int(io_passes * nb * cols * n * dtype.itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -1490,6 +1511,12 @@ def _kernel_axis_mid(struct, has_base, has_tw, m, f, mode,
 
 _FOURSTEP_MAX_N1 = 4096     # step-1 block (1, n1, tile) VMEM bound
 _FOURSTEP_MAX_N2 = 16384    # step-3 lane-last kernel bound
+# the step-1 kernel bakes the full (n1, n2) inter-stage twiddle W_N^{k1 t2}
+# into host-built constants (8 bytes/point, _add_exit_tw) that live for the
+# process (lru_cache); bound the transform length so the table stays a
+# fraction of the data it rides with (2^22 -> 32 MB vs the 32 MB c64 array)
+# instead of growing to 512 MB at the n1*n2 eligibility extreme
+_FOURSTEP_MAX_N = 1 << 22
 
 
 def _mid_stage_ok(k: int) -> bool:
@@ -1580,6 +1607,8 @@ def fourstep_supported(plan: C2CPlan, dtype) -> bool:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
+    if plan.n > _FOURSTEP_MAX_N:
+        return False    # exit-twiddle constant table bound (see above)
     if fourstep_split(plan.n) is None:
         return False
     if plan.n <= _MAX_N and _LIVE_COPIES * 128 * plan.n * 4 <= int(
@@ -1591,9 +1620,12 @@ def fourstep_supported(plan: C2CPlan, dtype) -> bool:
 
 def mid_kernel_kind(n: int) -> str:
     """Which body the axis-mid builder will choose for n (for the
-    debug_plan_log dispatch line): dense / bts2 / ts / bts / generic."""
-    ts = _twostep_split(n)
-    use_ts = n > 256 and ts is not None and ts[0] <= config.max_base_radix
+    debug_plan_log dispatch line): dense / bts2 / ts / bts / generic.
+    Mirrors _build_call_axis_mid's gate exactly (incl. config.mid_split)."""
+    ms = int(config.mid_split) if config.mid_body == "bts2" else 0
+    ts = _twostep_split(n, ms)
+    use_ts = n > 256 and ts is not None and (
+        ts[0] <= config.max_base_radix or ts[0] == ms)
     if n <= 256 or (not use_ts and n <= 512):
         return "dense"
     if use_ts:

@@ -278,6 +278,10 @@ PROBES = [
     ("blue_mid  n=509", _probe_blue_mid, dict(n=509, nb=4, cols=256)),
     ("blue_mid  n=127 dense", _probe_blue_mid, dict(n=127, nb=4, cols=256)),
     ("blue_mid  n=2053 ts", _probe_blue_mid, dict(n=2053, nb=2, cols=256)),
+    # largest M the _BLUE_LIVE_COPIES VMEM budget admits (M=13568): the
+    # eligibility bound is only honest if this extreme compiles on real
+    # Mosaic (ADVICE r2 pattern: probe the boundary, not just the interior)
+    ("blue_mid  n=6761 Mcap", _probe_blue_mid, dict(n=6761, nb=1, cols=128)),
     ("blue_mid  n=509 c200", _probe_blue_mid, dict(n=509, nb=4, cols=200)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
     ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),

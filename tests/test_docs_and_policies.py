@@ -137,3 +137,69 @@ def test_tpu_f64_demote_policy():
     design = open(os.path.join(root, "DESIGN.md")).read()
     assert "f64 on TPU: a decision record" in design
     assert "'demote'" in design
+
+
+def test_precision_override_is_thread_local():
+    """_run_demoted traces under config.precision_override (review fix):
+    the old implementation mutated the global config.matmul_precision, so a
+    concurrently traced f32 transform on another thread could silently
+    compile at 'highest' (5-7x slower) or the demoted trace at bf16x3."""
+    import threading
+
+    import jax
+
+    from ndrustfft_tpu.config import matmul_precision, precision_override
+
+    seen = {}
+
+    def other_thread():
+        seen["p"] = matmul_precision()
+
+    with precision_override("highest"):
+        assert matmul_precision() == jax.lax.Precision.HIGHEST
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        # nested scope restores the outer override on exit
+        with precision_override("default"):
+            assert matmul_precision() == jax.lax.Precision.DEFAULT
+        assert matmul_precision() == jax.lax.Precision.HIGHEST
+    # other threads saw the configured precision, not the override
+    assert seen["p"] == matmul_precision() == jax.lax.Precision.HIGH
+
+
+def test_warmup_honors_tpu_f64_policy(monkeypatch):
+    """warmup(float64=True) must apply the same tpu_f64 policy as dispatch
+    (review fix): with the default 'error' policy it refuses instead of
+    handing a raw f64 program to the TPU compiler (SIGABRT, NOTES_TPU.md),
+    and under 'demote' it warms the ':demote' cache entry dispatch uses."""
+    import jax
+
+    import ndrustfft_tpu.api as api
+    from ndrustfft_tpu import FftHandler
+
+    monkeypatch.setattr(jax, "devices", lambda: [_FakeTpuDevice()])
+    h = FftHandler(8)
+    with pytest.raises(ValueError, match="not supported on TPU"):
+        h.warmup((4, 8), float64=True, run=False)
+
+    ndrustfft_tpu.config.tpu_f64 = "demote"
+    try:
+        api._jitted.cache_clear()
+        # run=False (AOT only): zeros execution on a fake-TPU device list
+        # would still run on the real CPU backend, but the point here is
+        # the cache key — the ':demote' entry must be the one populated
+        h.warmup((4, 8), float64=True, run=False)
+        kinds = {k[0] for k in api._jitted.cache_keys()} if hasattr(
+            api._jitted, "cache_keys") else None
+        if kinds is None:
+            # lru_cache has no key introspection: assert via cache_info +
+            # a dispatch hit (no new compile) instead
+            info_before = api._jitted.cache_info()
+            fn = api._jitted("fft:demote", h, 1, api._config_key())
+            assert api._jitted.cache_info().hits > info_before.hits
+        else:
+            assert "fft:demote" in kinds
+    finally:
+        ndrustfft_tpu.config.tpu_f64 = "error"
+        api._jitted.cache_clear()

@@ -131,3 +131,72 @@ def test_eligibility_boundaries():
     assert blue_kernel_M(509) == 1024
     assert blue_kernel_M(65) == 129             # dense core region
     assert blue_kernel_M(16000) is None         # beyond _BLUE_MAX_M
+
+
+def test_mid_split_forces_bts2_body():
+    """config.mid_split must reach the bts2 body (review fix): the forced
+    m=256 split previously failed the max_base_radix gate and silently
+    rerouted to the slow generic kernel, so the knob never measured the
+    documented m=256/f=4 variant."""
+    from ndrustfft_tpu.api import _jitted
+    from ndrustfft_tpu.ops.pallas.fft import (
+        _twostep_split, mid_kernel_kind,
+    )
+
+    assert _twostep_split(1024, 256) == (256, 4)
+    old = (config.mid_split, config.use_pallas, config.pallas_interpret)
+    try:
+        config.mid_split = 256
+        assert mid_kernel_kind(1024) == "bts2"     # not 'generic'
+        # the knob is bts2-only: other bodies compute their own split
+        config.mid_body = "ts"
+        assert mid_kernel_kind(1024) == "ts"
+        config.mid_body = "bts2"
+        # numerics through the forced m=256/f=4 variant
+        config.use_pallas = True
+        config.pallas_interpret = True
+        _jitted.cache_clear()
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((2, 1024, 8))
+             + 1j * rng.standard_normal((2, 1024, 8))).astype(np.complex64)
+        got = np.asarray(ndfft(jnp.asarray(x), FftHandler(1024), axis=1))
+        ref = np.fft.fft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    finally:
+        config.mid_split, config.use_pallas, config.pallas_interpret = old
+        config.mid_body = "bts2"
+        _jitted.cache_clear()
+
+
+def test_vmem_bounds_reject_oversized_kernels():
+    """Eligibility gates must bound the kernels' VMEM working set (review
+    fix): oversized cases fall back to the engine instead of failing
+    Mosaic compile with a scoped-vmem error."""
+    from ndrustfft_tpu.ops.pallas.fft import (
+        _FOURSTEP_MAX_N, blue_kernel_M, blue_mid_supported,
+        fourstep_split, fourstep_supported,
+    )
+    from ndrustfft_tpu.plan import get_c2c_plan
+
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        # fused-Bluestein worst case: M=16384 holds ~12 live (M, 128) f32
+        # intermediates (~100 MB) > the scoped VMEM limit
+        p = get_c2c_plan(8191, -1)
+        assert p.kind == "bluestein"
+        assert blue_kernel_M(8191) == 16384
+        assert not blue_mid_supported(p, jnp.float32)
+        # the largest admitted M (13568 at n=6761) stays under the budget
+        # and is compile-probed on real Mosaic (bench.py --compile-check)
+        p2 = get_c2c_plan(6761, -1)
+        assert blue_kernel_M(6761) == 13568
+        assert blue_mid_supported(p2, jnp.float32)
+        # four-step exit-twiddle const table is 8 bytes/point baked into
+        # the program: bounded at 2^22 so it never dwarfs the data
+        assert fourstep_split(1 << 23) is not None
+        assert not fourstep_supported(get_c2c_plan(1 << 23, -1), jnp.float32)
+        assert _FOURSTEP_MAX_N == 1 << 22
+        assert fourstep_supported(get_c2c_plan(1 << 22, -1), jnp.float32)
+    finally:
+        config.pallas_interpret = old
