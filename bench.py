@@ -369,11 +369,17 @@ def main():
 
     n, B = args.n, args.batch
     rng = np.random.default_rng(0)
+    # a filtered grid re-run (--all --only ...) measures ONLY the named
+    # rows: skip the multi-minute headline A/B chain (and its 256 MB of
+    # host arrays) entirely
+    skip_headline = bool(args.all and args.only)
     # host-side numpy; _make_chain splits to f32 before upload.  Shape
     # (B, n, n), transform along axis 1 == axis 0 of each n x n slice
     # (the reference bench shape, benches/ndrustfft.rs:6).
-    x = (rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
-         ).astype(np.complex64)
+    x = None
+    if not skip_headline:
+        x = (rng.standard_normal((B, n, n))
+             + 1j * rng.standard_normal((B, n, n))).astype(np.complex64)
     h = FftHandler(n)
     rsqrt_n = 1.0 / math.sqrt(n)
 
@@ -394,9 +400,6 @@ def main():
     bytes_per_transform = 2.0 * n * n * 8  # c64 read + write, ideal
     t_bound = bytes_per_transform / (hbm * 1e9)
     sane = 30.0 * t_bound
-    # a filtered grid re-run (--all --only ...) measures ONLY the named
-    # rows: skip the multi-minute headline A/B chain entirely
-    skip_headline = bool(args.all and args.only)
     tas = tbs = ratios = None
     for attempt in range(0 if skip_headline else 3):
         try:
@@ -466,6 +469,22 @@ def main():
         def _want(metric):
             return not only or any(s in metric for s in only)
 
+        def _emit(metric, thunk, extra=None):
+            # one row per measurement, crash-proof: a wedged-tunnel failure
+            # (or a poisoned session, NOTES_TPU.md) reports value=null and
+            # the grid continues instead of dying mid-capture; flush so a
+            # timeout never loses already-measured rows to buffering
+            row = {"metric": metric, "unit": "us/transform"}
+            try:
+                t = thunk()
+                row["value"] = round(t * 1e6, 2)
+                if extra:
+                    row.update(extra(t))
+            except Exception as e:  # noqa: BLE001
+                row["value"] = None
+                row["error"] = f"{type(e).__name__}: {e}"[:200]
+            print(json.dumps(row), flush=True)
+
         for m in [128, 264, 512, 1024]:
             # batch each size so in+out exceeds VMEM (>= 256 MB working set)
             if _want(f"fft2d_{m}_"):
@@ -474,32 +493,28 @@ def main():
                       * rng.standard_normal((bm, m, m))).astype(np.complex64)
                 hm = FftHandler(m).normalization(
                     Normalization.scalar(drift / math.sqrt(m)))
-                t = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
-                                  scale=None, per_iter=bm)
-                print(json.dumps({
-                    "metric": f"fft2d_{m}_c2c_f32_axis0",
-                    "unit": "us/transform",
-                    "value": round(t * 1e6, 2),
-                    "gflops": round(5.0 * m * math.log2(m) * m / t / 1e9, 1),
-                    "pct_hbm_roofline": round(
-                        100 * 2 * m * m * 8 / (hbm * 1e9) / t, 1),
-                }))
+                _emit(f"fft2d_{m}_c2c_f32_axis0",
+                      lambda: per_transform(
+                          lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
+                          scale=None, per_iter=bm),
+                      lambda t, _m=m: {
+                          "gflops": round(
+                              5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
+                          "pct_hbm_roofline": round(
+                              100 * 2 * _m * _m * 8 / (hbm * 1e9) / t, 1)})
             if _want(f"rfft2d_{m}_"):
                 bm = max(1, (1 << 27) // (m * m * 4))
                 xr = rng.standard_normal((bm, m, m)).astype(np.float32)
                 hr = R2cFftHandler(m)
                 hri = R2cFftHandler(m).normalization(
                     Normalization.scalar(drift / m))
-                t = per_transform(
-                    lambda v, _h=hr, _hi=hri: ndifft_r2c(
-                        ndfft_r2c(v, _h, axis=1), _hi, axis=1),
-                    xr, scale=None, per_iter=2 * bm)
-                print(json.dumps({
-                    "metric": f"rfft2d_{m}_f32_axis0", "unit": "us/transform",
-                    "value": round(t * 1e6, 2),
-                    "gflops": round(
-                        0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
-                }))
+                _emit(f"rfft2d_{m}_f32_axis0",
+                      lambda: per_transform(
+                          lambda v, _h=hr, _hi=hri: ndifft_r2c(
+                              ndfft_r2c(v, _h, axis=1), _hi, axis=1),
+                          xr, scale=None, per_iter=2 * bm),
+                      lambda t, _m=m: {"gflops": round(
+                          0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9, 1)})
             d = m + 1
             bm = max(1, (1 << 27) // (d * d * 4))
             xd = None
@@ -510,17 +525,13 @@ def main():
                 hd2n = DctHandler(d).normalization(Normalization.NONE)
                 hd3 = DctHandler(d).normalization(
                     Normalization.scalar(2.0 * drift / d))
-                t = per_transform(
-                    lambda v, _h2=hd2n, _h3=hd3: nddct3(
-                        nddct2(v, _h2, axis=1), _h3, axis=1),
-                    xd, scale=None, per_iter=2 * bm)
-                print(json.dumps({
-                    "metric": f"dct2d_23_{d}_f32_axis0",
-                    "unit": "us/transform",
-                    "value": round(t * 1e6, 2),
-                    "gflops": round(
-                        0.5 * 5.0 * d * math.log2(d) * d / t / 1e9, 1),
-                }))
+                _emit(f"dct2d_23_{d}_f32_axis0",
+                      lambda: per_transform(
+                          lambda v, _h2=hd2n, _h3=hd3: nddct3(
+                              nddct2(v, _h2, axis=1), _h3, axis=1),
+                          xd, scale=None, per_iter=2 * bm),
+                      lambda t, _d=d: {"gflops": round(
+                          0.5 * 5.0 * _d * math.log2(_d) * _d / t / 1e9, 1)})
             if _want(f"dct2d_1_{d}_"):
                 if xd is None:
                     xd = rng.standard_normal((bm, d, d)).astype(np.float32)
@@ -529,15 +540,11 @@ def main():
                 hd1a = DctHandler(d).normalization(Normalization.NONE)
                 hd1b = DctHandler(d).normalization(
                     Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
-                t = per_transform(
-                    lambda v, _ha=hd1a, _hb=hd1b: nddct1(
-                        nddct1(v, _ha, axis=1), _hb, axis=1),
-                    xd, scale=None, per_iter=2 * bm)
-                print(json.dumps({
-                    "metric": f"dct2d_1_{d}_f32_axis0",
-                    "unit": "us/transform",
-                    "value": round(t * 1e6, 2),
-                }))
+                _emit(f"dct2d_1_{d}_f32_axis0",
+                      lambda: per_transform(
+                          lambda v, _ha=hd1a, _hb=hd1b: nddct1(
+                              nddct1(v, _ha, axis=1), _hb, axis=1),
+                          xd, scale=None, per_iter=2 * bm))
             if _want(f"dct2d_23_{m}_"):
                 # even-size DCT-II/III twin (runs the fused Pallas DCT
                 # kernels; the reference's n+1 grid sizes are odd and keep
@@ -546,17 +553,13 @@ def main():
                 he2 = DctHandler(m).normalization(Normalization.NONE)
                 he3 = DctHandler(m).normalization(
                     Normalization.scalar(2.0 * drift / m))
-                t = per_transform(
-                    lambda v, _h2=he2, _h3=he3: nddct3(
-                        nddct2(v, _h2, axis=1), _h3, axis=1),
-                    xd2, scale=None, per_iter=2 * bm)
-                print(json.dumps({
-                    "metric": f"dct2d_23_{m}_f32_axis0",
-                    "unit": "us/transform",
-                    "value": round(t * 1e6, 2),
-                    "gflops": round(
-                        0.5 * 5.0 * m * math.log2(m) * m / t / 1e9, 1),
-                }))
+                _emit(f"dct2d_23_{m}_f32_axis0",
+                      lambda: per_transform(
+                          lambda v, _h2=he2, _h3=he3: nddct3(
+                              nddct2(v, _h2, axis=1), _h3, axis=1),
+                          xd2, scale=None, per_iter=2 * bm),
+                      lambda t, _m=m: {"gflops": round(
+                          0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9, 1)})
 
         # prime sizes (rustfft covers these via Rader/Bluestein; here the
         # fused single-kernel chirp-z path — round-2 verdict next #3:
@@ -569,14 +572,12 @@ def main():
                   + 1j * rng.standard_normal((bm, m, m))).astype(np.complex64)
             hm = FftHandler(m).normalization(
                 Normalization.scalar(drift / math.sqrt(m)))
-            t = per_transform(lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
-                              scale=None, per_iter=bm)
-            print(json.dumps({
-                "metric": f"fft2d_prime_{m}_c2c_f32_axis0",
-                "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-                "gflops": round(5.0 * m * math.log2(m) * m / t / 1e9, 1),
-            }))
+            _emit(f"fft2d_prime_{m}_c2c_f32_axis0",
+                  lambda: per_transform(
+                      lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
+                      scale=None, per_iter=bm),
+                  lambda t, _m=m: {"gflops": round(
+                      5.0 * _m * math.log2(_m) * _m / t / 1e9, 1)})
 
         # long transforms (round-2 verdict next #2): 2^18 and 2^20 1-D C2C
         # through the four-step kernel path vs the multi-stage XLA engine
@@ -609,7 +610,7 @@ def main():
                 row["engine_us"] = None
             finally:
                 _cfg2.use_pallas = True
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
 
         # DCT-I beyond the dense cap (round-2 verdict next #5): n=2049
         # through the natural in-kernel-streams kernel, with the same-size
@@ -622,28 +623,22 @@ def main():
             hd1a = DctHandler(d).normalization(Normalization.NONE)
             hd1b = DctHandler(d).normalization(
                 Normalization.scalar(4.0 * drift / (2.0 * (d - 1))))
-            t = per_transform(
-                lambda v, _ha=hd1a, _hb=hd1b: nddct1(
-                    nddct1(v, _ha, axis=1), _hb, axis=1),
-                xd, scale=None, per_iter=2 * bm)
-            print(json.dumps({
-                "metric": f"dct2d_1_{d}_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-            }))
+            _emit(f"dct2d_1_{d}_f32_axis0",
+                  lambda: per_transform(
+                      lambda v, _ha=hd1a, _hb=hd1b: nddct1(
+                          nddct1(v, _ha, axis=1), _hb, axis=1),
+                      xd, scale=None, per_iter=2 * bm))
         if _want(f"dct2d_23_{d}_"):
             if xd is None:
                 xd = rng.standard_normal((bm, d, d)).astype(np.float32)
             hd2n = DctHandler(d).normalization(Normalization.NONE)
             hd3 = DctHandler(d).normalization(
                 Normalization.scalar(2.0 * drift / d))
-            t = per_transform(
-                lambda v, _h2=hd2n, _h3=hd3: nddct3(
-                    nddct2(v, _h2, axis=1), _h3, axis=1),
-                xd, scale=None, per_iter=2 * bm)
-            print(json.dumps({
-                "metric": f"dct2d_23_{d}_f32_axis0", "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-            }))
+            _emit(f"dct2d_23_{d}_f32_axis0",
+                  lambda: per_transform(
+                      lambda v, _h2=hd2n, _h3=hd3: nddct3(
+                          nddct2(v, _h2, axis=1), _h3, axis=1),
+                      xd, scale=None, per_iter=2 * bm))
 
         # `_par` twins (reference benches/ndrustfft_par.rs:14-67): on a
         # single chip the _par entry points are exact synonyms of the
@@ -657,13 +652,10 @@ def main():
                   * rng.standard_normal((16, 1024, 1024))).astype(np.complex64)
             hp = FftHandler(1024).normalization(
                 Normalization.scalar(drift / math.sqrt(1024)))
-            t = per_transform(lambda v: ndifft_par(v, hp, axis=1), xc,
-                              scale=None, per_iter=16)
-            print(json.dumps({
-                "metric": "fft2d_par_1024_c2c_f32_axis0",
-                "unit": "us/transform",
-                "value": round(t * 1e6, 2),
-            }))
+            _emit("fft2d_par_1024_c2c_f32_axis0",
+                  lambda: per_transform(
+                      lambda v: ndifft_par(v, hp, axis=1), xc,
+                      scale=None, per_iter=16))
 
     if skip_headline:
         return      # filtered grid re-run: named rows only, no headline
