@@ -1198,11 +1198,17 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
     M = blue_kernel_M(n)
     consts, sections, kind, (m, f) = _blue_consts(n, M, sign, dtype, mode,
                                                   scale)
-    # working set carries length-M intermediates: budget the tile on 2M
+    # working set carries ~_BLUE_LIVE_COPIES length-M intermediates; the
+    # generic _mid_tile_budget(2M) formula overestimated it (16 copies of
+    # 2M) and floored prime kernels at tile 128 where the measured bts2
+    # preference is the widest tile that fits (512 beat 256 by 11-22%)
     if cols <= 128:
         tile = cols
     else:
-        tile = _mid_tile_budget(2 * M, dtype.itemsize)
+        tile = 512
+        while tile > 128 and (_BLUE_LIVE_COPIES * M * tile * dtype.itemsize
+                              > int(0.4 * _VMEM_LIMIT)):
+            tile //= 2
         if tcfg:
             tile = min(cols, tcfg)
     gc = pl.cdiv(cols, tile)
