@@ -1209,6 +1209,10 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
         while tile > 128 and (_BLUE_LIVE_COPIES * M * tile * dtype.itemsize
                               > int(0.4 * _VMEM_LIMIT)):
             tile //= 2
+        # never exceed cols rounded up to the 128-lane granule: an oversized
+        # block is legal Mosaic but computes on its padding (cols=256 under
+        # a 512 tile would do 2x the work)
+        tile = min(tile, -(-cols // 128) * 128)
         if tcfg:
             tile = min(cols, tcfg)
     gc = pl.cdiv(cols, tile)

@@ -283,6 +283,10 @@ PROBES = [
     # Mosaic (ADVICE r2 pattern: probe the boundary, not just the interior)
     ("blue_mid  n=6761 Mcap", _probe_blue_mid, dict(n=6761, nb=1, cols=128)),
     ("blue_mid  n=509 c200", _probe_blue_mid, dict(n=509, nb=4, cols=200)),
+    # the exact prime-bench shape (cols=n) rides the new 512-lane tile
+    # (live-copy VMEM budget, fft.py:_build_call_axis_mid_blue): compile
+    # the oversized-by-3 block on real Mosaic, not just interpret
+    ("blue_mid  n=509 c509", _probe_blue_mid, dict(n=509, nb=2, cols=509)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
     ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),
     ("r2c_mid   n=1024", _probe_r2c_mid, dict(n=1024, nb=4, cols=256)),

@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-3 pending on-chip captures — run in one healthy tunnel window.
+#
+# Each step is its OWN process (a failed TPU program poisons the session,
+# NOTES_TPU.md) and is timeout-bounded so a re-wedged tunnel can't hang the
+# batch. Usage:  bash tools/round3_capture.sh [logfile]
+#
+# Steps (in priority order, cheapest health signal first):
+#   1. compile-check      — the new Bluestein VMEM-budget tile (commit
+#                           5728564) must compile on real Mosaic
+#   2. --verify           — the re-runnable on-chip numeric artifact
+#   3. prime rows 509/1021 — A/B the new blue tile vs the recorded
+#                           29.23 / 153.3 us (tile-128 floor)
+#   4. dct2d_23_2049      — pending: odd DCT pair beyond the dense cap
+#   5. fft2d_par_1024     — pending: single-chip _par == serial pin
+#   6. fused_ifft default vs MID_SPLIT=256 — the honest m=256 bts2
+#                           measurement (BASELINE.md correction of record)
+set -u
+OUT=${1:-/tmp/round3_capture.log}
+cd "$(dirname "$0")/.."
+run() {
+  local t=$1; shift
+  echo "== $(date -u +%H:%M:%S) $* ==" >>"$OUT"
+  timeout "$t" "$@" >>"$OUT" 2>&1
+  echo "exit=$?" >>"$OUT"
+}
+: >"$OUT"
+run 2400 python bench.py --compile-check
+run 1200 python bench.py --verify
+run 1200 python bench.py --all --only fft2d_prime_509_
+run 1500 python bench.py --all --only fft2d_prime_1021_
+run 1500 python bench.py --all --only dct2d_23_2049_
+run 1200 python bench.py --all --only fft2d_par_1024_
+run 1200 python tools/time_kernels.py fused_ifft 1024 16
+run 1200 env NDRUSTFFT_TPU_MID_SPLIT=256 python tools/time_kernels.py fused_ifft 1024 16
+run 1200 python tools/time_kernels.py fused_ifft 1024 16
+echo "== DONE ==" >>"$OUT"
