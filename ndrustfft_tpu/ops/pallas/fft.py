@@ -1198,23 +1198,7 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
     M = blue_kernel_M(n)
     consts, sections, kind, (m, f) = _blue_consts(n, M, sign, dtype, mode,
                                                   scale)
-    # working set carries ~_BLUE_LIVE_COPIES length-M intermediates; the
-    # generic _mid_tile_budget(2M) formula overestimated it (16 copies of
-    # 2M) and floored prime kernels at tile 128 where the measured bts2
-    # preference is the widest tile that fits (512 beat 256 by 11-22%)
-    if cols <= 128:
-        tile = cols
-    else:
-        tile = 512
-        while tile > 128 and (_BLUE_LIVE_COPIES * M * tile * dtype.itemsize
-                              > int(0.4 * _VMEM_LIMIT)):
-            tile //= 2
-        # never exceed cols rounded up to the 128-lane granule: an oversized
-        # block is legal Mosaic but computes on its padding (cols=256 under
-        # a 512 tile would do 2x the work)
-        tile = min(tile, -(-cols // 128) * 128)
-        if tcfg:
-            tile = min(cols, tcfg)
+    tile = _blue_tile(M, cols, dtype.itemsize, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
@@ -1244,6 +1228,29 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
 # worst case at the tile floor of 128 like pallas_supported does, so
 # oversized M falls back to the engine instead of failing Mosaic compile
 _BLUE_LIVE_COPIES = 12
+
+
+def _blue_tile(M: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
+    """Lane tile for the fused-Bluestein axis-mid kernel.
+
+    The working set carries ~_BLUE_LIVE_COPIES length-M intermediates; the
+    generic _mid_tile_budget(2M) formula overestimated it (16 copies of 2M)
+    and floored prime kernels at tile 128 where the measured bts2 preference
+    is the widest tile that fits (512 beat 256 by 11-22%, NOTES_TPU.md).
+    Never exceeds cols rounded up to the 128-lane granule: an oversized
+    block is legal Mosaic but computes on its padding (cols=256 under a 512
+    tile would do 2x the work).
+    """
+    if cols <= 128:
+        return cols
+    tile = 512
+    while tile > 128 and (_BLUE_LIVE_COPIES * M * tile * itemsize
+                          > int(0.4 * _VMEM_LIMIT)):
+        tile //= 2
+    tile = min(tile, -(-cols // 128) * 128)
+    if tcfg:
+        tile = min(cols, tcfg)
+    return tile
 
 
 def blue_mid_supported(plan: C2CPlan, dtype) -> bool:

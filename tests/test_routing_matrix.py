@@ -131,6 +131,17 @@ def test_eligibility_boundaries():
     assert blue_kernel_M(509) == 1024
     assert blue_kernel_M(65) == 129             # dense core region
     assert blue_kernel_M(16000) is None         # beyond _BLUE_MAX_M
+    # Bluestein lane tile: widest of {512,256,128} whose ~12 live length-M
+    # copies fit the VMEM fraction, clamped to the cols granule
+    from ndrustfft_tpu.ops.pallas.fft import _blue_tile
+
+    assert _blue_tile(1024, 509, 4) == 512      # the fft2d_prime_509 shape
+    assert _blue_tile(2048, 1021, 4) == 256     # M=2048 halves once
+    assert _blue_tile(1024, 256, 4) == 256      # granule clamp, no padding
+    assert _blue_tile(1024, 200, 4) == 256      # rounds up to the granule
+    assert _blue_tile(1024, 128, 4) == 128      # cols <= 128 -> cols
+    assert _blue_tile(13568, 1024, 4) == 128    # Mcap floors at 128
+    assert _blue_tile(1024, 509, 4, tcfg=256) == 256   # knob override
 
 
 def test_mid_split_forces_bts2_body():
