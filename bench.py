@@ -319,6 +319,21 @@ def verify():
                  lambda v, _h2=h2, _h3=h3: jnp.max(jnp.abs(
                      nddct3(nddct2(v, _h2, axis=1), _h3, axis=1) - v)), xd)
 
+    # four-step long transform 2^18 (two kernel passes over HBM) — the one
+    # kernel family the round-3 artifact previously lacked on-chip numerics
+    # for (interpret-mode only). Scale ~1/sqrt(n) keeps the bf16x3 relative
+    # error readable on the larger dynamic range of a 262144-point line.
+    nl = 1 << 18
+    xl = (rng.standard_normal((2, nl)) + 1j * rng.standard_normal((2, nl)))
+    hl = FftHandler(nl)
+
+    def fourstep_case(xr, xi):
+        v = jax.lax.complex(xr, xi)
+        return jnp.max(jnp.abs(ndifft(ndfft(v, hl, axis=1), hl, axis=1) - v))
+
+    run_case(f"c2c_fourstep_{nl}", fourstep_case,
+             xl.real.astype(np.float32), xl.imag.astype(np.float32))
+
     import jax as _jax
 
     from ndrustfft_tpu.config import config as _cfg
