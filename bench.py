@@ -371,6 +371,27 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # wedged-tunnel watchdog: a dead axon tunnel makes the FIRST device
+        # op hang forever in C++ (no exception to catch, NOTES_TPU.md), so
+        # probe device liveness in a disposable subprocess with a timeout
+        # and emit a diagnostic headline line instead of hanging the
+        # driver's capture.
+        import subprocess as _sp
+
+        try:
+            _sp.run([sys.executable, "-c",
+                     "import jax; jax.devices()[0]"],
+                    timeout=180, check=True, capture_output=True)
+        except (_sp.TimeoutExpired, _sp.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": f"fft2d_{args.n}_c2c_f32_axis0",
+                "value": None, "unit": "GFLOP/s (5NlogN)",
+                "vs_baseline": None,
+                "error": f"TPU tunnel unreachable ({type(e).__name__}); "
+                         "re-run in a healthy window",
+            }))
+            return
     if args.compile_check:
         compile_check()
         return
