@@ -52,6 +52,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import statistics
 import sys
 import time
@@ -321,8 +322,9 @@ def verify():
 
     # four-step long transform 2^18 (two kernel passes over HBM) — the one
     # kernel family the round-3 artifact previously lacked on-chip numerics
-    # for (interpret-mode only). Scale ~1/sqrt(n) keeps the bf16x3 relative
-    # error readable on the larger dynamic range of a 262144-point line.
+    # for (interpret-mode only). Unit-variance input; the fwd+inv roundtrip
+    # re-normalizes by 1/n, so the absolute error stays at the bf16x3 tier
+    # (4.0e-5 in interpret mode) despite the ~sqrt(n) intermediate range.
     nl = 1 << 18
     xl = (rng.standard_normal((2, nl)) + 1j * rng.standard_normal((2, nl)))
     hl = FftHandler(nl)
@@ -371,27 +373,34 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
+    elif os.environ.get("NDRUSTFFT_BENCH_SKIP_PROBE", "0") != "1":
         # wedged-tunnel watchdog: a dead axon tunnel makes the FIRST device
         # op hang forever in C++ (no exception to catch, NOTES_TPU.md), so
         # probe device liveness in a disposable subprocess with a timeout
-        # and emit a diagnostic headline line instead of hanging the
-        # driver's capture.
+        # and emit a mode-appropriate diagnostic line instead of hanging
+        # the driver's capture. Batch scripts that already probed the
+        # window set NDRUSTFFT_BENCH_SKIP_PROBE=1 to skip the ~30s cost.
         import subprocess as _sp
 
         try:
             _sp.run([sys.executable, "-c",
                      "import jax; jax.devices()[0]"],
-                    timeout=180, check=True, capture_output=True)
+                    timeout=180, check=True, capture_output=True, text=True)
         except (_sp.TimeoutExpired, _sp.CalledProcessError) as e:
-            print(json.dumps({
-                "metric": f"fft2d_{args.n}_c2c_f32_axis0",
-                "value": None, "unit": "GFLOP/s (5NlogN)",
-                "vs_baseline": None,
-                "error": f"TPU tunnel unreachable ({type(e).__name__}); "
-                         "re-run in a healthy window",
-            }))
-            return
+            tail = (e.stderr or "").strip()[-300:] if isinstance(
+                getattr(e, "stderr", None), str) else ""
+            err = (f"TPU device probe failed ({type(e).__name__}): "
+                   f"{tail or 'tunnel unreachable; re-run in a healthy window'}")
+            if args.verify:
+                row = {"metric": "tpu_verify", "pass": False, "error": err}
+            elif args.compile_check:
+                row = {"metric": "compile_check", "pass": False, "error": err}
+            else:
+                row = {"metric": f"fft2d_{args.n}_c2c_f32_axis0",
+                       "value": None, "unit": "GFLOP/s (5NlogN)",
+                       "vs_baseline": None, "error": err}
+            print(json.dumps(row))
+            sys.exit(1 if (args.verify or args.compile_check) else 0)
     if args.compile_check:
         compile_check()
         return

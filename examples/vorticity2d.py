@@ -45,7 +45,8 @@ def make_step(n, nu, dt):
     h_r2c = R2cFftHandler(n)
     h_c2c = FftHandler(n)
     kx = jnp.fft.fftfreq(n, 1.0 / n)              # integer wavenumbers
-    ky = kx[: n // 2 + 1]
+    ky = jnp.fft.rfftfreq(n, 1.0 / n)             # half axis: +n/2 Nyquist
+                                                  # (fftfreq would give -n/2)
     KX = kx[:, None]
     KY = ky[None, :]
     K2 = KX**2 + KY**2
@@ -93,7 +94,9 @@ def main():
     w_exact = w0 * np.exp(-2.0 * nu * t)
     err = np.abs(w - w_exact).max()
     print(f"Taylor-Green after t={t}: max |w - exact| = {err:.3e}")
-    assert err < 1e-10, err
+    # measured 6.5e-11, dominated by RK2 time-truncation (not transform
+    # error); gate at 1e-9 so a dt/nu retune can't fail a blameless library
+    assert err < 1e-9, err
 
     # and a non-trivial field: energy must decay monotonically (physics pin)
     rng = np.random.default_rng(0)

@@ -13,8 +13,10 @@
 #                           29.23 / 153.3 us (tile-128 floor)
 #   4. dct2d_23_2049      — pending: odd DCT pair beyond the dense cap
 #   5. fft2d_par_1024     — pending: single-chip _par == serial pin
-#   6. fused_ifft default vs MID_SPLIT=256 — the honest m=256 bts2
-#                           measurement (BASELINE.md correction of record)
+#   6. fused_ifft default / MID_SPLIT=256 / default again — an A/B/A
+#      sandwich: the honest m=256 bts2 measurement (BASELINE.md correction
+#      of record) bracketed by two default runs so tunnel-bandwidth drift
+#      within the window can't masquerade as a variant effect
 set -u
 OUT=${1:-/tmp/round3_capture.log}
 cd "$(dirname "$0")/.."
@@ -26,6 +28,9 @@ run() {
 }
 : >"$OUT"
 run 2400 python bench.py --compile-check
+# the first step probed the window; later steps skip the ~30s re-probe
+# (each still has its own timeout if the tunnel re-wedges mid-batch)
+export NDRUSTFFT_BENCH_SKIP_PROBE=1
 run 1200 python bench.py --verify
 run 1200 python bench.py --all --only fft2d_prime_509_
 run 1500 python bench.py --all --only fft2d_prime_1021_
