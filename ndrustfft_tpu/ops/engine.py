@@ -229,13 +229,16 @@ def _fourstep(xr, xi, plan: C2CPlan, scale=None):
 
     Step 1+2: the axis-mid kernel transforms the t1 (middle) axis of the
     (B, n1, n2) view — a pure reshape — with the inter-stage twiddle
-    W_n^{k1 t2} FUSED into the kernel's exit multiply (four_n). Step 3:
-    the lane-last kernel transforms t2 with the user scale folded into its
-    constants. Step 4: the single (k1, k2) -> (k2, k1) transpose every
-    four-step formulation owes, done by XLA. Total HBM traffic: three
-    read+write pass-pairs for ANY n, vs the multi-stage einsum engine's
-    one pass per stage plus un-fused twiddles. rustfft parity:
-    /root/reference/src/lib.rs:295-297 (any n at full speed)."""
+    W_n^{k1 t2} FUSED into the kernel's exit multiply (four_n). Step 3+4:
+    when n2 has a twostep split (every power-of-two split does), ONE
+    lane-dim kernel transforms t2 with the user scale folded into its
+    constants and STORES TRANSPOSED, absorbing the (k1, k2) -> (k2, k1)
+    global transpose every four-step formulation owes — TWO read+write
+    HBM pass-pairs total. Otherwise the fallback pays the transpose as a
+    separate XLA pass (three pass-pairs). Either way beats the
+    multi-stage einsum engine's one pass per stage plus un-fused
+    twiddles. rustfft parity: /root/reference/src/lib.rs:295-297 (any n
+    at full speed)."""
     from ..config import config as _cfg
     from .pallas.fft import _build_call_axis_mid, dot_mode, fourstep_split
 
