@@ -318,6 +318,46 @@ def test_long_transform_1m_points():
     assert np.abs(back - x).max() < 1e-2  # f32 roundtrip at n=2^20
 
 
+def test_long_transform_fourstep_xla_transpose_leg():
+    # four-step split whose n2 has NO twostep split (243 = 3^5): the step
+    # 3+4 lane-store-t kernel is ineligible, so the fallback pays the
+    # global transpose as a separate XLA pass (engine._fourstep tail)
+    from ndrustfft_tpu.ops.pallas.fft import _twostep_split, fourstep_split
+
+    n = 559872  # 2^8 * 3^7
+    n1, n2 = fourstep_split(n)
+    assert _twostep_split(n2) is None, (n1, n2)
+    rng = np.random.default_rng(52)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    h = FftHandler(n)
+    got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
+    ref = np.fft.fft(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_huge_prime_bluestein_over_fourstep():
+    # prime n whose chirp length M = next_smooth(2n-1) itself exceeds
+    # _MAX_N: the Bluestein sub-FFTs must recurse through the four-step
+    # long-transform path (rustfft any-n parity at ANY magnitude,
+    # /root/reference/src/lib.rs:295-297)
+    from ndrustfft_tpu.ops.pallas.fft import _MAX_N
+    from ndrustfft_tpu.plan import get_c2c_plan
+
+    n = 100003  # prime
+    plan = get_c2c_plan(n, -1)
+    assert plan.kind == "bluestein" and plan.M > _MAX_N, (plan.kind, plan.M)
+    rng = np.random.default_rng(53)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    h = FftHandler(n)
+    got = np.asarray(ndfft(jnp.asarray(x), h, axis=0))
+    ref = np.fft.fft(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    back = np.asarray(ndifft(jnp.asarray(got), h, axis=0))
+    assert np.abs(back - x).max() < 1e-4
+
+
 def test_norm_scalar():
     # Normalization.scalar(c): TPU-native fused policy == custom(v -> v*c)
     v = np.array([1 + 1j, 2 + 2j, 3 + 3j])
