@@ -284,6 +284,26 @@ def test_vmap_equivalence():
                                atol=1e-12 * np.abs(direct).max())
 
 
+def test_vmap_equivalence_bluestein():
+    # serial == vmap through the chirp-z path (prime n: pad, two sub-FFTs,
+    # pointwise H — all batch-polymorphic, but never pinned under vmap)
+    import jax
+
+    from ndrustfft_tpu.plan import get_c2c_plan
+
+    n = 149  # smallest prime beyond the dense-radix cap -> chirp-z plan
+    assert get_c2c_plan(n, -1).kind == "bluestein"
+    rng = np.random.default_rng(33)
+    x = rng.standard_normal((5, 4, n)) + 1j * rng.standard_normal((5, 4, n))
+    h = FftHandler(n)
+    direct = np.asarray(ndfft(jnp.asarray(x), h, axis=2))
+    mapped = np.asarray(jax.vmap(lambda v: ndfft(v, h, axis=1))(jnp.asarray(x)))
+    np.testing.assert_allclose(mapped, direct, rtol=1e-12,
+                               atol=1e-12 * np.abs(direct).max())
+    np.testing.assert_allclose(direct, np.fft.fft(x, axis=2), rtol=1e-10,
+                               atol=1e-10 * np.abs(direct).max())
+
+
 def test_grad_through_r2c_pipeline():
     import jax
 
