@@ -39,4 +39,11 @@ run 1200 python bench.py --all --only fft2d_par_1024_
 run 1200 python tools/time_kernels.py fused_ifft 1024 16
 run 1200 env NDRUSTFFT_TPU_MID_SPLIT=256 python tools/time_kernels.py fused_ifft 1024 16
 run 1200 python tools/time_kernels.py fused_ifft 1024 16
+#   7. n=264 lane-tile sweep — the 264 grid row is the only one far off
+#      the copy floor (7.51 us vs ~2 us, round-3 grid); hypothesis:
+#      partial-lane-tile compute waste (264 = 2x128 + 8). A/B/A sandwich
+#      again: default tile, 128, default.
+run 900 python tools/time_kernels.py fused_ifft 264 16
+run 900 env NDRUSTFFT_TPU_PALLAS_TILE=128 python tools/time_kernels.py fused_ifft 264 16
+run 900 python tools/time_kernels.py fused_ifft 264 16
 echo "== DONE ==" >>"$OUT"
