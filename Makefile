@@ -11,8 +11,11 @@ native: $(NATIVE_SO)
 $(NATIVE_SO): ndrustfft_tpu/native/planner.cpp
 	g++ -O2 -shared -fPIC -o $@ $<
 
+# PYTHONPATH= bypasses the axon sitecustomize PJRT registration: with the
+# tunnel wedged, ANY first jax use in a default process blocks in the
+# plugin's connect-retry loop even under JAX_PLATFORMS=cpu (NOTES_TPU.md)
 test: native
-	python -m pytest tests/ -q
+	PYTHONPATH= JAX_PLATFORMS=cpu python -m pytest tests/ -q
 
 bench: native
 	python bench.py

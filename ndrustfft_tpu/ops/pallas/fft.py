@@ -573,6 +573,7 @@ def _build_call_axis0(n: int, sign: int, cols: int, dtype_str: str,
         tile = cols
     else:
         tile = max(128, min(_lane_tile(n, dtype.itemsize), 512) // 128 * 128)
+        tile = min(tile, -(-cols // 128) * 128)  # no padded-lane overhang
     grid = (pl.cdiv(cols, tile),)
     in_spec = pl.BlockSpec((m, f, tile), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
@@ -1335,6 +1336,20 @@ def _mid_tile_budget(n: int, itemsize: int) -> int:
     return t
 
 
+def _mid_tile(n: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
+    """Lane tile for the axis-mid builders: the VMEM-budget tile clamped to
+    cols rounded up to the 128 lane granule (same rule as _blue_tile). A
+    tile wider than that only adds padded lanes the MXU must chew through —
+    at the dense-body 264 grid row a 512 tile costs 1.94x the dot FLOPs of
+    the 384 single block. An explicit tcfg (config.pallas_tile) overrides,
+    clamped to the full extent."""
+    if cols <= 128:
+        return cols
+    if tcfg:
+        return min(cols, tcfg)
+    return min(_mid_tile_budget(n, itemsize), -(-cols // 128) * 128)
+
+
 def _add_exit_tw(body, consts, const_specs, n, cols, tile, gc, sign, four_n,
                  dtype):
     """Append the four-step inter-stage twiddle W_{four_n}^{k1*t2} as a
@@ -1383,12 +1398,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
     # the slow recursive leading-dot body (measured 34 us at 264 vs the
     # dense dot's MXU estimate of ~8)
     use_dense = n <= 256 or (not use_ts and n <= 512)
-    if cols <= 128:
-        tile = cols
-    else:
-        tile = _mid_tile_budget(n, dtype.itemsize)
-        if tcfg:
-            tile = min(cols, tcfg)
+    tile = _mid_tile(n, cols, dtype.itemsize, tcfg)
     gc = pl.cdiv(cols, tile)
     # 1-D grid (flattened (b, i)): pallas pipelines the innermost grid dim;
     # flattening removes the double-buffer stall at each batch boundary

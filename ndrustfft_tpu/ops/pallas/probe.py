@@ -263,6 +263,9 @@ PROBES = [
     ("axis_mid  n=1024 ts", _probe_axis_mid,
      dict(n=1024, nb=4, cols=256, body="ts")),
     ("axis_mid  n=264", _probe_axis_mid, dict(n=264, nb=4, cols=256)),
+    # the exact fft2d_264 bench shape: dense body, 384-lane single block
+    # (the _mid_tile cols-granule clamp) oversized by 120 over cols=264
+    ("axis_mid  n=264 c264", _probe_axis_mid, dict(n=264, nb=4, cols=264)),
     ("axis_mid  n=128 dense", _probe_axis_mid, dict(n=128, nb=4, cols=256)),
     # non-128-multiple column extents (partial/oversized lane blocks) must
     # compile on real Mosaic, not just interpret mode (ADVICE r2)

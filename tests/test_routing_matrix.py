@@ -142,6 +142,20 @@ def test_eligibility_boundaries():
     assert _blue_tile(1024, 128, 4) == 128      # cols <= 128 -> cols
     assert _blue_tile(13568, 1024, 4) == 128    # Mcap floors at 128
     assert _blue_tile(1024, 509, 4, tcfg=256) == 256   # knob override
+    # axis-mid lane tile: VMEM-budget tile clamped to the cols granule —
+    # the 264 grid row must get the 384 single block (1.45x padded lanes),
+    # not the 512 budget tile (1.94x dense-dot FLOPs, round-3 capture)
+    from ndrustfft_tpu.ops.pallas.fft import _mid_tile
+
+    assert _mid_tile(264, 264, 4) == 384        # fft2d_264: single block
+    assert _mid_tile(265, 265, 4) == 384        # the odd DCT twin
+    assert _mid_tile(1024, 1024, 4) == 512      # headline row unchanged
+    assert _mid_tile(512, 512, 4) == 512        # single full block
+    assert _mid_tile(513, 513, 4) == 512        # budget binds below ru=640
+    assert _mid_tile(1024, 128, 4) == 128       # cols <= 128 -> cols
+    assert _mid_tile(1024, 200, 4) == 256       # granule round-up
+    assert _mid_tile(264, 264, 4, tcfg=128) == 128   # knob override
+    assert _mid_tile(264, 264, 4, tcfg=512) == 264   # knob clamps to extent
 
 
 def test_mid_split_forces_bts2_body():

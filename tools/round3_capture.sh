@@ -40,10 +40,17 @@ run 1200 python tools/time_kernels.py fused_ifft 1024 16
 run 1200 env NDRUSTFFT_TPU_MID_SPLIT=256 python tools/time_kernels.py fused_ifft 1024 16
 run 1200 python tools/time_kernels.py fused_ifft 1024 16
 #   7. n=264 lane-tile sweep — the 264 grid row is the only one far off
-#      the copy floor (7.51 us vs ~2 us, round-3 grid); hypothesis:
-#      partial-lane-tile compute waste (264 = 2x128 + 8). A/B/A sandwich
-#      again: default tile, 128, default.
+#      the copy floor (7.51 us vs ~2 us, round-3 grid); attribution:
+#      dense-body lane-padding waste (264 = 2x128 + 8; the old 512 budget
+#      tile runs 1.94x the dot FLOPs of the 384 single block). The default
+#      is now the _mid_tile cols-granule clamp (384); legs: default (384),
+#      TILE=512 (the knob clamps to the full 264 extent - the exact-block
+#      variant; the OLD oversized-512 default is the recorded 7.51 us grid
+#      row), TILE=128 (3 partial blocks), default again - bracketing so
+#      window drift can't masquerade as a variant effect.
 run 900 python tools/time_kernels.py fused_ifft 264 16
+run 900 env NDRUSTFFT_TPU_PALLAS_TILE=512 python tools/time_kernels.py fused_ifft 264 16
 run 900 env NDRUSTFFT_TPU_PALLAS_TILE=128 python tools/time_kernels.py fused_ifft 264 16
 run 900 python tools/time_kernels.py fused_ifft 264 16
+run 1200 python bench.py --all --only fft2d_264_
 echo "== DONE ==" >>"$OUT"
