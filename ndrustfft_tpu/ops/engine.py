@@ -51,13 +51,15 @@ def c2c(xr, xi, plan: C2CPlan, scale=None):
     if plan.kind == "bluestein":
         return _bluestein(xr, xi, plan, scale)
     dtype = xr.dtype
-    if plan.n > 16384:
-        # beyond the single-kernel range (> _MAX_N, or failing its VMEM
-        # working-set bound): two-kernel four-step decomposition
-        from .pallas.fft import fourstep_supported
+    # beyond the single-kernel range (> _MAX_N, or failing its VMEM
+    # working-set bound): two-kernel four-step decomposition. The
+    # eligibility check owns the range logic — no size pre-gate here, so
+    # a _VMEM_LIMIT/_LIVE_COPIES change can't silently strand sizes on
+    # the slow engine
+    from .pallas.fft import fourstep_supported
 
-        if fourstep_supported(plan, dtype):
-            return _fourstep(xr, xi, plan, scale)
+    if fourstep_supported(plan, dtype):
+        return _fourstep(xr, xi, plan, scale)
     # fused Pallas kernel path (TPU, f32, ct plans). Real Mosaic needs
     # batch >= 128 (narrower lane tiles hit unsupported-shape-cast, found
     # empirically); the interpreter has no such limit

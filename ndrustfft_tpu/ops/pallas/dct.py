@@ -63,6 +63,7 @@ from .fft import (
     _lane_tile,
     _twostep_split,
     dot_mode,
+    lane_tile_for,
     ks_w3_np,
     ks_w6_np,
     ks_w6_re_np,
@@ -339,9 +340,9 @@ def _dct3_kernel_mid(m, f, mode, x_ref, *refs):
 
 
 def _mid_tile(cols: int, tcfg: int = 0) -> int:
-    if cols <= 128:
-        return cols
-    return min(cols, tcfg) if tcfg else 256
+    """Shared lane-tile policy (fft.lane_tile_for) at the DCT builders'
+    measured 256 cap; tcfg (config.pallas_tile) snaps to a legal width."""
+    return lane_tile_for(cols, tcfg, 256)
 
 
 @lru_cache(maxsize=256)

@@ -1099,14 +1099,15 @@ def blue_kernel_M(n: int):
     """Kernel convolution length for Bluestein of size n, or None.
 
     Dense single-dot core below 256; otherwise the smallest multiple of 128
-    (then 256) >= 2n-1 that has a twostep split."""
+    >= 2n-1, capped at _BLUE_MAX_M. Every 128-multiple M <= 16384 has a
+    twostep split (M//128 <= 128), so no further search is needed."""
     need = 2 * n - 1
     if need <= 256:
         return need
-    for step in (128, 256):
-        M = -(-need // step) * step
-        if M <= _BLUE_MAX_M and _twostep_split(M) is not None:
-            return M
+    M = -(-need // 128) * 128
+    if M <= _BLUE_MAX_M:
+        assert _twostep_split(M) is not None
+        return M
     return None
 
 
@@ -1250,7 +1251,7 @@ def _blue_tile(M: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
         tile //= 2
     tile = min(tile, -(-cols // 128) * 128)
     if tcfg:
-        tile = min(cols, tcfg)
+        tile = _legal_tile(cols, tcfg)
     return tile
 
 
@@ -1336,18 +1337,34 @@ def _mid_tile_budget(n: int, itemsize: int) -> int:
     return t
 
 
-def _mid_tile(n: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
-    """Lane tile for the axis-mid builders: the VMEM-budget tile clamped to
-    cols rounded up to the 128 lane granule (same rule as _blue_tile). A
-    tile wider than that only adds padded lanes the MXU must chew through —
-    at the dense-body 264 grid row a 512 tile costs 1.94x the dot FLOPs of
-    the 384 single block. An explicit tcfg (config.pallas_tile) overrides,
-    clamped to the full extent."""
+def _legal_tile(cols: int, tcfg: int) -> int:
+    """Snap a user-forced lane tile (config.pallas_tile) to a Mosaic-legal
+    block width: the full cols extent, or a multiple of 128. A raw
+    min(cols, tcfg) could yield e.g. 200 over cols=1024 — neither, which
+    fails Mosaic compile on real TPU."""
+    if tcfg >= cols:
+        return cols
+    return max(128, tcfg // 128 * 128)
+
+
+def lane_tile_for(cols: int, tcfg: int, cap: int) -> int:
+    """Shared axis-mid lane-tile policy (fft/rfft/dct builders): ``cap``
+    clamped to cols rounded up to the 128 lane granule. A tile wider than
+    that only adds padded lanes the MXU must chew through — at the
+    dense-body 264 grid row a 512 tile costs 1.94x the dot FLOPs of the
+    384 single block. An explicit tcfg (config.pallas_tile) overrides,
+    snapped to a legal width."""
     if cols <= 128:
         return cols
     if tcfg:
-        return min(cols, tcfg)
-    return min(_mid_tile_budget(n, itemsize), -(-cols // 128) * 128)
+        return _legal_tile(cols, tcfg)
+    return min(cap, -(-cols // 128) * 128)
+
+
+def _mid_tile(n: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
+    """C2C axis-mid lane tile: the VMEM-budget cap under the shared
+    policy (lane_tile_for)."""
+    return lane_tile_for(cols, tcfg, _mid_tile_budget(n, itemsize))
 
 
 def _add_exit_tw(body, consts, const_specs, n, cols, tile, gc, sign, four_n,
@@ -1636,11 +1653,11 @@ def fourstep_supported(plan: C2CPlan, dtype) -> bool:
         return False
     if plan.n > _FOURSTEP_MAX_N:
         return False    # exit-twiddle constant table bound (see above)
-    if fourstep_split(plan.n) is None:
-        return False
     if plan.n <= _MAX_N and _LIVE_COPIES * 128 * plan.n * 4 <= int(
             0.8 * _VMEM_LIMIT):
         return False    # the (faster) single-kernel path covers it
+    if fourstep_split(plan.n) is None:
+        return False
     backend = jax.default_backend()
     return backend == "tpu" or config.pallas_interpret
 

@@ -256,6 +256,11 @@ PROBES = [
     ("twostep   n=512", _probe_twostep, dict(n=512, batch=256)),
     ("axis0     n=1024", _probe_axis0, dict(n=1024, cols=256)),
     ("axis0     n=264", _probe_axis0, dict(n=264, cols=256)),
+    # non-128-multiple cols through the axis0 cols-granule clamp: the
+    # oversized single block (384-over-264) and a partial last block
+    # (256-tile grid over 200) must compile on real Mosaic too
+    ("axis0     n=264 c264", _probe_axis0, dict(n=264, cols=264)),
+    ("axis0     n=1024 c200", _probe_axis0, dict(n=1024, cols=200)),
     ("r2c_packed n=1024", _probe_r2c, dict(n=1024, batch=256)),
     ("r2c_nat   n=1024", _probe_r2c_nat, dict(n=1024, batch=256)),
     ("c2r_nat   n=1024", _probe_c2r_nat, dict(n=1024, batch=256)),

@@ -86,6 +86,7 @@ from .fft import (
     _twostep_split,
     _unflat,
     dot_mode,
+    lane_tile_for,
     mid_core_body,
     pallas_supported,
 )
@@ -479,9 +480,9 @@ def _c2r_kernel_mid(core, m_, f_, mode, h, sr_ref, si_ref, *refs):
 
 
 def _mid_tile(cols: int, tcfg: int = 0) -> int:
-    if cols <= 128:
-        return cols
-    return min(cols, tcfg) if tcfg else 256
+    """Shared lane-tile policy (fft.lane_tile_for) at the R2C/C2R builders'
+    measured 256 cap; tcfg (config.pallas_tile) snaps to a legal width."""
+    return lane_tile_for(cols, tcfg, 256)
 
 
 @lru_cache(maxsize=256)

@@ -156,6 +156,18 @@ def test_eligibility_boundaries():
     assert _mid_tile(1024, 200, 4) == 256       # granule round-up
     assert _mid_tile(264, 264, 4, tcfg=128) == 128   # knob override
     assert _mid_tile(264, 264, 4, tcfg=512) == 264   # knob clamps to extent
+    # a forced tile below the extent must snap to the 128 granule (a raw
+    # min(cols, tcfg)=200 block is Mosaic-illegal: neither a 128-multiple
+    # nor the full extent)
+    assert _mid_tile(1024, 1024, 4, tcfg=200) == 128
+    assert _blue_tile(1024, 509, 4, tcfg=200) == 128
+    # rfft/dct mid builders share the same policy at their 256 cap
+    from ndrustfft_tpu.ops.pallas.rfft import _mid_tile as _rfft_mid_tile
+
+    assert _rfft_mid_tile(264) == 256               # granule clamp == old 256
+    assert _rfft_mid_tile(1024) == 256              # flat cap unchanged
+    assert _rfft_mid_tile(200, tcfg=256) == 200     # full-extent override
+    assert _rfft_mid_tile(1024, tcfg=200) == 128    # snap below extent
 
 
 def test_mid_split_forces_bts2_body():

@@ -53,4 +53,15 @@ run 900 env NDRUSTFFT_TPU_PALLAS_TILE=512 python tools/time_kernels.py fused_iff
 run 900 env NDRUSTFFT_TPU_PALLAS_TILE=128 python tools/time_kernels.py fused_ifft 264 16
 run 900 python tools/time_kernels.py fused_ifft 264 16
 run 1200 python bench.py --all --only fft2d_264_
+#   8. r2c/dct mid lane-tile cap — the C2C axis-mid builders measured
+#      tile 512 11-22% faster than 256 at n=1024 (two controlled windows);
+#      the r2c/dct mid builders still run a flat 256 cap. A/B/A each:
+#      default (256), TILE=512, default. Raise the cap in code only if
+#      512 wins here too.
+run 900 python tools/time_kernels.py r2c_mid 1024 16
+run 900 env NDRUSTFFT_TPU_PALLAS_TILE=512 python tools/time_kernels.py r2c_mid 1024 16
+run 900 python tools/time_kernels.py r2c_mid 1024 16
+run 900 python tools/time_kernels.py dct_mid 1024 16
+run 900 env NDRUSTFFT_TPU_PALLAS_TILE=512 python tools/time_kernels.py dct_mid 1024 16
+run 900 python tools/time_kernels.py dct_mid 1024 16
 echo "== DONE ==" >>"$OUT"
