@@ -259,8 +259,8 @@ def verify():
     import numpy as np
 
     from ndrustfft_tpu import (
-        DctHandler, FftHandler, Normalization, R2cFftHandler, nddct2, nddct3,
-        ndfft, ndfft_r2c, ndifft, ndifft_r2c,
+        DctHandler, DstHandler, FftHandler, Normalization, R2cFftHandler,
+        nddct2, nddct3, nddst2, nddst3, ndfft, ndfft_r2c, ndifft, ndifft_r2c,
     )
 
     rng = np.random.default_rng(0)
@@ -319,6 +319,15 @@ def verify():
         run_case(f"dct23_{d}",
                  lambda v, _h2=h2, _h3=h3: jnp.max(jnp.abs(
                      nddct3(nddct2(v, _h2, axis=1), _h3, axis=1) - v)), xd)
+
+    # DST-II/III 1024 (beyond-parity; flip/sign conjugations of the fused
+    # DCT kernels, ops/dst.py) — same 2n duality roundtrip as the DCT case
+    xs = rng.standard_normal((2, 1024, 256)).astype(np.float32)
+    hs2 = DstHandler(1024).normalization(Normalization.NONE)
+    hs3 = DstHandler(1024).normalization(Normalization.scalar(2.0 / 1024))
+    run_case("dst23_1024",
+             lambda v: jnp.max(jnp.abs(
+                 nddst3(nddst2(v, hs2, axis=1), hs3, axis=1) - v)), xs)
 
     # four-step long transform 2^18 (two kernel passes over HBM) — the one
     # kernel family the round-3 artifact previously lacked on-chip numerics

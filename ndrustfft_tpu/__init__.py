@@ -35,12 +35,17 @@ the dtype mapping here is ``Complex<f32>`` -> ``complex64``, ``Complex<f64>``
 
 from .api import (  # noqa: F401
     nddct1, nddct1_par, nddct2, nddct2_par, nddct3, nddct3_par, nddct4,
-    nddct4_par, ndfft, ndfft_par, ndfft_r2c, ndfft_r2c_par, ndifft, ndifft_par,
-    ndifft_r2c, ndifft_r2c_par,
+    nddct4_par, nddst1, nddst1_par, nddst2, nddst2_par, nddst3, nddst3_par,
+    nddst4, nddst4_par, ndfft, ndfft_par, ndfft_r2c, ndfft_r2c_par, ndifft,
+    ndifft_par, ndifft_r2c, ndifft_r2c_par,
 )
 from .config import config  # noqa: F401
-from .handlers import DctHandler, FftHandler, R2cFftHandler  # noqa: F401
-from .ndapi import dctn, fftn, idctn, ifftn, irfftn, rfftn  # noqa: F401
+from .handlers import (  # noqa: F401
+    DctHandler, DstHandler, FftHandler, R2cFftHandler,
+)
+from .ndapi import (  # noqa: F401
+    dctn, dstn, fftn, idctn, idstn, ifftn, irfftn, rfftn,
+)
 from .normalization import Normalization  # noqa: F401
 
 # Scalar/complex vocabulary re-exports (reference src/lib.rs:83-85): one
@@ -75,8 +80,11 @@ __all__ = [
     "ndfft_r2c", "ndifft_r2c", "ndfft_r2c_par", "ndifft_r2c_par",
     "nddct1", "nddct2", "nddct3", "nddct4",
     "nddct1_par", "nddct2_par", "nddct3_par", "nddct4_par",
-    "FftHandler", "R2cFftHandler", "DctHandler", "Normalization",
-    "fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn",
+    "nddst1", "nddst2", "nddst3", "nddst4",
+    "nddst1_par", "nddst2_par", "nddst3_par", "nddst4_par",
+    "FftHandler", "R2cFftHandler", "DctHandler", "DstHandler",
+    "Normalization",
+    "fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn", "dstn", "idstn",
     "config",
     "float32", "float64", "complex64", "complex128",
     "complex_dtype", "real_dtype",

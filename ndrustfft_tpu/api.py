@@ -29,8 +29,9 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
-from .handlers import DctHandler, FftHandler, R2cFftHandler
+from .handlers import DctHandler, DstHandler, FftHandler, R2cFftHandler
 from .ops import dct as _dct
+from .ops import dst as _dst
 from .ops import engine as _engine
 from .plan import get_c2c_plan, get_r2c_plan
 
@@ -39,6 +40,8 @@ __all__ = [
     "ndfft_r2c", "ndifft_r2c", "ndfft_r2c_par", "ndifft_r2c_par",
     "nddct1", "nddct2", "nddct3", "nddct4",
     "nddct1_par", "nddct2_par", "nddct3_par", "nddct4_par",
+    "nddst1", "nddst2", "nddst3", "nddst4",
+    "nddst1_par", "nddst2_par", "nddst3_par", "nddst4_par",
 ]
 
 
@@ -407,6 +410,52 @@ def _dct_impl(x, handler, axis, dct_type):
     return jnp.moveaxis(y, -1, axis)
 
 
+def _dst_impl(x, handler, axis, dst_type):
+    """DST 1-4 along ``axis`` (ops/dst.py lowerings) — beyond-parity.
+
+    Types 2-4 delegate to :func:`_dct_impl` through their exact flip/sign
+    conjugations (DST-II = flip(DCT-II((-1)^t x)) etc., verified vs scipy),
+    so every DCT fast path — dense MXU dot, fused axis-mid Makhoul
+    kernels — serves the DST for the cost of two XLA-fused elementwise
+    passes. DST-I runs the packed odd-extension lowering (no 2n+2
+    intermediate). Normalization semantics mirror the DCT: applied before
+    the transform, Default = x2 -> scipy values (src/lib.rs:688-741).
+    """
+    axis = _norm_axis(axis, x.ndim)
+    n = handler.n
+    _check_size(x.shape[axis], n, what="dst")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise TypeError("nddst expects a real input array")
+    norm = handler.norm
+    if norm.kind == "custom":
+        # custom fn applies to the ORIGINAL input (transform axis last),
+        # before the conjugation pre-pass — the DCT delegation below would
+        # apply it to the sign-flipped input instead
+        xm = jnp.moveaxis(x, axis, -1)
+        _plan_log(f"dst{dst_type}", n, axis, "engine-dst-custom")
+        y = _dst.DST_FNS[dst_type](norm.fn(xm), None)
+        return jnp.moveaxis(y, -1, axis)
+    if dst_type == 1:
+        scale = None
+        if norm.kind == "default":
+            scale = 2.0
+        elif norm.kind == "scalar":
+            scale = norm.value
+        _plan_log("dst1", n, axis,
+                  "engine-dst1" + ("" if axis == x.ndim - 1 else "+moveaxis"))
+        xm = jnp.moveaxis(x, axis, -1)
+        return jnp.moveaxis(_dst.dst1(xm, scale), -1, axis)
+    # types 2-4: conjugate the same-type DCT along the ORIGINAL axis so the
+    # axis-mid kernel paths in _dct_impl apply without a moveaxis
+    shape = [1] * x.ndim
+    shape[axis] = n
+    alt = jnp.asarray(_dst.alt_signs(n), x.dtype).reshape(shape)
+    dh = DctHandler(n).normalization(norm)
+    if dst_type == 2:
+        return jnp.flip(_dct_impl(x * alt, dh, axis, 2), axis)
+    return _dct_impl(jnp.flip(x, axis), dh, axis, dst_type) * alt
+
+
 # --------------------------------------------------------------------------
 # Eager-call jit cache: compiled once per (kind, handler, axis, shape, dtype)
 # — the runtime analog of the reference's cached Arc<dyn Fft> plans.
@@ -421,6 +470,10 @@ _IMPLS = {
     "dct2": lambda x, h, a: _dct_impl(x, h, a, 2),
     "dct3": lambda x, h, a: _dct_impl(x, h, a, 3),
     "dct4": lambda x, h, a: _dct_impl(x, h, a, 4),
+    "dst1": lambda x, h, a: _dst_impl(x, h, a, 1),
+    "dst2": lambda x, h, a: _dst_impl(x, h, a, 2),
+    "dst3": lambda x, h, a: _dst_impl(x, h, a, 3),
+    "dst4": lambda x, h, a: _dst_impl(x, h, a, 4),
 }
 
 
@@ -677,6 +730,39 @@ nddct2 = _make_dct(2)
 nddct3 = _make_dct(3)
 nddct4 = _make_dct(4)
 
+
+def _make_dst(dst_type):
+    def f(x, handler: DstHandler | None = None, axis: int = -1):
+        x = _prep_real(x)
+        h = handler or _auto_handler(DstHandler, x.shape[_norm_axis(axis, x.ndim)])
+        return _dispatch(f"dst{dst_type}", x, h, axis)
+
+    f.__name__ = f"nddst{dst_type}"
+    f.__qualname__ = f.__name__
+    f.__doc__ = (
+        f"Real-to-real DST-{'I' * dst_type if dst_type <= 3 else 'IV'} "
+        f"(type {dst_type}) along ``axis`` — beyond-parity extension (the "
+        f"reference exposes DCT only; rustdct, its DCT backend, also ships "
+        f"DST 1-4). With the Default normalization the output equals "
+        f"scipy.fft.dst(x, type={dst_type}); with Normalization.NONE it "
+        f"equals the rustdct convention (scipy / 2).\n\n"
+        f"Example (scipy parity)::\n\n"
+        f"    >>> import numpy as np, scipy.fft, jax.numpy as jnp\n"
+        f"    >>> from ndrustfft_tpu import nddst{dst_type}\n"
+        f"    >>> x = np.linspace(0.0, 1.0, 8)\n"
+        f"    >>> got = nddst{dst_type}(jnp.asarray(x), axis=0)\n"
+        f"    >>> want = scipy.fft.dst(x, type={dst_type})\n"
+        f"    >>> bool(np.abs(np.asarray(got) - want).max() < 1e-4)\n"
+        f"    True\n"
+    )
+    return f
+
+
+nddst1 = _make_dst(1)
+nddst2 = _make_dst(2)
+nddst3 = _make_dst(3)
+nddst4 = _make_dst(4)
+
 # ``_par`` twins: on TPU there is no separate threaded path — batching is
 # inherent — so the ``_par`` names take the reference's "use all the
 # parallel hardware" intent (rayon over lanes, src/lib.rs:169-238) to its
@@ -687,7 +773,8 @@ nddct4 = _make_dct(4)
 
 
 def _make_par(kind, serial_fn, handler_cls):
-    real_input = kind in ("r2c", "dct1", "dct2", "dct3", "dct4")
+    real_input = kind in ("r2c", "dct1", "dct2", "dct3", "dct4",
+                          "dst1", "dst2", "dst3", "dst4")
 
     def f(x, handler=None, axis: int = -1, **kw):
         # same dtype coercion as the serial twins (promote bf16/int, build
@@ -736,3 +823,7 @@ nddct1_par = _make_par("dct1", nddct1, DctHandler)
 nddct2_par = _make_par("dct2", nddct2, DctHandler)
 nddct3_par = _make_par("dct3", nddct3, DctHandler)
 nddct4_par = _make_par("dct4", nddct4, DctHandler)
+nddst1_par = _make_par("dst1", nddst1, DstHandler)
+nddst2_par = _make_par("dst2", nddst2, DstHandler)
+nddst3_par = _make_par("dst3", nddst3, DstHandler)
+nddst4_par = _make_par("dst4", nddst4, DstHandler)

@@ -166,3 +166,28 @@ class DctHandler(_HandlerBase):
 
     _kinds = (("dct1", False), ("dct2", False), ("dct3", False),
               ("dct4", False))
+
+
+class DstHandler(_HandlerBase):
+    """DST-1/2/3/4 plans for axis length n — beyond-parity extension.
+
+    The reference exposes DCT only; its rustdct backend also ships DST 1-4
+    and spectral Dirichlet problems need them, so this build completes the
+    family. Same contract as :class:`DctHandler`: one handler plans all
+    four types; Default normalization yields scipy.fft.dst values (the
+    rustdct convention times 2, mirroring src/lib.rs:736-741). Types 2-4
+    are flip/sign conjugations of the same-type DCT and ride every DCT
+    execution path, including the fused Pallas kernels (ops/dst.py).
+
+    Example::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import DstHandler, nddst1
+        >>> data = jnp.ones((6, 4))
+        >>> handler = DstHandler(4)
+        >>> nddst1(data, handler, axis=1).shape
+        (6, 4)
+    """
+
+    _kinds = (("dst1", False), ("dst2", False), ("dst3", False),
+              ("dst4", False))

@@ -16,14 +16,16 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 
 from .api import (
-    _auto_handler, nddct1, nddct2, nddct3, nddct4, ndfft, ndfft_r2c, ndifft,
-    ndifft_r2c,
+    _auto_handler, nddct1, nddct2, nddct3, nddct4, nddst1, nddst2, nddst3,
+    nddst4, ndfft, ndfft_r2c, ndifft, ndifft_r2c,
 )
-from .handlers import DctHandler, FftHandler, R2cFftHandler
+from .handlers import DctHandler, DstHandler, FftHandler, R2cFftHandler
 
-__all__ = ["fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn"]
+__all__ = ["fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn",
+           "dstn", "idstn"]
 
 _DCT = {1: nddct1, 2: nddct2, 3: nddct3, 4: nddct4}
+_DST = {1: nddst1, 2: nddst2, 3: nddst3, 4: nddst4}
 
 
 def _axes(x, axes):
@@ -96,6 +98,34 @@ def idctn(x, dct_type: int = 2, axes: Optional[Sequence[int]] = None):
         x = fn(x, _auto_handler(DctHandler, n), axis=a)
         if inv_type == 1:
             x = x / (2.0 * (n - 1))
+        else:
+            x = x / (2.0 * n)
+    return x
+
+
+def dstn(x, dst_type: int = 2, axes: Optional[Sequence[int]] = None):
+    """Real n-D DST of the given type over ``axes`` (scipy.fft.dstn analog,
+    Default == scipy's unnormalized convention). Beyond-parity: the
+    reference has no DST family (ops/dst.py)."""
+    x = jnp.asarray(x)
+    fn = _DST[dst_type]
+    for a in _axes(x, axes):
+        x = fn(x, _auto_handler(DstHandler, x.shape[a]), axis=a)
+    return x
+
+
+def idstn(x, dst_type: int = 2, axes: Optional[Sequence[int]] = None):
+    """Inverse n-D DST: type-2/3 duality (1 and 4 self-inverse) with the
+    1/(2n) scale per axis — 1/(2(n+1)) for DST-I, whose eigen-length is
+    n+1 (scipy: dst(dst(x, 1), 1) == 2*(n+1)*x)."""
+    inv_type = {1: 1, 2: 3, 3: 2, 4: 4}[dst_type]
+    x = jnp.asarray(x)
+    fn = _DST[inv_type]
+    for a in _axes(x, axes):
+        n = x.shape[a]
+        x = fn(x, _auto_handler(DstHandler, n), axis=a)
+        if inv_type == 1:
+            x = x / (2.0 * (n + 1))
         else:
             x = x / (2.0 * n)
     return x

@@ -62,3 +62,35 @@ def test_idctn_matches_scipy_idctn(dct_type):
     got = np.asarray(idctn(jnp.asarray(x), dct_type))
     ref = sf.idctn(x, type=dct_type)
     np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("dst_type", [1, 2, 3, 4])
+def test_dstn_matches_scipy(dst_type):
+    from ndrustfft_tpu import dstn
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((6, 9))
+    got = np.asarray(dstn(jnp.asarray(x), dst_type))
+    ref = sf.dstn(x, type=dst_type)
+    np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("dst_type", [1, 2, 3, 4])
+def test_idstn_roundtrip(dst_type):
+    from ndrustfft_tpu import dstn, idstn
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6, 9))
+    back = np.asarray(idstn(dstn(jnp.asarray(x), dst_type), dst_type))
+    np.testing.assert_allclose(back, x, rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("dst_type", [1, 2, 3, 4])
+def test_idstn_matches_scipy_idstn(dst_type):
+    from ndrustfft_tpu import idstn
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((5, 7))
+    got = np.asarray(idstn(jnp.asarray(x), dst_type))
+    ref = sf.idstn(x, type=dst_type)
+    np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11 * np.abs(ref).max())
