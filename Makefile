@@ -24,7 +24,7 @@ examples: native
 	python examples/fft1.py && python examples/fft2.py && \
 	python examples/rfft2.py && python examples/fft_norm.py && \
 	python examples/poisson.py && python examples/any_n.py && \
-	python examples/vorticity2d.py && \
+	python examples/vorticity2d.py && python examples/poisson_dirichlet.py && \
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python examples/pencil3d.py
 
 clean:
