@@ -436,11 +436,41 @@ def _dst_impl(x, handler, axis, dst_type):
         y = _dst.DST_FNS[dst_type](norm.fn(xm), None)
         return jnp.moveaxis(y, -1, axis)
     if dst_type == 1:
-        scale = None
-        if norm.kind == "default":
-            scale = 2.0
-        elif norm.kind == "scalar":
-            scale = norm.value
+        s = (2.0 if norm.kind == "default"
+             else norm.value if norm.kind == "scalar" else 1.0)
+        # axis-mid: odd-extension streams as ONE XLA middle-axis pass into
+        # the packed-mid r2c kernel (the DCT-I packed path's sine twin);
+        # -0.5*s folds into the combine constants and the DST is the imag
+        # bins 1..n of the (B, n+2, C) spectrum — no moveaxis passes.
+        # ext = 2n+2 has half h = n+1, so the gate opens exactly for ODD n
+        # (even h with a twostep split); even n rides the engine below
+        dims = _mid_dims(x, axis)
+        if dims is not None:
+            from .ops.pallas.rfft import (
+                r2c_pallas_packed_mid, rfft_nat_supported,
+            )
+            from .plan import get_r2c_plan as _grp
+
+            ext = 2 * n + 2
+            if rfft_nat_supported(_grp(ext), x.dtype):
+                _plan_log("dst1", n, axis, "pallas-dst1-packed-mid")
+                nb, cols = dims
+                xm3 = x.reshape(nb, n, cols)
+                z = jnp.zeros_like(xm3[:, :1, :])
+                xe_, xo_ = xm3[:, 1::2, :], xm3[:, 0::2, :]
+                if n % 2 == 0:
+                    xe = jnp.concatenate(
+                        [z, xe_, -xe_[:, ::-1, :]], axis=1)
+                    xo = jnp.concatenate(
+                        [xo_, z, -xo_[:, ::-1, :]], axis=1)
+                else:
+                    xe = jnp.concatenate(
+                        [z, xe_, z, -xe_[:, ::-1, :]], axis=1)
+                    xo = jnp.concatenate(
+                        [xo_, -xo_[:, ::-1, :]], axis=1)
+                _sr, si = r2c_pallas_packed_mid(xe, xo, ext, -0.5 * s)
+                return si[:, 1:n + 1, :].reshape(x.shape)
+        scale = None if norm.kind == "none" else s
         _plan_log("dst1", n, axis,
                   "engine-dst1" + ("" if axis == x.ndim - 1 else "+moveaxis"))
         xm = jnp.moveaxis(x, axis, -1)

@@ -13,12 +13,14 @@ import pytest
 
 import jax.numpy as jnp
 from ndrustfft_tpu import (
-    DctHandler, FftHandler, Normalization, R2cFftHandler, nddct1, nddct2,
-    nddct3, nddct4, ndfft, ndfft_r2c, ndifft, ndifft_r2c,
+    DctHandler, DstHandler, FftHandler, Normalization, R2cFftHandler,
+    nddct1, nddct2, nddct3, nddct4, nddst1, nddst2, nddst3, nddst4, ndfft,
+    ndfft_r2c, ndifft, ndifft_r2c,
 )
 from ndrustfft_tpu.config import config
 
 _DCT = {1: nddct1, 2: nddct2, 3: nddct3, 4: nddct4}
+_DST = {1: nddst1, 2: nddst2, 3: nddst3, 4: nddst4}
 _NORMS = {"default": None, "none": Normalization.NONE,
           "scalar": Normalization.scalar(0.3)}
 
@@ -39,6 +41,10 @@ def _run_all(n, axis, xr, xc):
         for k, fn in _DCT.items():
             out[(f"dct{k}", nname)] = np.asarray(
                 fn(jnp.asarray(xr), hd, axis=axis))
+        hs = DstHandler(n) if nm is None else DstHandler(n).normalization(nm)
+        for k, fn in _DST.items():
+            out[(f"dst{k}", nname)] = np.asarray(
+                fn(jnp.asarray(xr), hs, axis=axis))
     return out
 
 
