@@ -10,8 +10,9 @@ import scipy.fft as sf
 
 import jax.numpy as jnp
 from ndrustfft_tpu import (
-    DctHandler, FftHandler, R2cFftHandler, nddct1, nddct2, nddct3, nddct4,
-    ndfft, ndfft_r2c, ndifft, ndifft_r2c,
+    DctHandler, DstHandler, FftHandler, R2cFftHandler, nddct1, nddct2,
+    nddct3, nddct4, nddst1, nddst2, nddst3, nddst4, ndfft, ndfft_r2c,
+    ndifft, ndifft_r2c,
 )
 
 def _random_case(i):
@@ -21,12 +22,13 @@ def _random_case(i):
     ndim = rng.integers(1, 4)
     shape = tuple(int(rng.integers(2, 20)) for _ in range(ndim))
     axis = int(rng.integers(0, ndim))
-    kind = ["fft", "ifft", "r2c", "c2r", "dct1", "dct2", "dct3", "dct4"][i % 8]
+    kind = ["fft", "ifft", "r2c", "c2r", "dct1", "dct2", "dct3", "dct4",
+            "dst1", "dst2", "dst3", "dst4"][i % 12]
     f64 = bool(rng.integers(0, 2))
     return rng, shape, axis, kind, f64
 
 
-@pytest.mark.parametrize("i", range(48))
+@pytest.mark.parametrize("i", range(72))
 def test_random_case(i):
     rng, shape, axis, kind, f64 = _random_case(i)
     n = shape[axis]
@@ -52,12 +54,17 @@ def test_random_case(i):
         sdt = np.complex128 if f64 else np.complex64
         got = np.asarray(ndifft_r2c(jnp.asarray(spec.astype(sdt)), h, axis=axis))
         ref = x.astype(np.float64)
-    else:
+    elif kind.startswith("dct"):
         t = int(kind[-1])
         if t == 1 and n < 2:
             pytest.skip("DCT-I needs n >= 2")
         fn = {1: nddct1, 2: nddct2, 3: nddct3, 4: nddct4}[t]
         got = np.asarray(fn(jnp.asarray(x), DctHandler(n), axis=axis))
         ref = sf.dct(x.astype(np.float64), type=t, axis=axis)
+    else:
+        t = int(kind[-1])
+        fn = {1: nddst1, 2: nddst2, 3: nddst3, 4: nddst4}[t]
+        got = np.asarray(fn(jnp.asarray(x), DstHandler(n), axis=axis))
+        ref = sf.dst(x.astype(np.float64), type=t, axis=axis)
     scale = max(1.0, np.abs(ref).max())
     assert np.abs(got - ref).max() / scale < rtol, (shape, axis, kind, f64)
