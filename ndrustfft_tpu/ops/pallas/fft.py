@@ -258,15 +258,20 @@ def _lane_factor_cached(n: int, _max_base: int) -> Optional[int]:
     """Pick the lane DFT factor f (m = n // f runs on sublane dims).
 
     Preference: f a multiple of 128 in [128, 256] (native lane width), then
-    any f in [64, 256], then the largest divisor ≤ 256. The remaining m must
-    be fully factorable by the planner.
+    — for n > 1024 — any 8-aligned f in [64, 256] (a misaligned lane extent
+    at large n is a measured Mosaic compile pathology: n=4374 with f=243
+    took 781 s to compile vs 21-44 s for f=216 neighbors, BASELINE.md),
+    then any f in [64, 256], then the largest divisor ≤ 256. The remaining
+    m must be fully factorable by the planner.
     """
     divs = [d for d in range(1, min(n, _MAX_LANE_FACTOR) + 1) if n % d == 0]
     if n <= _MAX_LANE_FACTOR:
         return n
-    for pred in (lambda d: d % 128 == 0 and d >= 128,
-                 lambda d: d >= 64,
-                 lambda d: d > 1):
+    preds = [lambda d: d % 128 == 0 and d >= 128]
+    if n > 1024:
+        preds.append(lambda d: d % 8 == 0 and d >= 64)
+    preds += [lambda d: d >= 64, lambda d: d > 1]
+    for pred in preds:
         cands = [d for d in divs if pred(d)]
         for f in sorted(cands, reverse=True):
             if factorize(n // f) is not None:
@@ -288,7 +293,14 @@ def pallas_supported(plan: C2CPlan, dtype) -> bool:
     if _LIVE_COPIES * 128 * plan.n * jnp.dtype(dtype).itemsize > int(
             0.8 * _VMEM_LIMIT):
         return False
-    if _lane_factor(plan.n) is None:
+    f = _lane_factor(plan.n)
+    if f is None:
+        return False
+    if plan.n > 1024 and f % 8 != 0:
+        # no 8-aligned lane factor exists (e.g. n = 2 * 3^k): the generic
+        # body's misaligned-lane relayouts are a measured Mosaic
+        # compile-time pathology (781 s at n=4374) — the einsum engine is
+        # the better citizen for these rare shapes
         return False
     backend = jax.default_backend()
     return backend == "tpu" or config.pallas_interpret
@@ -1238,14 +1250,17 @@ def _blue_tile(M: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
     The working set carries ~_BLUE_LIVE_COPIES length-M intermediates; the
     generic _mid_tile_budget(2M) formula overestimated it (16 copies of 2M)
     and floored prime kernels at tile 128 where the measured bts2 preference
-    is the widest tile that fits (512 beat 256 by 11-22%, NOTES_TPU.md).
-    Never exceeds cols rounded up to the 128-lane granule: an oversized
-    block is legal Mosaic but computes on its padding (cols=256 under a 512
-    tile would do 2x the work).
+    is the widest tile that fits (512 beat 256 by 11-22% at M<=1024,
+    NOTES_TPU.md). The preference INVERTS at M=2048: an A/B/A sandwich on
+    the prime-1021 bench row measured tile 128 at 153.9 us vs 168-174 us
+    for the budget's tile-256 pick (2026-08-18 capture, BASELINE.md), so
+    M >= 2048 floors at 128. Never exceeds cols rounded up to the 128-lane
+    granule: an oversized block is legal Mosaic but computes on its padding
+    (cols=256 under a 512 tile would do 2x the work).
     """
     if cols <= 128:
         return cols
-    tile = 512
+    tile = 128 if M >= 2048 else 512
     while tile > 128 and (_BLUE_LIVE_COPIES * M * tile * itemsize
                           > int(0.4 * _VMEM_LIMIT)):
         tile //= 2

@@ -125,6 +125,29 @@ def next_smooth(n: int) -> int:
     return best
 
 
+def blue_sub_len(n: int) -> int:
+    """Bluestein convolution length M >= 2n-1 for transform size n.
+
+    Plain ``next_smooth`` picks the FLOP-minimal 3-smooth M, but an M that
+    is not a multiple of 128 strands the two length-M sub-FFTs on the
+    GENERIC lane-last Pallas kernel, whose deep tiny-factor schedule is a
+    measured Mosaic compile pathology (n=2049 -> M=4374 = 2*3^7, f=243:
+    the nddct3 bench row alone took 811 s to compile on v5e). A 3-smooth
+    multiple of 128 keeps both sub-FFTs on the twostep kernel
+    (_twostep_split: m in {128,256}, f <= 256 — compiles in seconds) for
+    <= 1/3 extra padding (2049 -> M=4608, +5.3%). Below 256 the dense
+    kernels cover any M, so the FLOP-minimal choice stands.
+    """
+    need = 2 * n - 1
+    M = next_smooth(need)
+    if M <= 256 or M % 128 == 0:
+        return M
+    s = next_smooth(-(-need // 128))
+    if s <= 512:  # twostep range: m=128 needs f=M/128 <= 256; m=256 covers 512
+        return 128 * s
+    return M
+
+
 # --------------------------------------------------------------------------
 # Angle-accurate constant tables (numpy, f64 masters; cast at trace time)
 # --------------------------------------------------------------------------
@@ -187,7 +210,7 @@ class C2CPlan:
                          factor. Executed recursively by the engine.
     kind == 'bluestein': chirp_a/chirp_b (n,), H (M,) spectrum of the wrapped
                          inverse chirp, and `sub_fwd`/`sub_inv` C2C plans of
-                         the 3-smooth padded length M (see next_smooth).
+                         the 3-smooth padded length M (see blue_sub_len).
     """
 
     __slots__ = ("n", "sign", "kind", "stages", "base", "M",
@@ -209,7 +232,7 @@ class C2CPlan:
             self.base = dft_matrix(factors[-1], sign)
         else:
             self.kind = "bluestein"
-            M = next_smooth(2 * n - 1)
+            M = blue_sub_len(n)
             self.M = M
             self.chirp_a = chirp(n, sign)
             self.chirp_b = chirp(n, sign)

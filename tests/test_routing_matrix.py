@@ -142,7 +142,9 @@ def test_eligibility_boundaries():
     from ndrustfft_tpu.ops.pallas.fft import _blue_tile
 
     assert _blue_tile(1024, 509, 4) == 512      # the fft2d_prime_509 shape
-    assert _blue_tile(2048, 1021, 4) == 256     # M=2048 halves once
+    assert _blue_tile(2048, 1021, 4) == 128     # M>=2048 floors at 128
+    #                                             (A/B/A: 153.9 vs 168-174
+    #                                             us at tile 256, BASELINE.md)
     assert _blue_tile(1024, 256, 4) == 256      # granule clamp, no padding
     assert _blue_tile(1024, 200, 4) == 256      # rounds up to the granule
     assert _blue_tile(1024, 128, 4) == 128      # cols <= 128 -> cols
@@ -241,5 +243,52 @@ def test_vmem_bounds_reject_oversized_kernels():
         assert not fourstep_supported(get_c2c_plan(1 << 23, -1), jnp.float32)
         assert _FOURSTEP_MAX_N == 1 << 22
         assert fourstep_supported(get_c2c_plan(1 << 22, -1), jnp.float32)
+    finally:
+        config.pallas_interpret = old
+
+
+def test_generic_kernel_compile_pathology_gate():
+    """Misaligned lane factors at large n are a measured Mosaic COMPILE
+    pathology (n=4374, f=243: 781 s on v5e vs 21-44 s for 8-aligned
+    neighbors — the round-3 dct2d_23_2049 blowout, BASELINE.md). Three
+    defenses, each pinned here:
+
+    1. Bluestein plans choose a 3-smooth M that is a multiple of 128, so
+       the two length-M sub-FFTs ride the twostep kernel (plan.blue_sub_len).
+    2. _lane_factor prefers an 8-aligned f for n > 1024 (1944 used to pick
+       f=243 over 216).
+    3. pallas_supported rejects n > 1024 whose only lane factors are
+       misaligned (e.g. n = 2*3^k): they fall to the einsum engine.
+    """
+    from ndrustfft_tpu.ops.pallas.fft import (
+        _lane_factor, _twostep_split, pallas_supported,
+    )
+    from ndrustfft_tpu.plan import blue_sub_len, get_c2c_plan
+
+    # (1) every Bluestein M in the kernel range has a twostep split
+    for n, want_M in [(2049, 4608), (683, 1536), (4099, 9216)]:
+        p = get_c2c_plan(n, -1)
+        assert p.kind == "bluestein" and p.M == want_M == blue_sub_len(n)
+        assert _twostep_split(p.M) is not None
+    # FLOP-minimal choices stand when already aligned or small
+    assert blue_sub_len(509) == 1024
+    assert blue_sub_len(1021) == 2048
+    assert blue_sub_len(127) == 256
+    assert blue_sub_len(7) == 16
+
+    # (2) the 8-aligned preference tier (n > 1024 only: 264 keeps f=132)
+    assert _lane_factor(1944) == 216     # not 243
+    assert _lane_factor(3888) == 243 or _lane_factor(3888) % 8 == 0
+    assert _lane_factor(264) == 132      # small-n behavior unchanged
+
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        # (3) n = 2*3^7 has no 8-aligned factor at all -> engine fallback
+        assert not pallas_supported(get_c2c_plan(4374, -1), jnp.float32)
+        assert not pallas_supported(get_c2c_plan(1458, -1), jnp.float32)
+        # aligned generics keep their kernel
+        assert pallas_supported(get_c2c_plan(1296, -1), jnp.float32)
+        assert pallas_supported(get_c2c_plan(264, -1), jnp.float32)
     finally:
         config.pallas_interpret = old
