@@ -254,6 +254,10 @@ PROBES = [
     ("lane_last n=128 dense", _probe_lane_last, dict(n=128, batch=256)),
     ("twostep   n=1024", _probe_twostep, dict(n=1024, batch=256)),
     ("twostep   n=512", _probe_twostep, dict(n=512, batch=256)),
+    # Bluestein sub-FFT length for the odd dct2d bench twin (2049 ->
+    # M=4608 via plan.blue_sub_len): the lane-last leg rides this twostep
+    # shape instead of the generic body's 781 s Mosaic compile pathology
+    ("twostep   n=4608 blueM", _probe_twostep, dict(n=4608, batch=256)),
     ("axis0     n=1024", _probe_axis0, dict(n=1024, cols=256)),
     ("axis0     n=264", _probe_axis0, dict(n=264, cols=256)),
     # non-128-multiple cols through the axis0 cols-granule clamp: the
