@@ -392,8 +392,10 @@ def _dct_impl(x, handler, axis, dct_type):
                      else dct3_pallas_mid(xm3, scale))
                 return y.reshape(x.shape)
             # odd n beyond the dense cap whose FFT plans as Bluestein
-            # (e.g. 2049 = 3*683): Makhoul pre/post on the middle axis
-            # around the fused chirp-z mid kernel. The alternative —
+            # (e.g. 2049 = 3*683): Makhoul around the REAL-to-REAL fused
+            # chirp-z mid kernel — the twiddles (and the DCT-III c0/2)
+            # ride the kernel's entry/exit chirp constants, so the only
+            # XLA pass is the Makhoul (un-)permutation. The alternative —
             # moveaxis + the lane-last engine Bluestein — pays two HBM
             # transposes AND (pre-fix) stranded the length-M sub-FFTs on
             # the generic kernel's pathological Mosaic compile (811 s at
@@ -401,14 +403,13 @@ def _dct_impl(x, handler, axis, dct_type):
             plan = get_c2c_plan(handler.n, -1)
             if plan.kind == "bluestein":
                 from .ops.pallas.fft import (
-                    blue_kernel_M, blue_mid_supported,
-                    c2c_pallas_axis_mid_blue,
+                    blue_kernel_M, blue_mid_supported, dct23_blue_pallas_mid,
                 )
 
                 if blue_mid_supported(plan, x.dtype):
                     _plan_log(
                         f"dct{dct_type}", handler.n, axis,
-                        f"pallas-dct{dct_type}-mid-blue"
+                        f"pallas-dct{dct_type}-mid-blue-rr"
                         f"(M={blue_kernel_M(handler.n)})")
                     norm = handler.norm
                     s = (2.0 if norm.kind == "default"
@@ -417,28 +418,17 @@ def _dct_impl(x, handler, axis, dct_type):
                     n = handler.n
                     xm3 = x.reshape(nb, n, cols)
                     if dct_type == 2:
-                        # v = Makhoul even/odd permutation (middle-axis
-                        # slices, no gather); y = Re(w_k * FFT_n(v)) with
-                        # the scale folded into the post twiddle
+                        # Makhoul even/odd permutation (middle-axis
+                        # slices, no gather), then the fused kernel emits
+                        # y = Re(w_k * s * FFT_n(v)) directly
                         v = jnp.concatenate(
                             [xm3[:, 0::2, :], xm3[:, 1::2, :][:, ::-1, :]],
                             axis=1)
-                        vr, vi = c2c_pallas_axis_mid_blue(
-                            v, jnp.zeros_like(v), plan, None)
-                        w = _dct._dct2_consts(n)
-                        wr = jnp.asarray(w[0] * s, x.dtype).reshape(1, n, 1)
-                        wi = jnp.asarray(w[1] * s, x.dtype).reshape(1, n, 1)
-                        return (vr * wr - vi * wi).reshape(x.shape)
-                    # DCT-III: transpose of the Makhoul algorithm — halve
-                    # x0, pre-twiddle (scale folded in), n-point FFT, then
-                    # un-permute the real part along the middle axis
-                    pre = _dct._dct3_consts(n)
-                    c = jnp.concatenate(
-                        [xm3[:, :1, :] * 0.5, xm3[:, 1:, :]], axis=1)
-                    prer = jnp.asarray(pre[0] * s, x.dtype).reshape(1, n, 1)
-                    prei = jnp.asarray(pre[1] * s, x.dtype).reshape(1, n, 1)
-                    zr, _zi = c2c_pallas_axis_mid_blue(
-                        c * prer, c * prei, plan, None)
+                        return dct23_blue_pallas_mid(v, 2, s).reshape(x.shape)
+                    # DCT-III: the kernel consumes x directly (pre-twiddle,
+                    # scale and the c0/2 halving all fold into its entry
+                    # constant); un-permute along the middle axis after
+                    zr = dct23_blue_pallas_mid(xm3, 3, s)
                     ceil = (n + 1) // 2
                     evens = zr[:, :ceil, :]
                     odds = zr[:, ceil:, :][:, ::-1, :]

@@ -1296,6 +1296,142 @@ def c2c_pallas_axis_mid_blue(xr, xi, plan: C2CPlan, scale=None):
     return run(xr, xi)
 
 
+# --------------------------------------------------------------------------
+# Real-to-real fused chirp-z for the Makhoul DCT-II/III at Bluestein sizes
+# (odd n beyond the dense cap, e.g. the reference dct2d grid's 2049 twin).
+#
+# The generic complex blue-mid path costs a DCT caller ~4 extra HBM passes
+# per call: a materialized all-zeros imag input plane, an unused imag
+# output plane, and separate XLA pre/post Makhoul-twiddle passes. Here the
+# Makhoul constants FOLD into the kernel's entry/exit chirp multiplies
+# host-side (complex const x const), the input is ONE real plane and the
+# output ONE real plane:
+#
+#   DCT-II : y = Re( (chirp_b * w * s) . IFFT_M(FFT_M(v . chirp_a) * H) )
+#            with v = evenodd-perm(x) (one XLA middle-axis pass)
+#   DCT-III: z = Re( chirp_b . IFFT_M(FFT_M(x . (chirp_a * pre * s)) * H) )
+#            with pre[0] also carrying the Makhoul x0-halving, so the
+#            kernel consumes x DIRECTLY; one XLA un-perm pass after.
+#
+# HBM per call: 2 pass-pairs (perm/unperm + kernel) vs ~4 for the complex
+# form — measured 1058 us for the dct2d_23_2049 pair before this variant.
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _blue_rr_consts_cached(n: int, dtype_str: str, mode: str, variant: str,
+                           scale: float):
+    """Folded constant tables for the real-to-real chirp-z kernel.
+
+    variant 'dct2': exit const = chirp_b * e^{-i pi k/(2n)} * scale.
+    variant 'dct3': entry const = chirp_a * e^{-i pi t/(2n)} * scale, with
+    row 0 additionally halved (the Makhoul c0/2). Forward-FFT sign
+    throughout (both Makhoul lowerings use FFT_n with sign -1)."""
+    from ...plan import _cis
+
+    dtype = jnp.dtype(dtype_str)
+    M = blue_kernel_M(n)
+    car, cai = chirp(n, -1)
+    a = car + 1j * cai
+    b = a.copy()
+    t = np.arange(n, dtype=np.int64)
+    w = _cis(t, 2 * n, -1)
+    tw = (w[0] + 1j * w[1]) * scale
+    if variant == "dct2":
+        b = b * tw
+    else:
+        assert variant == "dct3"
+        a = a * tw
+        a[0] *= 0.5
+    cw_r, cw_i = chirp(n, +1)
+    hr = np.zeros(M)
+    hi = np.zeros(M)
+    hr[:n], hi[:n] = cw_r, cw_i
+    hr[M - n + 1:] = cw_r[1:][::-1]
+    hi[M - n + 1:] = cw_i[1:][::-1]
+    H = np.fft.fft(hr + 1j * hi)
+    fwd, kind, (m, f) = _blue_core_consts(M, -1, dtype, mode)
+    inv, _, _ = _blue_core_consts(M, +1, dtype, mode, scale=1.0 / M)
+
+    def col(v):
+        return np.asarray(v, dtype).reshape(-1, 1)
+
+    consts = ([col(a.real), col(a.imag)] + fwd + [col(H.real), col(H.imag)]
+              + inv + [col(b.real), col(b.imag)])
+    sections = (2, len(fwd), 2, len(inv), 2)
+    return consts, sections, kind, (m, f), M
+
+
+def _kernel_axis_mid_blue_rr(n, M, kind, m, f, tl, mode, sections,
+                             x_ref, *refs):
+    """(1, n, TL) REAL block -> (1, n, TL) REAL block: fused chirp-z with
+    the Makhoul twiddles riding the entry/exit constants."""
+    consts = [r[:] for r in refs[:-1]]
+    o_ref = refs[-1]
+    i0 = 0
+    parts = []
+    for s in sections:
+        parts.append(consts[i0:i0 + s])
+        i0 += s
+    (car, cai), fwd, (hr, hi), inv, (cbr, cbi) = parts
+    x = x_ref[:].reshape(n, tl)
+    ar = x * car
+    ai = x * cai
+    pad = ((0, M - n), (0, 0))
+    ar = jnp.pad(ar, pad)
+    ai = jnp.pad(ai, pad)
+    fr, fi = _blue_core(ar, ai, fwd, kind, m, f, tl, mode, -1)
+    gr = fr * hr - fi * hi
+    gi = fr * hi + fi * hr
+    zr, zi = _blue_core(gr, gi, inv, kind, m, f, tl, mode, +1)
+    zr = zr[:n]
+    zi = zi[:n]
+    o_ref[:] = (zr * cbr - zi * cbi).reshape(1, n, tl)
+
+
+@lru_cache(maxsize=256)
+def _build_call_axis_mid_blue_rr(n: int, nb: int, cols: int, dtype_str: str,
+                                 interpret: bool, mode: str, variant: str,
+                                 scale: float, tcfg: int = 0):
+    dtype = jnp.dtype(dtype_str)
+    consts, sections, kind, (m, f), M = _blue_rr_consts_cached(
+        n, dtype_str, mode, variant, scale)
+    tile = _blue_tile(M, cols, dtype.itemsize, tcfg)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                        memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_kernel_axis_mid_blue_rr, n, M, kind, m, f, tile, mode,
+                sections),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[spec] + const_specs,
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=int(20.0 * M * np.log2(max(M, 2)) * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return lambda x: call(x, *consts)
+
+
+def dct23_blue_pallas_mid(x3, dct_type: int, scale=None):
+    """Makhoul DCT-II/III core along axis 1 of a REAL (B, n, L) array at a
+    Bluestein size — one real-to-real fused chirp-z pass. The caller owns
+    the Makhoul permutation (DCT-II: before; DCT-III: un-perm after)."""
+    nb, n, cols = x3.shape
+    run = _build_call_axis_mid_blue_rr(
+        n, nb, cols, str(x3.dtype), bool(config.pallas_interpret),
+        dot_mode(), "dct2" if dct_type == 2 else "dct3",
+        float(1.0 if scale is None else scale), int(config.pallas_tile))
+    return run(x3)
+
+
 def _kernel_exit_mul(inner, xr_ref, xi_ref, *refs):
     """Wrap an axis-mid kernel body with a fused elementwise complex
     multiply on the output block — the four-step inter-stage twiddle

@@ -237,6 +237,16 @@ def _probe_dct2_mid(n, nb, cols, mode):
     return run, (x,)
 
 
+def _probe_blue_rr(n, variant, nb, cols, mode):
+    from ..pallas import fft as K
+
+    run = K._build_call_axis_mid_blue_rr(n, nb, cols, "float32", _interp(),
+                                         mode, f"dct{variant}", 2.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
 def _probe_dct3_mid(n, nb, cols, mode):
     from ..pallas import dct as D
 
@@ -299,6 +309,12 @@ PROBES = [
     # (live-copy VMEM budget, fft.py:_build_call_axis_mid_blue): compile
     # the oversized-by-3 block on real Mosaic, not just interpret
     ("blue_mid  n=509 c509", _probe_blue_mid, dict(n=509, nb=2, cols=509)),
+    # real-to-real fused chirp-z (Makhoul DCT-II/III at Bluestein sizes):
+    # the exact dct2d_23_2049 bench shape's kernel, both variants
+    ("blue_rr2  n=2049", _probe_blue_rr, dict(n=2049, variant=2, nb=1,
+                                              cols=256)),
+    ("blue_rr3  n=2049", _probe_blue_rr, dict(n=2049, variant=3, nb=1,
+                                              cols=256)),
     ("dct2      n=1024", _probe_dct2, dict(n=1024, batch=256)),
     ("dct3      n=1024", _probe_dct3, dict(n=1024, batch=256)),
     ("r2c_mid   n=1024", _probe_r2c_mid, dict(n=1024, nb=4, cols=256)),
