@@ -345,11 +345,24 @@ def verify():
     run_case(f"c2c_fourstep_{nl}", fourstep_case,
              xl.real.astype(np.float32), xl.imag.astype(np.float32))
 
+    # f64 'emulate' tier (ops/df64.py, config.tpu_f64='emulate'): the
+    # dot-free double-float (two-f32) core runs its f32-pure program on
+    # THIS backend — on the driver capture that is the real TPU — while
+    # the f64 split/recombine stays host-side. Gated at 1e-12 (true-f64
+    # accuracy), not the kernel families' bf16x3 1e-3.
+    from ndrustfft_tpu.ops import df64
+    for ne in (1024, 509):  # pow2 Stockham + in-core Bluestein
+        xe = rng.standard_normal((4, ne)) + 1j * rng.standard_normal((4, ne))
+        oe = np.fft.fft(xe)
+        e_em = np.max(np.abs(df64.c2c(xe, -1) - oe)) / np.max(np.abs(oe))
+        errs[f"f64_emulate_{ne}"] = float(f"{e_em:.3e}")
+
     import jax as _jax
 
     from ndrustfft_tpu.config import config as _cfg
 
-    ok = all(v < 1e-3 for v in errs.values())
+    ok = all(v < (1e-12 if k.startswith("f64_emulate") else 1e-3)
+             for k, v in errs.items())
     print(json.dumps({
         "metric": "tpu_verify", "pass": ok,
         "backend": _jax.default_backend(),

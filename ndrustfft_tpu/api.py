@@ -28,6 +28,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .handlers import DctHandler, DstHandler, FftHandler, R2cFftHandler
 from .ops import dct as _dct
@@ -589,7 +590,7 @@ def _check_tpu_f64(dtype, devices):
         return
     from .config import config as _cfg
 
-    if _cfg.tpu_f64 in ("allow", "demote"):
+    if _cfg.tpu_f64 in ("allow", "demote", "emulate"):
         return
     if any(_is_tpu_device(d) for d in devices):
         raise ValueError(
@@ -597,13 +598,118 @@ def _check_tpu_f64(dtype, devices):
             "(no native float64; MXU dots accumulate in f32 — DESIGN.md "
             "§9). Run f64 work on CPU (jax.config.update('jax_platforms', "
             "'cpu') before first JAX use), cast to float32/complex64 for "
-            "the TPU perf path, set config.tpu_f64 = 'demote' for opt-in "
-            "f32-compute-cast-back (~3e-7 tier), or 'allow' to bypass "
-            "this check.")
+            "the TPU perf path, set config.tpu_f64 = 'emulate' for true "
+            "~1e-13 double-float emulation (ops/df64.py), 'demote' for "
+            "opt-in f32-compute-cast-back (~3e-7 tier), or 'allow' to "
+            "bypass this check.")
 
 
 _F32_TWIN = {jnp.dtype(jnp.float64): jnp.float32,
              jnp.dtype(jnp.complex128): jnp.complex64}
+
+
+def _emulate_active(devices) -> bool:
+    """True when the 'emulate' policy governs f64 work in this process:
+    config.tpu_f64 == 'emulate' and the default backend is a TPU."""
+    from .config import config as _cfg
+
+    return (_cfg.tpu_f64 == "emulate"
+            and any(_is_tpu_device(d) for d in devices))
+
+
+def _as_emulate_host(x):
+    """The host-side numpy view of ``x`` when the 'emulate' policy will
+    handle it, else None.
+
+    Emulation intercepts HOST inputs (numpy arrays, lists) of f64/c128
+    dtype before ``jnp.asarray`` can place them on the TPU device (f64 on
+    this stack SIGABRTs the TPU compiler, NOTES_TPU.md). A jax array is
+    never intercepted: f64 jax arrays can only live on CPU here, where
+    native f64 applies — mirroring the ADVICE round-2 rule that a
+    CPU-committed f64 program is legitimate work, not a policy violation.
+    """
+    if isinstance(x, (jax.Array, jax.core.Tracer)):
+        return None
+    if not jax.config.jax_enable_x64:
+        return None
+    a = np.asarray(x)
+    if a.dtype not in (np.float64, np.complex128):
+        return None
+    return a if _emulate_active(jax.devices()) else None
+
+
+def _custom_on_cpu(fn, y):
+    """Apply a user Normalization.custom callable to a host f64 array on
+    the CPU backend (the emulate path never hands f64 to the TPU)."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        out = fn(jax.device_put(y, cpu))
+    return np.asarray(out)
+
+
+def _run_emulated(kind, x, handler, axis):
+    """tpu_f64='emulate': double-float (two-float32) emulated f64 transforms.
+
+    ``x`` is a host f64/c128 numpy array (from :func:`_as_emulate_host`).
+    The dot-free f32 core (ops/df64.py) runs on the default backend — the
+    TPU — while the f64 split/recombine and the normalization policy run
+    host-side at the reference's exact application points (ifft: after,
+    src/lib.rs:321-331; c2r: before + DC/Nyquist imag zeroing,
+    src/lib.rs:506-523; dct/dst: before, src/lib.rs:688-741). Returns a
+    CPU-committed f64/c128 jax array (f64 cannot live on the TPU device).
+    Measured ~5e-15 relative across all families at n<=1024.
+    """
+    from .ops import df64
+
+    axis = _norm_axis(axis, x.ndim)
+    n = handler.n
+    norm = handler.norm
+    xm = np.moveaxis(x, axis, -1)
+    if kind in ("fft", "ifft"):
+        _check_size(xm.shape[-1], n)
+        y = df64.c2c(xm, -1 if kind == "fft" else +1)
+        if kind == "ifft":
+            if norm.kind == "default":
+                y = y * (1.0 / n)
+            elif norm.kind == "scalar":
+                y = y * norm.value
+            elif norm.kind == "custom":
+                y = _custom_on_cpu(norm.fn, y)
+    elif kind == "r2c":
+        if np.issubdtype(xm.dtype, np.complexfloating):
+            raise TypeError("ndfft_r2c expects a real input array")
+        _check_size(xm.shape[-1], n)
+        y = df64.r2c(xm)
+    elif kind == "c2r":
+        _check_size(xm.shape[-1], handler.m)
+        b = xm
+        if norm.kind == "default":
+            b = b * (1.0 / n)
+        elif norm.kind == "scalar":
+            b = b * norm.value
+        elif norm.kind == "custom":
+            b = _custom_on_cpu(norm.fn, b)
+        y = df64.c2r(b, n)
+    elif kind[:3] in ("dct", "dst"):
+        fam, t = kind[:3], int(kind[3])
+        if np.issubdtype(xm.dtype, np.complexfloating):
+            raise TypeError(f"nd{fam} expects a real input array")
+        _check_size(xm.shape[-1], n, what=fam)
+        s = None
+        if norm.kind == "default":
+            s = 2.0
+        elif norm.kind == "scalar":
+            s = norm.value
+        elif norm.kind == "custom":
+            xm = _custom_on_cpu(norm.fn, xm)
+        y = df64.dct(xm, t) if fam == "dct" else df64.dst(xm, t)
+        if s is not None:
+            y = y * s
+    else:  # pragma: no cover — _IMPLS and this table are kept in sync
+        raise ValueError(f"unknown transform kind {kind!r}")
+    _plan_log(kind, n, axis, "df64-emulate")
+    y = np.moveaxis(y, -1, axis)
+    return jax.device_put(y, jax.local_devices(backend="cpu")[0])
 
 
 def _demote_wanted(dtype, devices) -> bool:
@@ -633,6 +739,11 @@ def _run_demoted(kind, x, handler, axis):
 
 
 def _dispatch(kind, x, handler, axis):
+    if isinstance(x, np.ndarray):
+        # host passthrough from _as_emulate_host (tpu_f64='emulate'): the
+        # f64 <-> two-float32 split runs here on the host, the f32 core on
+        # the TPU
+        return _run_emulated(kind, x, handler, axis)
     if isinstance(x, jax.core.Tracer):
         # inside a user jit the argument has no devices, but the dtype is
         # known — guard against the backend the trace will compile for
@@ -644,6 +755,14 @@ def _dispatch(kind, x, handler, axis):
             pinned = getattr(jax.config, "jax_default_device", None)
             if pinned is not None and not _is_tpu_device(pinned):
                 pass
+            elif _emulate_active(jax.devices()):
+                raise ValueError(
+                    "tpu_f64='emulate' runs eagerly: the f64 <-> "
+                    "two-float32 split must happen on the host, so an f64 "
+                    "transform cannot be traced inside a TPU-targeted jit. "
+                    "Call the transform outside jit (it jit-compiles its "
+                    "f32 core internally), or pin the surrounding jit to "
+                    "CPU via jax.default_device.")
             elif _demote_wanted(x.dtype, jax.devices()):
                 return _run_demoted(kind, x, handler, axis)
             else:
@@ -658,6 +777,10 @@ def _dispatch(kind, x, handler, axis):
 
 
 def _prep_complex(x):
+    host = _as_emulate_host(x)
+    if host is not None:
+        return (host if host.dtype == np.complex128
+                else host.astype(np.complex128))
     x = jnp.asarray(x)
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
         x = x.astype(_complex_dtype(x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
@@ -666,6 +789,9 @@ def _prep_complex(x):
 
 
 def _prep_real(x):
+    host = _as_emulate_host(x)
+    if host is not None:
+        return host  # f64 stays; c128 is rejected later with a clear error
     x = jnp.asarray(x)
     if not jnp.issubdtype(x.dtype, jnp.floating):
         if jnp.issubdtype(x.dtype, jnp.complexfloating):

@@ -47,11 +47,15 @@ class _Config:
     # Policy for float64/complex128 transforms requested on a TPU backend.
     # TPU has no native f64; in this image an f64 program SIGABRTs the
     # compile helper with no clean error (NOTES_TPU.md), so the library
-    # refuses eagerly by default. True ~1e-12 emulation is NOT offered:
-    # every MXU dot accumulates in f32, so a length-n contraction carries
-    # ~1e-7 relative error no matter how operands are split — see
-    # DESIGN.md §9 for the full decision record.
+    # refuses eagerly by default. MXU-dot lowerings cap at ~1e-7 (every
+    # dot accumulates in f32 no matter how operands are split), which is
+    # why the true-f64 tier is the DOT-FREE double-float core in
+    # ops/df64.py — see DESIGN.md §9 for the full decision record.
     #   'error' (default) — raise ValueError before dispatch, with guidance
+    #   'emulate'         — true ~5e-15 f64 emulation: double-float
+    #                       (two-f32) elementwise Stockham core on the TPU
+    #                       VPU, host-side split/recombine; eager host
+    #                       inputs only (ops/df64.py)
     #   'demote'          — opt-in: compute in f32/complex64 at HIGHEST
     #                       (f32-exact) dot precision and cast back to
     #                       f64/c128; measured ~3e-7 relative at n=1024

@@ -87,6 +87,18 @@ class _HandlerBase:
             # compiler (SIGABRT, NOTES_TPU.md)
             jkind = kind
             if float64:
+                if api._emulate_active(jax.devices()):
+                    # 'emulate' bypasses the jit table entirely: warm the
+                    # df64 core's internal jit cache by executing one
+                    # emulated call on host zeros (run=False has nothing to
+                    # AOT-compile here — the f32 core compiles on first use)
+                    if run:
+                        import numpy as _np
+
+                        ndt = _np.complex128 if is_cplx else _np.float64
+                        jax.block_until_ready(api._run_emulated(
+                            kind, _np.zeros(tuple(s), ndt), self, ax))
+                    continue
                 if api._demote_wanted(dt, jax.devices()):
                     jkind = kind + ":demote"
                 else:

@@ -135,7 +135,7 @@ def test_tpu_f64_demote_policy():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     design = open(os.path.join(root, "DESIGN.md")).read()
-    assert "f64 on TPU: a decision record" in design
+    assert "f64 on TPU: accuracy tiers" in design
     assert "'demote'" in design
 
 

@@ -1,0 +1,220 @@
+"""tpu_f64='emulate': double-float (two-float32) emulated f64 transforms.
+
+The emulate tier answers the reference's f64-first-class capability
+(/root/reference/src/lib.rs:105-115) ON the accelerator: a dot-free
+elementwise Stockham core over (hi, lo) f32 pairs (ops/df64.py) reaching
+~5e-15 relative — true f64-level accuracy where the MXU-dot lowerings cap
+at ~1e-7 (DESIGN.md §9).
+
+Structure:
+  * core numerics vs numpy/scipy f64 oracles at 1e-12 (pow2, mixed, prime
+    sizes — the prime sizes exercise the in-core Bluestein)
+  * f32 purity: the traced core contains NO f64 op (so it can never hand
+    f64 to the TPU compiler, which SIGABRTs in this stack — NOTES_TPU.md)
+  * API wiring: with the policy active, host f64 inputs route through
+    _run_emulated with the reference's exact normalization application
+    points and edge semantics (c2r DC/Nyquist imag zeroing)
+"""
+
+import numpy as np
+import pytest
+import scipy.fft as sfft
+
+import jax
+import jax.numpy as jnp
+
+import ndrustfft_tpu as nd
+from ndrustfft_tpu import api, config
+from ndrustfft_tpu.ops import df64
+
+RTOL = 1e-12
+
+
+def relerr(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    scale = max(np.max(np.abs(b)), 1e-30)
+    return np.max(np.abs(a - b)) / scale
+
+
+# --------------------------------------------------------------------------
+# core numerics
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [1, 2, 8, 64, 1024, 6, 100, 509, 1021])
+def test_c2c_core_matches_numpy(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    assert relerr(df64.c2c(x, -1), np.fft.fft(x)) < RTOL
+    assert relerr(df64.c2c(x, +1), np.fft.ifft(x) * n) < RTOL
+
+
+@pytest.mark.parametrize("n", [4, 7, 64, 129, 513])
+def test_r2c_c2r_core(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n))
+    assert relerr(df64.r2c(x), np.fft.rfft(x)) < RTOL
+    m = n // 2 + 1
+    xh = rng.standard_normal((3, m)) + 1j * rng.standard_normal((3, m))
+    assert relerr(df64.c2r(xh / n, n), np.fft.irfft(xh, n)) < RTOL
+
+
+@pytest.mark.parametrize("n", [4, 7, 64, 129])
+@pytest.mark.parametrize("t", [1, 2, 3, 4])
+def test_dct_dst_core(n, t):
+    rng = np.random.default_rng(10 * n + t)
+    x = rng.standard_normal((3, n))
+    # rustdct convention == scipy/2 (normalization.py pins the x2 Default)
+    assert relerr(2 * df64.dct(x, t), sfft.dct(x, type=t)) < RTOL
+    assert relerr(2 * df64.dst(x, t), sfft.dst(x, type=t)) < RTOL
+
+
+@pytest.mark.parametrize("n", [64, 100])
+def test_core_is_f32_pure(n):
+    """The traced core must contain no f64 type — it must never hand an
+    f64 op to the TPU compiler (SIGABRT, NOTES_TPU.md)."""
+    from ndrustfft_tpu.ops.df64 import _core, _split64
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    rh, rl = _split64(x.real)
+    ih, il = _split64(x.imag)
+    jaxpr = jax.make_jaxpr(lambda a, b, c, d: _core(n, -1)(a, b, c, d))(
+        rh, rl, ih, il)
+    text = str(jaxpr)
+    assert "f64" not in text and "c128" not in text and "f128" not in text
+
+
+def test_split64_rounding():
+    """hi + lo reproduces the f64 value to the double-float precision
+    (~2^-49 relative: two f32s carry ~48 mantissa bits vs f64's 53)."""
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal(1000) * 10.0 ** rng.integers(-20, 20, 1000)
+    hi, lo = df64._split64(a)
+    back = hi.astype(np.float64) + lo.astype(np.float64)
+    assert np.max(np.abs(back - a) / np.abs(a)) < 2.0 ** -48
+
+
+# --------------------------------------------------------------------------
+# API wiring (policy forced active on the CPU backend: _is_tpu_device is
+# patched so the process devices count as TPU, exactly the condition
+# _as_emulate_host checks; the f32 core then runs on CPU, which executes
+# the identical program)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture
+def emulate(monkeypatch):
+    monkeypatch.setattr(api, "_is_tpu_device", lambda d: True)
+    monkeypatch.setattr(config, "tpu_f64", "emulate")
+    yield
+
+
+def test_ndfft_roundtrip_emulated(emulate):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((6, 64)) + 1j * rng.standard_normal((6, 64))
+    h = nd.FftHandler(64)
+    y = nd.ndfft(x, h, axis=1)
+    assert isinstance(y, jax.Array)
+    assert y.dtype == jnp.complex128
+    assert all(d.platform == "cpu" for d in y.devices())
+    assert relerr(y, np.fft.fft(x, axis=1)) < RTOL
+    back = nd.ndifft(np.asarray(y), h, axis=1)
+    assert relerr(back, x) < RTOL  # Default norm = 1/n after
+
+
+def test_ndfft_axis0_and_real_input(emulate):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((12, 5))  # real f64 -> complexified
+    y = nd.ndfft(x, nd.FftHandler(12), axis=0)
+    assert relerr(y, np.fft.fft(x, axis=0)) < RTOL
+
+
+def test_norm_modes_emulated(emulate):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 16)) + 1j * rng.standard_normal((2, 16))
+    none = nd.FftHandler(16).normalization(nd.Normalization.NONE)
+    assert relerr(nd.ndifft(x, none, axis=1), np.fft.ifft(x, axis=1) * 16) < RTOL
+    scal = nd.FftHandler(16).normalization(nd.Normalization.scalar(0.25))
+    assert relerr(nd.ndifft(x, scal, axis=1),
+                  np.fft.ifft(x, axis=1) * 16 * 0.25) < RTOL
+    cust = nd.FftHandler(16).normalization(
+        nd.Normalization.custom(lambda v: v * 3.0))
+    assert relerr(nd.ndifft(x, cust, axis=1),
+                  np.fft.ifft(x, axis=1) * 16 * 3.0) < RTOL
+
+
+@pytest.mark.parametrize("n", [8, 9])
+def test_c2r_edge_semantics_emulated(emulate, n):
+    """Reference src/lib.rs:516-521 (test :1136-1167): garbage imag parts
+    on the DC (and, for even n, Nyquist) bins must not change the result."""
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, n))
+    h = nd.R2cFftHandler(n)
+    spec = np.array(nd.ndfft_r2c(x, h, axis=1))  # copy: jax buffers are read-only
+    spec[..., 0] += 100.0j
+    if n % 2 == 0:
+        spec[..., -1] += 100.0j
+    back = nd.ndifft_r2c(spec, h, axis=1)
+    assert relerr(back, x) < RTOL
+    assert np.asarray(back).dtype == np.float64
+
+
+@pytest.mark.parametrize("t", [1, 2, 3, 4])
+def test_dct_dst_emulated_vs_scipy(emulate, t):
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 33))
+    ydct = getattr(nd, f"nddct{t}")(x, nd.DctHandler(33), axis=1)
+    assert relerr(ydct, sfft.dct(x, type=t, axis=1)) < RTOL
+    ydst = getattr(nd, f"nddst{t}")(x, nd.DstHandler(33), axis=1)
+    assert relerr(ydst, sfft.dst(x, type=t, axis=1)) < RTOL
+
+
+def test_dct_custom_norm_emulated(emulate):
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 10))
+    h = nd.DctHandler(10).normalization(
+        nd.Normalization.custom(lambda v: v * 2.0))
+    y = nd.nddct2(x, h, axis=1)
+    assert relerr(y, sfft.dct(x, type=2, axis=1)) < RTOL
+
+
+def test_prime_size_emulated(emulate):
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 127)) + 1j * rng.standard_normal((2, 127))
+    y = nd.ndfft(x, nd.FftHandler(127), axis=1)
+    assert relerr(y, np.fft.fft(x, axis=1)) < RTOL
+
+
+def test_tracer_raises_under_emulate(emulate):
+    h = nd.FftHandler(8)
+
+    def f(z):
+        return nd.ndfft(z, h, axis=0)
+
+    with pytest.raises(ValueError, match="emulate.*eagerly|eagerly"):
+        jax.jit(f)(jnp.zeros(8, jnp.complex128))
+
+
+def test_jax_cpu_arrays_not_intercepted(emulate):
+    """A jax f64 array is legitimate CPU work — the native f64 engine
+    serves it (ADVICE round-2: don't hijack CPU-committed f64)."""
+    x = jnp.asarray(np.random.default_rng(11).standard_normal((4, 8)),
+                    jnp.complex128)
+    y = nd.ndfft(x, nd.FftHandler(8), axis=1)
+    assert relerr(y, np.fft.fft(np.asarray(x), axis=1)) < 1e-10
+
+
+def test_warmup_under_emulate(emulate):
+    h = nd.FftHandler(16)
+    h.warmup((4, 16), axis=1, float64=True)  # must not raise / compile f64
+
+
+def test_inactive_without_policy(monkeypatch):
+    """Without the policy, numpy f64 inputs take the normal jit path."""
+    monkeypatch.setattr(api, "_is_tpu_device", lambda d: True)
+    monkeypatch.setattr(config, "tpu_f64", "error")
+    x = np.random.default_rng(12).standard_normal((2, 8)).astype(np.complex128)
+    with pytest.raises(ValueError, match="not supported on TPU"):
+        nd.ndfft(x, nd.FftHandler(8), axis=1)
