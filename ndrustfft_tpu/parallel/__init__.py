@@ -1,5 +1,6 @@
 """Multi-chip layer: slab/pencil decompositions over jax.sharding meshes."""
 
+from . import runtime  # noqa: F401  — multi-process (jax.distributed) helpers
 from .pencil import (  # noqa: F401
     Step, fftn_pencil, irfftn_pencil, pencil_transform, plan_pencil,
     rfftn_pencil,
