@@ -40,6 +40,9 @@ from .api import (  # noqa: F401
     ndifft_par, ndifft_r2c, ndifft_r2c_par,
 )
 from .config import config  # noqa: F401
+from .ops import df64  # noqa: F401  — jittable double-float tier
+#   (df64.split64 / df64.c2c_dd / df64.join64: f32-pair representation
+#    that CAN be traced inside a TPU jit, unlike f64 itself)
 from .handlers import (  # noqa: F401
     DctHandler, DstHandler, FftHandler, R2cFftHandler,
 )
@@ -85,7 +88,7 @@ __all__ = [
     "FftHandler", "R2cFftHandler", "DctHandler", "DstHandler",
     "Normalization",
     "fftn", "ifftn", "rfftn", "irfftn", "dctn", "idctn", "dstn", "idstn",
-    "config",
+    "config", "df64",
     "float32", "float64", "complex64", "complex128",
     "complex_dtype", "real_dtype",
 ]
