@@ -76,6 +76,20 @@ class _Config:
     # m=256 gives f=4 (2 levels, 2x stage-2 MACs) — a VPU/MXU tradeoff
     # knob for per-n tuning.
     mid_split: int = int(os.environ.get("NDRUSTFFT_TPU_MID_SPLIT", "0"))
+    # Opt-in in-place pages for same-shape Pallas kernels: alias each data
+    # output buffer to the corresponding input operand (input_output_aliases)
+    # so chained / loop-carried transforms write IN PLACE. Inside a
+    # lax.fori_loop / lax.scan chain this deletes XLA's hidden carry copy —
+    # a full extra HBM round trip per iteration (measured on v5e: a chained
+    # Pallas copy drops from ~50 to ~26 us/iteration at 1024^2 c64,
+    # tools/floor_sweep.py 'alias' rows vs 'ctrl'). Trade-off: when the
+    # INPUT ARRAY IS STILL LIVE after the call (y = ndfft(x) with x reused),
+    # XLA must insert a defensive copy instead — strictly slower — so this
+    # is opt-in for iterative/spectral-solver workloads whose inputs are
+    # consumed. Kernels whose output shape differs from their input
+    # (r2c/c2r, axis-0, four-step step 3) ignore the flag.
+    donate_io: bool = os.environ.get("NDRUSTFFT_TPU_DONATE", "0") in (
+        "1", "true")
     # Opt-in dispatch observability: when True, each traced dispatch prints
     # one line to stderr stating (transform, n, axis, dtype) -> the chosen
     # execution path (dense / bts2 / ts / generic kernel / engine /

@@ -249,6 +249,21 @@ def _lane_tile(n: int, itemsize: int) -> int:
     return t
 
 
+def _donate_kw(donate: bool, nplanes: int = 2):
+    """pallas_call kwargs for config.donate_io: alias the first ``nplanes``
+    data operands to the outputs (in-place HBM pages).
+
+    Legal only when the output shapes equal the corresponding input shapes
+    AND the in/out BlockSpecs use the same index map (every grid step then
+    overwrites exactly the block it already consumed, so no other step can
+    observe the write). Inside a lax.fori_loop/scan chain this lets XLA
+    alias the loop carry through the kernel, deleting the hidden carry-copy
+    HBM round trip (~2x on chained 1024^2 c64, tools/floor_sweep.py)."""
+    if not donate:
+        return {}
+    return {"input_output_aliases": {i: i for i in range(nplanes)}}
+
+
 def _lane_factor(n: int) -> Optional[int]:
     return _lane_factor_cached(n, config.max_base_radix)
 
@@ -537,7 +552,8 @@ def _kernel_axis0(struct, has_base, has_tw, m, f, mode,
 
 @lru_cache(maxsize=256)
 def _build_call(n: int, sign: int, batch: int, dtype_str: str,
-                interpret: bool, mode: str, scale: float = 1.0):
+                interpret: bool, mode: str, scale: float = 1.0,
+                donate: bool = False):
     """Lane-last flavor: (B, n) re/im -> (B, n) re/im."""
     dtype = jnp.dtype(dtype_str)
     f, m, mid, lane, tw = _plan_consts(n, sign, dtype, scale)
@@ -564,6 +580,7 @@ def _build_call(n: int, sign: int, batch: int, dtype_str: str,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate),
     )
 
     def run(xr, xi):
@@ -722,7 +739,7 @@ def _kernel_twostep(m, f, tile, mode, sign, xr_ref, xi_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
                         interpret: bool, mode: str, scale: float = 1.0,
-                        tcfg: int = 0):
+                        tcfg: int = 0, donate: bool = False):
     dtype = jnp.dtype(dtype_str)
     consts, (m, f) = _twostep_consts(n, sign, dtype, mode, scale)
     tile = min(_lane_tile(n, dtype.itemsize), max(8, batch))
@@ -747,6 +764,7 @@ def _build_call_twostep(n: int, sign: int, batch: int, dtype_str: str,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate),
     )
 
     def run(xr, xi):
@@ -1207,7 +1225,8 @@ def _kernel_axis_mid_blue(n, M, kind, m, f, tl, mode, sections,
 @lru_cache(maxsize=256)
 def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
                               dtype_str: str, interpret: bool, mode: str,
-                              scale: float = 1.0, tcfg: int = 0):
+                              scale: float = 1.0, tcfg: int = 0,
+                              donate: bool = False):
     dtype = jnp.dtype(dtype_str)
     M = blue_kernel_M(n)
     consts, sections, kind, (m, f) = _blue_consts(n, M, sign, dtype, mode,
@@ -1233,6 +1252,7 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate),
     )
     return lambda xr, xi: call(xr, xi, *consts)
 
@@ -1292,7 +1312,8 @@ def c2c_pallas_axis_mid_blue(xr, xi, plan: C2CPlan, scale=None):
     run = _build_call_axis_mid_blue(n, plan.sign, nb, cols, str(xr.dtype),
                                     bool(config.pallas_interpret), dot_mode(),
                                     float(1.0 if scale is None else scale),
-                                    int(config.pallas_tile))
+                                    int(config.pallas_tile),
+                                    donate=bool(config.donate_io))
     return run(xr, xi)
 
 
@@ -1392,7 +1413,8 @@ def _kernel_axis_mid_blue_rr(n, M, kind, m, f, tl, mode, sections,
 @lru_cache(maxsize=256)
 def _build_call_axis_mid_blue_rr(n: int, nb: int, cols: int, dtype_str: str,
                                  interpret: bool, mode: str, variant: str,
-                                 scale: float, tcfg: int = 0):
+                                 scale: float, tcfg: int = 0,
+                                 donate: bool = False):
     dtype = jnp.dtype(dtype_str)
     consts, sections, kind, (m, f), M = _blue_rr_consts_cached(
         n, dtype_str, mode, variant, scale)
@@ -1416,6 +1438,7 @@ def _build_call_axis_mid_blue_rr(n: int, nb: int, cols: int, dtype_str: str,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate, 1),
     )
     return lambda x: call(x, *consts)
 
@@ -1428,7 +1451,8 @@ def dct23_blue_pallas_mid(x3, dct_type: int, scale=None):
     run = _build_call_axis_mid_blue_rr(
         n, nb, cols, str(x3.dtype), bool(config.pallas_interpret),
         dot_mode(), "dct2" if dct_type == 2 else "dct3",
-        float(1.0 if scale is None else scale), int(config.pallas_tile))
+        float(1.0 if scale is None else scale), int(config.pallas_tile),
+        donate=bool(config.donate_io))
     return run(x3)
 
 
@@ -1536,7 +1560,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
                          scale: float = 1.0, tcfg: int = 0,
                          mid_body: str = "bts2", four_n: int = 0,
-                         mid_split: int = 0):
+                         mid_split: int = 0, donate: bool = False):
     """Leading-batch axis-mid flavor: (B, n, L) re/im -> (B, n, L) re/im,
     transform along the MIDDLE axis with no HBM transposes.
 
@@ -1613,6 +1637,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                        jax.ShapeDtypeStruct((nb, n, cols), dtype)),
             in_specs=[spec, spec] + const_specs,
             out_specs=(spec, spec),
+            **_donate_kw(donate),
             **common,
         )
         return lambda xr, xi: call(xr, xi, *consts)
@@ -1642,6 +1667,7 @@ def _build_call_axis_mid(n: int, sign: int, nb: int, cols: int,
                        jax.ShapeDtypeStruct((nb, n, cols), dtype)),
             in_specs=[spec, spec] + const_specs,
             out_specs=(spec, spec),
+            **_donate_kw(donate),
             **common,
         )
         return lambda xr, xi: call(xr, xi, *consts)
@@ -1838,7 +1864,8 @@ def c2c_pallas_axis_mid(xr, xi, plan: C2CPlan, scale=None):
                                bool(config.pallas_interpret), dot_mode(),
                                float(1.0 if scale is None else scale),
                                int(config.pallas_tile), str(config.mid_body),
-                               0, int(config.mid_split))
+                               0, int(config.mid_split),
+                               donate=bool(config.donate_io))
     return run(xr, xi)
 
 
@@ -1850,10 +1877,12 @@ def c2c_pallas(xr, xi, plan: C2CPlan, scale=None):
             and _twostep_split(n) is not None):
         run = _build_call_twostep(n, plan.sign, batch, str(xr.dtype),
                                   bool(config.pallas_interpret), dot_mode(),
-                                  s, int(config.pallas_tile))
+                                  s, int(config.pallas_tile),
+                                  donate=bool(config.donate_io))
         return run(xr, xi)
     run = _build_call(n, plan.sign, batch, str(xr.dtype),
-                      bool(config.pallas_interpret), dot_mode(), s)
+                      bool(config.pallas_interpret), dot_mode(), s,
+                      donate=bool(config.donate_io))
     return run(xr, xi)
 
 

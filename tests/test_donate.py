@@ -1,0 +1,151 @@
+"""config.donate_io (in-place HBM pages via input_output_aliases).
+
+The round-4 copy-floor sweep (tools/floor_sweep.py, measured on v5e)
+showed a chained Pallas copy inside a lax.fori_loop pays a hidden XLA
+carry-copy — a full extra HBM round trip per iteration (~50 vs ~25.5
+us/iteration at 1024^2 c64).  ``config.donate_io = True`` threads
+``input_output_aliases`` into every same-shape kernel builder so chained
+/ loop-carried transforms write in place.  These tests pin:
+
+* numerics are identical with the flag on (single call AND chained loop,
+  across every same-shape kernel family: bts2/dense axis-mid, lane-last,
+  twostep, fused Bluestein, real-to-real Bluestein DCT);
+* flipping the flag invalidates the api-level jit cache (fresh trace);
+* the aliasing itself is legal — in interpret mode each grid step
+  overwrites exactly the block it consumed, so any cross-step hazard
+  would corrupt the comparison.
+
+Reference capability analog: the reference's process_lane writes through
+&mut output in place (/root/reference/src/lib.rs:316-341); donate_io is
+the XLA-side equivalent (opt-in because a live input forces XLA to add a
+defensive copy instead).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from ndrustfft_tpu import (
+    DctHandler, FftHandler, Normalization, config, nddct2, ndfft, ndifft,
+)
+
+
+@pytest.fixture(autouse=True)
+def _donate_mode():
+    from ndrustfft_tpu.api import _jitted
+
+    old = (config.pallas_interpret, config.use_pallas, config.donate_io)
+    config.pallas_interpret = True
+    config.use_pallas = True
+    _jitted.cache_clear()
+    yield
+    (config.pallas_interpret, config.use_pallas, config.donate_io) = old
+    _jitted.cache_clear()
+
+
+def _flip(donate: bool):
+    from ndrustfft_tpu.api import _jitted
+
+    config.donate_io = donate
+    _jitted.cache_clear()
+
+
+# (shape, axis, n) triples covering every donated builder:
+#   (B, n)        axis -1  -> _build_call / _build_call_twostep (lane-last)
+#   (B, n, L)     axis  1  -> _build_call_axis_mid (bts2/dense)
+#   prime n mid   axis  1  -> _build_call_axis_mid_blue (fused Bluestein)
+CASES = [
+    ((32, 1024), -1, 1024),     # twostep lane-last
+    ((32, 64), -1, 64),         # single-kernel lane-last
+    ((2, 1024, 256), 1, 1024),  # axis-mid bts2
+    ((2, 64, 256), 1, 64),      # axis-mid dense
+    ((2, 509, 256), 1, 509),    # axis-mid fused Bluestein
+]
+
+
+@pytest.mark.parametrize("shape,axis,n", CASES)
+def test_donate_single_call_matches(shape, axis, n):
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    h = FftHandler(n)
+    _flip(False)
+    ref = np.asarray(ndfft(jnp.asarray(x), h, axis=axis))
+    _flip(True)
+    got = np.asarray(ndfft(jnp.asarray(x), h, axis=axis))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_donate_chained_loop_matches_numpy():
+    # the exact bench-headline shape of computation: a fori_loop chain of
+    # scalar-normalized inverse transforms with the input consumed each
+    # iteration — the case the flag exists for
+    n, K = 256, 5
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, n, 256)) + 1j
+         * rng.standard_normal((2, n, 256))).astype(np.complex64)
+    c = 1.001 / np.sqrt(n)
+    h = FftHandler(n).normalization(Normalization.scalar(c))
+
+    def chain(r, i):
+        def body(_, carry):
+            v = ndifft(jax.lax.complex(carry[0], carry[1]), h, axis=1)
+            return (jnp.real(v), jnp.imag(v))
+
+        return jax.lax.fori_loop(0, K, body, (r, i))
+
+    ref = x.astype(np.complex128)
+    for _ in range(K):
+        ref = np.fft.ifft(ref, axis=1) * (c * n)
+
+    _flip(True)
+    rr, ii = jax.jit(chain)(jnp.asarray(x.real), jnp.asarray(x.imag))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+    # and bit-identical to the same chain with the flag off
+    _flip(False)
+    rr0, ii0 = jax.jit(chain)(jnp.asarray(x.real), jnp.asarray(x.imag))
+    np.testing.assert_array_equal(np.asarray(rr), np.asarray(rr0))
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(ii0))
+
+
+def test_donate_live_input_still_correct():
+    # y = fft(x) with x STILL LIVE afterwards: XLA must insert a defensive
+    # copy rather than let the kernel clobber x (the documented trade-off)
+    n = 1024
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, n, 256)) + 1j
+         * rng.standard_normal((2, n, 256))).astype(np.complex64)
+    h = FftHandler(n)
+    _flip(True)
+
+    xj = jnp.asarray(x)
+    y = ndfft(xj, h, axis=1)
+    # x must be unchanged after the donated call
+    np.testing.assert_array_equal(np.asarray(xj), x)
+    ref = np.fft.fft(x, axis=1)
+    assert (np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()) < 1e-4
+
+
+def test_donate_rr_bluestein_dct():
+    # real-to-real fused Bluestein DCT-II (single-plane aliasing, nplanes=1)
+    n = 509
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, n, 256)).astype(np.float32)
+    h = DctHandler(n)
+    _flip(False)
+    ref = np.asarray(nddct2(jnp.asarray(x), h, axis=1))
+    _flip(True)
+    got = np.asarray(nddct2(jnp.asarray(x), h, axis=1))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_donate_flag_invalidates_jit_cache():
+    from ndrustfft_tpu.api import _config_key
+
+    _flip(False)
+    k0 = _config_key()
+    _flip(True)
+    assert _config_key() != k0
