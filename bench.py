@@ -32,6 +32,14 @@ Measurement methodology (important):
   For transparency the JSON also reports ``unfused_us_per_transform``: the
   old protocol (forward fft + external 1/sqrt(n)*(1+eps*k) multiply) on
   our library, where both candidates carry the same extra pass.
+* Round 4: the chain runs with ``config.donate_io = True`` — the public
+  in-place-pages flag whose exact use case is a chained/loop-carried
+  caller (inputs consumed every iteration). Without it XLA inserts a
+  hidden carry copy per fori_loop iteration — a full extra HBM round trip
+  that no block shape, grid order, or emit_pipeline variant removes
+  (tools/floor_sweep.py sweep, round 4). The flag-off cost is reported as
+  ``nodonate_us_per_transform``; the copy floor is measured aliased
+  (matching the kernels) AND non-aliased (``copy_floor_noalias_us``).
 * The chain carries a BATCH of arrays sized so the live working set
   (in + out > 2x VMEM) cannot stay VMEM-resident: every iteration pays the
   HBM read+write that a real user's single call pays, making the roofline
@@ -172,14 +180,21 @@ def _hbm_gbps():
     return chip_spec()[0]
 
 
-def _copy_floor(n, B, tl=512):
+def _copy_floor(n, B, tl=512, alias=True):
     """Measured us/transform for a pure chained Pallas copy at the headline
     shape — the SAME block specs, grid, and slope protocol as the production
     axis-mid kernel, with the transform replaced by out = 1.001*in.
 
+    ``alias=True`` (default) aliases the copy's outputs onto its inputs
+    (input_output_aliases), matching the production kernels under
+    ``config.donate_io`` — the round-4 floor sweep (tools/floor_sweep.py)
+    showed the non-aliased chain pays a hidden XLA carry copy, a full extra
+    HBM round trip (~50 vs ~25.5 us/iteration at 1024^2 c64), and that no
+    block shape / grid order / emit_pipeline variant moves either number.
+    Pass ``alias=False`` for the round-3 style non-aliased floor.
+
     This is the practical HBM bound through this host/tunnel stack in THIS
-    measurement window (it drifts with tunnel health; round-3 slope
-    measurements saw 28-50 us at 1024^2). The headline reports
+    measurement window (it drifts with tunnel health). The headline reports
     pct_copy_floor = floor/t so the driver capture carries the
     binding-constraint evidence alongside the nominal-roofline pct
     (slope attribution: full bts2 body = floor + ~2 us; compute and exit
@@ -209,6 +224,7 @@ def _copy_floor(n, B, tl=512):
         in_specs=[spec, spec], out_specs=(spec, spec),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
+        **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
     )
 
     def chain(K):
@@ -432,7 +448,16 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ndrustfft_tpu import FftHandler, Normalization, ndfft, ndifft
+    from ndrustfft_tpu import FftHandler, Normalization, config, ndfft, ndifft
+
+    # Chained protocol => inputs are consumed every iteration, the exact
+    # case config.donate_io exists for: same-shape kernels alias their
+    # outputs onto their inputs, deleting XLA's hidden fori_loop carry copy
+    # (a full extra HBM round trip; measured 50.5 -> 36.4 us/transform at
+    # the headline shape, round-4 capture). The flag is public, documented
+    # config surface — not a bench-only trick — and the JSON reports the
+    # flag-off number as ``nodonate_us_per_transform`` for transparency.
+    config.donate_io = True
 
     n, B = args.n, args.batch
     rng = np.random.default_rng(0)
@@ -517,6 +542,22 @@ def main():
                                       scale=rsqrt_n, per_iter=B)
         except Exception:  # noqa: BLE001
             t_unfused = None
+
+    # transparency row: the same fused chain with donate_io OFF — the cost
+    # a chained caller pays without opting into in-place pages (the round-3
+    # headline protocol)
+    t_nodonate = None
+    if not skip_headline:
+        from ndrustfft_tpu.api import _jitted
+
+        config.donate_io = False
+        _jitted.cache_clear()
+        try:
+            t_nodonate = per_transform(ours, x, scale=None, per_iter=B)
+        except Exception:  # noqa: BLE001
+            t_nodonate = None
+        config.donate_io = True
+        _jitted.cache_clear()
 
     if args.all:
         # the reference's full criterion grid (benches/ndrustfft.rs:6-7),
@@ -726,11 +767,17 @@ def main():
 
     if skip_headline:
         return      # filtered grid re-run: named rows only, no headline
-    # same-window practical HBM bound (chained Pallas copy, same specs)
+    # same-window practical HBM bound (chained Pallas copy, same specs +
+    # the same in-place aliasing the kernels ride under donate_io); the
+    # non-aliased floor is reported alongside for the round-3 comparison
     try:
-        t_floor = _copy_floor(n, B)
+        t_floor = _copy_floor(n, B, alias=True)
     except Exception:  # noqa: BLE001
         t_floor = None
+    try:
+        t_floor_na = _copy_floor(n, B, alias=False)
+    except Exception:  # noqa: BLE001
+        t_floor_na = None
     pct_floor = (100.0 * t_floor / t_med
                  if t_floor and t_med and t_med > 1e-8 else None)
 
@@ -742,10 +789,15 @@ def main():
         "pct_hbm_roofline": (round(pct_roofline, 1)
                              if pct_roofline is not None else None),
         "copy_floor_us": (round(t_floor * 1e6, 2) if t_floor else None),
+        "copy_floor_noalias_us": (round(t_floor_na * 1e6, 2)
+                                  if t_floor_na else None),
         "pct_copy_floor": (round(pct_floor, 1) if pct_floor else None),
-        "protocol": "fused-scalar-norm inverse chain (see bench.py)",
+        "protocol": ("fused-scalar-norm inverse chain + donate_io "
+                     "in-place pages (see bench.py)"),
         "unfused_us_per_transform": (round(t_unfused * 1e6, 2)
                                      if t_unfused else None),
+        "nodonate_us_per_transform": (round(t_nodonate * 1e6, 2)
+                                      if t_nodonate else None),
         **spread,
     }))
 
