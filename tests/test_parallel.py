@@ -341,3 +341,51 @@ def test_grad_through_pencil_matches_serial():
     gs = jax.jit(jax.grad(loss_serial))(jnp.asarray(v))
     scale = float(jnp.max(jnp.abs(gs)))
     assert float(jnp.max(jnp.abs(gp - gs))) / scale < 1e-5
+
+
+def test_pencil_bf16_wire_numerics():
+    # opt-in bf16 wire format (round-4: halve bytes over ICI): the 3-D
+    # rfftn+irfftn roundtrip crosses the wire 4x with 8-bit-mantissa
+    # rounding each time; pin the measured error tier and that the
+    # default (f32 wire) path is untouched by the feature
+    rng = np.random.default_rng(7)
+    nz, ny, nx = 16, 16, 64
+    v = rng.standard_normal((nz, ny, nx)).astype(np.float32)
+    mesh = mesh_2d()
+    x = shard(jnp.asarray(v), mesh, P("y", "z", None))
+
+    vhat, spec = rfftn_pencil(x, mesh, P("y", "z", None),
+                              wire_dtype="bfloat16")
+    back, _ = irfftn_pencil(vhat, mesh, spec, n_last=nx, axes=[0, 1, 2],
+                            wire_dtype="bfloat16")
+    err_bf16 = np.abs(np.asarray(back) - v).max() / np.abs(v).max()
+    assert err_bf16 < 3e-2, err_bf16  # bf16 wire tier (measured ~4e-3)
+
+    vhat32, spec32 = rfftn_pencil(x, mesh, P("y", "z", None))
+    back32, _ = irfftn_pencil(vhat32, mesh, spec32, n_last=nx,
+                              axes=[0, 1, 2])
+    err_f32 = np.abs(np.asarray(back32) - v).max() / np.abs(v).max()
+    assert err_f32 < 1e-5, err_f32    # full-precision tier unchanged
+    # the spectra must agree to the wire tier (same transform, lossy wire)
+    rel = (np.abs(np.asarray(vhat) - np.asarray(vhat32)).max()
+           / np.abs(np.asarray(vhat32)).max())
+    assert rel < 3e-2, rel
+
+
+def test_pencil_bf16_wire_real_payload():
+    # a real-dtype payload (DCT pipeline) takes the non-complex wire branch
+    from ndrustfft_tpu import DctHandler
+
+    rng = np.random.default_rng(8)
+    v = rng.standard_normal((8, 16, 12)).astype(np.float32)
+    mesh = mesh_2d()
+    x = shard(jnp.asarray(v), mesh, P("y", "z", None))
+    steps = [Step("dct2", 2, DctHandler(12)),
+             Step("dct2", 1, DctHandler(16)),
+             Step("dct2", 0, DctHandler(8))]
+    out, _ = pencil_transform(x, steps, mesh, P("y", "z", None),
+                              wire_dtype="bfloat16")
+    ref, _ = pencil_transform(x, steps, mesh, P("y", "z", None))
+    rel = (np.abs(np.asarray(out) - np.asarray(ref)).max()
+           / np.abs(np.asarray(ref)).max())
+    assert rel < 3e-2, rel
