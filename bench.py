@@ -320,6 +320,19 @@ def verify():
     run_case("c2c_blue_509", blue_case,
              xp.real.astype(np.float32), xp.imag.astype(np.float32))
 
+    # Bluestein prime 1021 (M=2048: f=16 split, round-4 trimmed inverse W
+    # + zero-aware pad butterflies) — roundtrip
+    xq = (rng.standard_normal((2, 1021, 256))
+          + 1j * rng.standard_normal((2, 1021, 256)))
+    hq = FftHandler(1021)
+
+    def blue_case_16(xr, xi):
+        v = jax.lax.complex(xr, xi)
+        return jnp.max(jnp.abs(ndifft(ndfft(v, hq, axis=1), hq, axis=1) - v))
+
+    run_case("c2c_blue_1021", blue_case_16,
+             xq.real.astype(np.float32), xq.imag.astype(np.float32))
+
     # R2C/C2R 1024 (natural-layout kernels) — roundtrip
     xr1 = rng.standard_normal((2, 1024, 256)).astype(np.float32)
     hr = R2cFftHandler(1024)

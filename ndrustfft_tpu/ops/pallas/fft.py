@@ -822,6 +822,11 @@ def bfly_dft_leading(planes, sign):
     (M = 2f, K = 6f vs the 128^3 tile) — these adds measured ~8% faster
     end-to-end at f=8 on v5e. Twiddles are python scalars; multiplies by
     ±1/±i reduce to sign flips and re/im swaps.
+
+    A plane may be ``None`` meaning an exact-zero plane (the Bluestein
+    pow2 pad): butterflies against a zero plane degenerate to copies /
+    twiddled copies at trace time — roughly a free first DIF level when
+    the upper half of the input is padding.
     """
     import math
 
@@ -831,10 +836,25 @@ def bfly_dft_leading(planes, sign):
     h = f // 2
     tops, bots = [], []
     for k in range(h):
-        ar, ai = planes[k]
-        br, bi = planes[k + h]
-        tops.append((ar + br, ai + bi))
-        dr, di = ar - br, ai - bi
+        a = planes[k]
+        b = planes[k + h]
+        if a is None and b is None:
+            tops.append(None)
+            bots.append(None)
+            continue
+        if b is None:
+            ar, ai = a
+            tops.append(a)
+            dr, di = ar, ai
+        elif a is None:
+            br, bi = b
+            tops.append(b)
+            dr, di = -br, -bi
+        else:
+            ar, ai = a
+            br, bi = b
+            tops.append((ar + br, ai + bi))
+            dr, di = ar - br, ai - bi
         wr_ = math.cos(2 * math.pi * k / f)
         wi_ = math.sin(2 * math.pi * k / f) * (1.0 if sign > 0 else -1.0)
         if k == 0:
@@ -988,14 +1008,22 @@ def _bts_core(xr, xi, consts, m, f, mode, sign):
 
 
 def _bts2_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
-                 m_pref: int = 0):
+                 m_pref: int = 0, p_trim: int = 0):
     """BTS2 (DIF, per-q dots) consts: f stage-2 matrices with the stage
     twiddle FOLDED in host-side — Wq[b, p'] = W_n^{qb} * Wm[b, p'] * scale —
     so the kernel has zero twiddle work; plus Wf iff f needs the MXU
-    stage-1."""
+    stage-1.
+
+    ``p_trim > 0`` keeps only the first p_trim OUTPUT rows per q (output
+    index k = q + f*p' < f*p_trim): the Bluestein inverse core discards
+    rows k >= n, so trimming Wq to (m, p_trim) columns cuts the stage-2
+    MXU MACs by p_trim/m (half, for the pow2-padded chirp-z) with zero
+    arithmetic change to the kept rows."""
     m, f = _twostep_split(n, m_pref)
     tw_r, tw_i = stage_twiddle(f, m, sign)         # [q, b]
     wm_r, wm_i = dft_matrix(m, sign)               # [b, p']
+    if p_trim and p_trim < m:
+        wm_r, wm_i = wm_r[:, :p_trim], wm_i[:, :p_trim]
     consts = []
     for q in range(f):
         cr = tw_r[q][:, None] * wm_r - tw_i[q][:, None] * wm_i
@@ -1014,14 +1042,26 @@ def _bts2_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
     return consts, (m, f)
 
 
-def _bts2_core(xr, xi, consts, m, f, mode, sign):
+def _bts2_core(xr, xi, consts, m, f, mode, sign, p_trim: int = 0,
+               zero_from: int = 0):
     """(n, L) -> (n, L) DIF dataflow, stage 2 as f per-q 2-D K-stacked dots.
 
     vs :func:`_bts_core`: the rank-3 middle-contraction dot (Mosaic-slow)
     becomes f plain 2-D matmuls; the stage twiddle rides the per-q W
     constants; the only data movement left is the exit (q, p', L) ->
-    (p', q, L) leading<->sublane permute (no lane crossing)."""
+    (p', q, L) leading<->sublane permute (no lane crossing).
+
+    ``p_trim``: the consts were built with ``_bts2_consts(p_trim=...)`` —
+    stage 2 emits (p_trim, L) per q and the result is the FIRST f*p_trim
+    rows of the full transform (callers slice to their true n).
+
+    ``zero_from > 0``: input planes a >= zero_from are EXACT ZERO (the
+    Bluestein pow2 pad); ``xr``/``xi`` then carry only zero_from*m rows
+    and stage 1 runs zero-aware VPU butterflies (the padding never
+    materializes and its butterfly level is free). Requires pow2 f <= 16
+    and a known sign."""
     n = m * f
+    p_out = p_trim if p_trim and p_trim < m else m
     cols = xr.shape[-1]
     if mode == "bf16x3":
         wq = consts[:f]
@@ -1030,12 +1070,26 @@ def _bts2_core(xr, xi, consts, m, f, mode, sign):
         wq = [(consts[2 * q], consts[2 * q + 1]) for q in range(f)]
         wf_arg = (tuple(consts[2 * f:2 * f + 2])
                   if len(consts) > 2 * f else None)
-    xr3 = xr.reshape(f, m, cols)
-    xi3 = xi.reshape(f, m, cols)
-    # stage 1: f-point DFT over the leading a dim
-    if f in _BFLY_F and sign is not None:
+    if zero_from and sign is not None and f in (2, 4, 8, 16):
+        xr3 = xr.reshape(zero_from, m, cols)
+        xi3 = xi.reshape(zero_from, m, cols)
+        ins = [(xr3[a], xi3[a]) for a in range(zero_from)]
+        ins += [None] * (f - zero_from)
+        planes = bfly_dft_leading(ins, sign)
+        zero = None
+        for i, pl_ in enumerate(planes):   # all-zero subtree leftovers
+            if pl_ is None:
+                if zero is None:
+                    zero = jnp.zeros_like(xr3[0])
+                planes[i] = (zero, zero)
+        xr3 = xi3 = None
+    elif f in _BFLY_F and sign is not None:
+        xr3 = xr.reshape(f, m, cols)
+        xi3 = xi.reshape(f, m, cols)
         planes = bfly_dft_leading([(xr3[a], xi3[a]) for a in range(f)], sign)
     else:
+        xr3 = xr.reshape(f, m, cols)
+        xi3 = xi.reshape(f, m, cols)
         yr, yi = _combine_f(xr3, xi3, wf_arg, f, mode, sign)
         planes = [(yr[q], yi[q]) for q in range(f)]
     # stage 2: per-q twiddle-folded complex dot (b -> p'), all 2-D
@@ -1051,8 +1105,8 @@ def _bts2_core(xr, xi, consts, m, f, mode, sign):
     zr = jnp.concatenate(zr_parts, axis=0)           # (q, p', L)
     zi = jnp.concatenate(zi_parts, axis=0)
     # exit: leading<->sublane swap, then the (p', q) merge IS k = q + f*p'
-    zr = jnp.transpose(zr, (1, 0, 2)).reshape(n, cols)
-    zi = jnp.transpose(zi, (1, 0, 2)).reshape(n, cols)
+    zr = jnp.transpose(zr, (1, 0, 2)).reshape(f * p_out, cols)
+    zi = jnp.transpose(zi, (1, 0, 2)).reshape(f * p_out, cols)
     return zr, zi
 
 
@@ -1141,29 +1195,41 @@ def blue_kernel_M(n: int):
     return None
 
 
-def _blue_core_consts(M, sign, dtype, mode, scale=1.0):
-    """(consts, kind, (m, f)) for one length-M sub-FFT inside the kernel."""
+def _blue_core_consts(M, sign, dtype, mode, scale=1.0, out_rows: int = 0):
+    """(consts, kind, (m, f), p_trim) for one length-M sub-FFT in-kernel.
+
+    ``out_rows > 0``: only the first out_rows output rows are needed (the
+    Bluestein INVERSE core — its tail is sliced off). The dense and bts2
+    kinds trim their stage-2 W columns accordingly (the pow2 chirp-z pad
+    means out_rows ~ M/2: half the inverse's MXU MACs); 'ts' ignores it.
+    """
     if M <= 256:
         wr_, wi_ = dft_matrix(M, sign)
+        if out_rows and out_rows < M:
+            wr_, wi_ = wr_[:, :out_rows], wi_[:, :out_rows]
         if mode == "bf16x3":
-            return [ks_w6_np(wr_ * scale, wi_ * scale)], "dense", (M, 1)
+            return [ks_w6_np(wr_ * scale, wi_ * scale)], "dense", (M, 1), 0
         return [np.asarray(wr_ * scale, dtype),
-                np.asarray(wi_ * scale, dtype)], "dense", (M, 1)
+                np.asarray(wi_ * scale, dtype)], "dense", (M, 1), 0
     m, f = _twostep_split(M)
     if f <= 16:
-        consts, _ = _bts2_consts(M, sign, dtype, mode, scale)
-        return consts, "bts2", (m, f)
+        # keep rows k = q + f*p' < f*p_trim >= out_rows
+        p_trim = min(m, -(-out_rows // f)) if out_rows else 0
+        consts, _ = _bts2_consts(M, sign, dtype, mode, scale, 0, p_trim)
+        return consts, "bts2", (m, f), p_trim
     consts, _ = _twostep_consts(M, sign, dtype, mode, scale)
-    return consts, "ts", (m, f)
+    return consts, "ts", (m, f), 0
 
 
-def _blue_core(xr, xi, consts, kind, m, f, cols, mode, sign):
+def _blue_core(xr, xi, consts, kind, m, f, cols, mode, sign, p_trim=0,
+               zero_from=0):
     if kind == "dense":
         if len(consts) == 1:
             return _ks_complex_dot(xr, xi, None, None, mode, w6=consts[0])
         return _ks_complex_dot(xr, xi, consts[0], consts[1], mode)
     if kind == "bts2":
-        return _bts2_core(xr, xi, consts, m, f, mode, sign)
+        return _bts2_core(xr, xi, consts, m, f, mode, sign, p_trim,
+                          zero_from)
     return _ts_core_nlead(xr, xi, consts, m, f, cols, mode, sign)
 
 
@@ -1181,8 +1247,11 @@ def _blue_consts(n: int, M: int, sign: int, dtype, mode: str,
     hr[M - n + 1:] = cw_r[1:][::-1]
     hi[M - n + 1:] = cw_i[1:][::-1]
     H = np.fft.fft(hr + 1j * hi)
-    fwd, kind, (m, f) = _blue_core_consts(M, -1, dtype, mode)
-    inv, _, _ = _blue_core_consts(M, +1, dtype, mode, scale=scale / M)
+    fwd, kind, (m, f), _ = _blue_core_consts(M, -1, dtype, mode)
+    # inverse core: rows k >= n are sliced off in-kernel, so build its
+    # stage-2 W trimmed to the needed rows (~half the inverse MXU MACs)
+    inv, _, _, p_trim = _blue_core_consts(M, +1, dtype, mode,
+                                          scale=scale / M, out_rows=n)
 
     def col(v):
         return np.asarray(v, dtype).reshape(-1, 1)
@@ -1191,10 +1260,10 @@ def _blue_consts(n: int, M: int, sign: int, dtype, mode: str,
     consts = ([col(car), col(cai)] + fwd + [col(H.real), col(H.imag)]
               + inv + [col(car), col(cai)])
     sections = (2, len(fwd), 2, len(inv), 2)
-    return consts, sections, kind, (m, f)
+    return consts, sections, kind, (m, f, p_trim)
 
 
-def _kernel_axis_mid_blue(n, M, kind, m, f, tl, mode, sections,
+def _kernel_axis_mid_blue(n, M, kind, m, f, p_trim, tl, mode, sections,
                           xr_ref, xi_ref, *refs):
     """(1, n, TL) block -> (1, n, TL): fused chirp-z, all work in VMEM."""
     consts = [r[:] for r in refs[:-2]]
@@ -1209,13 +1278,19 @@ def _kernel_axis_mid_blue(n, M, kind, m, f, tl, mode, sections,
     xi = xi_ref[:].reshape(n, tl)
     ar = xr * car - xi * cai
     ai = xr * cai + xi * car
-    pad = ((0, M - n), (0, 0))
+    # the pow2 pad: on the bts2 path only materialize up to the first
+    # zero PLANE boundary; the core's zero-aware butterflies take the
+    # rest (free first DIF level)
+    zfrom = -(-n // m) if (kind == "bts2" and f in (2, 4, 8, 16)) else 0
+    pad_to = zfrom * m if zfrom else M
+    pad = ((0, pad_to - n), (0, 0))
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
-    fr, fi = _blue_core(ar, ai, fwd, kind, m, f, tl, mode, -1)
+    fr, fi = _blue_core(ar, ai, fwd, kind, m, f, tl, mode, -1,
+                        zero_from=zfrom)
     gr = fr * hr - fi * hi
     gi = fr * hi + fi * hr
-    zr, zi = _blue_core(gr, gi, inv, kind, m, f, tl, mode, +1)
+    zr, zi = _blue_core(gr, gi, inv, kind, m, f, tl, mode, +1, p_trim)
     zr = zr[:n]
     zi = zi[:n]
     or_ref[:] = (zr * cbr - zi * cbi).reshape(1, n, tl)
@@ -1229,8 +1304,8 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
                               donate: bool = False):
     dtype = jnp.dtype(dtype_str)
     M = blue_kernel_M(n)
-    consts, sections, kind, (m, f) = _blue_consts(n, M, sign, dtype, mode,
-                                                  scale)
+    consts, sections, kind, (m, f, p_trim) = _blue_consts(
+        n, M, sign, dtype, mode, scale)
     tile = _blue_tile(M, cols, dtype.itemsize, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
@@ -1239,7 +1314,7 @@ def _build_call_axis_mid_blue(n: int, sign: int, nb: int, cols: int,
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_kernel_axis_mid_blue, n, M, kind, m, f, tile, mode,
+        partial(_kernel_axis_mid_blue, n, M, kind, m, f, p_trim, tile, mode,
                 sections),
         out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
                    jax.ShapeDtypeStruct((nb, n, cols), dtype)),
@@ -1371,8 +1446,9 @@ def _blue_rr_consts_cached(n: int, dtype_str: str, mode: str, variant: str,
     hr[M - n + 1:] = cw_r[1:][::-1]
     hi[M - n + 1:] = cw_i[1:][::-1]
     H = np.fft.fft(hr + 1j * hi)
-    fwd, kind, (m, f) = _blue_core_consts(M, -1, dtype, mode)
-    inv, _, _ = _blue_core_consts(M, +1, dtype, mode, scale=1.0 / M)
+    fwd, kind, (m, f), _ = _blue_core_consts(M, -1, dtype, mode)
+    inv, _, _, p_trim = _blue_core_consts(M, +1, dtype, mode,
+                                          scale=1.0 / M, out_rows=n)
 
     def col(v):
         return np.asarray(v, dtype).reshape(-1, 1)
@@ -1380,10 +1456,10 @@ def _blue_rr_consts_cached(n: int, dtype_str: str, mode: str, variant: str,
     consts = ([col(a.real), col(a.imag)] + fwd + [col(H.real), col(H.imag)]
               + inv + [col(b.real), col(b.imag)])
     sections = (2, len(fwd), 2, len(inv), 2)
-    return consts, sections, kind, (m, f), M
+    return consts, sections, kind, (m, f, p_trim), M
 
 
-def _kernel_axis_mid_blue_rr(n, M, kind, m, f, tl, mode, sections,
+def _kernel_axis_mid_blue_rr(n, M, kind, m, f, p_trim, tl, mode, sections,
                              x_ref, *refs):
     """(1, n, TL) REAL block -> (1, n, TL) REAL block: fused chirp-z with
     the Makhoul twiddles riding the entry/exit constants."""
@@ -1398,13 +1474,16 @@ def _kernel_axis_mid_blue_rr(n, M, kind, m, f, tl, mode, sections,
     x = x_ref[:].reshape(n, tl)
     ar = x * car
     ai = x * cai
-    pad = ((0, M - n), (0, 0))
+    zfrom = -(-n // m) if (kind == "bts2" and f in (2, 4, 8, 16)) else 0
+    pad_to = zfrom * m if zfrom else M
+    pad = ((0, pad_to - n), (0, 0))
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
-    fr, fi = _blue_core(ar, ai, fwd, kind, m, f, tl, mode, -1)
+    fr, fi = _blue_core(ar, ai, fwd, kind, m, f, tl, mode, -1,
+                        zero_from=zfrom)
     gr = fr * hr - fi * hi
     gi = fr * hi + fi * hr
-    zr, zi = _blue_core(gr, gi, inv, kind, m, f, tl, mode, +1)
+    zr, zi = _blue_core(gr, gi, inv, kind, m, f, tl, mode, +1, p_trim)
     zr = zr[:n]
     zi = zi[:n]
     o_ref[:] = (zr * cbr - zi * cbi).reshape(1, n, tl)
@@ -1416,7 +1495,7 @@ def _build_call_axis_mid_blue_rr(n: int, nb: int, cols: int, dtype_str: str,
                                  scale: float, tcfg: int = 0,
                                  donate: bool = False):
     dtype = jnp.dtype(dtype_str)
-    consts, sections, kind, (m, f), M = _blue_rr_consts_cached(
+    consts, sections, kind, (m, f, p_trim), M = _blue_rr_consts_cached(
         n, dtype_str, mode, variant, scale)
     tile = _blue_tile(M, cols, dtype.itemsize, tcfg)
     gc = pl.cdiv(cols, tile)
@@ -1426,8 +1505,8 @@ def _build_call_axis_mid_blue_rr(n: int, nb: int, cols: int, dtype_str: str,
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_kernel_axis_mid_blue_rr, n, M, kind, m, f, tile, mode,
-                sections),
+        partial(_kernel_axis_mid_blue_rr, n, M, kind, m, f, p_trim, tile,
+                mode, sections),
         out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
         grid=grid,
         in_specs=[spec] + const_specs,

@@ -453,3 +453,49 @@ def test_pallas_dct1_natural_mid():
     hs = DctHandler(n).normalization(Normalization.scalar(3.0))
     got3 = np.asarray(nddct1(jnp.asarray(x), hs, axis=1))
     assert np.abs(got3 - 1.5 * ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_bts2_core_trim_and_zero_aware_butterflies():
+    """The Bluestein inverse-core trim (p_trim) must equal the full core
+    sliced, and the zero-aware stage-1 butterflies (zero_from) must equal
+    explicitly-materialized zero padding — the two round-4 chirp-z
+    optimizations are pure dataflow cuts, not approximations."""
+    from ndrustfft_tpu.ops.pallas.fft import _bts2_consts, _bts2_core
+
+    n, cols = 2048, 64
+    rng = np.random.default_rng(7)
+    xr = jnp.asarray(rng.standard_normal((n, cols)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((n, cols)).astype(np.float32))
+
+    for sign in (-1, +1):
+        consts, (m, f) = _bts2_consts(n, sign, np.float32, "f32")
+        full_r, full_i = _bts2_core(xr, xi, consts, m, f, "f32", sign)
+
+        # p_trim: keep k = q + f*p' < f*p_trim rows, exactly
+        out_rows = 1021  # a Bluestein n inside M=2048
+        p_trim = min(m, -(-out_rows // f))
+        tcon, _ = _bts2_consts(n, sign, np.float32, "f32", p_trim=p_trim)
+        tr, ti = _bts2_core(xr, xi, tcon, m, f, "f32", sign, p_trim=p_trim)
+        assert tr.shape == (f * p_trim, cols)
+        np.testing.assert_allclose(np.asarray(tr),
+                                   np.asarray(full_r[:f * p_trim]),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ti),
+                                   np.asarray(full_i[:f * p_trim]),
+                                   rtol=0, atol=1e-4)
+
+        # zero_from: planes a >= zfrom are exact zero; pass only the live
+        # rows and let stage 1 degenerate the dead butterflies
+        zfrom = f // 2 + 1
+        live = zfrom * m
+        xr_z = jnp.concatenate([xr[:live], jnp.zeros((n - live, cols),
+                                                     jnp.float32)])
+        xi_z = jnp.concatenate([xi[:live], jnp.zeros((n - live, cols),
+                                                     jnp.float32)])
+        ref_r, ref_i = _bts2_core(xr_z, xi_z, consts, m, f, "f32", sign)
+        zr, zi = _bts2_core(xr[:live], xi[:live], consts, m, f, "f32",
+                            sign, zero_from=zfrom)
+        np.testing.assert_allclose(np.asarray(zr), np.asarray(ref_r),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zi), np.asarray(ref_i),
+                                   rtol=0, atol=1e-4)
