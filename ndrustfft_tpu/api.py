@@ -617,6 +617,27 @@ def _dst_impl(x, handler, axis, dst_type):
     return _dct_impl(jnp.flip(x, axis), dh, axis, dst_type) * alt
 
 
+def _c2c_dd_impl(x, h, axis, sign):
+    """Double-float C2C over STACKED dd planes (the pencil dd step kinds).
+
+    ``x`` is the (4, ...) f32 stack of :func:`ops.df64.split64` leaves
+    (re_hi, re_lo, im_hi, im_lo); ``axis`` is in the STACKED frame (>= 1).
+    Inverse folds the Default 1/n as an exact double-float multiply. This
+    is how the ~1e-13 emulate tier rides the pencil path: the planes are
+    plain f32, so the all_to_all global transposes are LOSSLESS for it
+    (f32 wire == the dd representation itself). The plane dim must never
+    be split (it is unsharded and must not be a pipeline-chunk bystander
+    — fftn_pencil_dd therefore runs unchunked)."""
+    from .ops import df64
+
+    if axis < 1:
+        raise ValueError("dd transform axis 0 is the dd plane stack")
+    scale = (1.0 / h.n) if sign > 0 else None
+    outs = df64.c2c_dd(x[0], x[1], x[2], x[3], sign=sign, axis=axis - 1,
+                       scale=scale)
+    return jnp.stack(outs)
+
+
 # --------------------------------------------------------------------------
 # Eager-call jit cache: compiled once per (kind, handler, axis, shape, dtype)
 # — the runtime analog of the reference's cached Arc<dyn Fft> plans.
@@ -625,6 +646,8 @@ def _dst_impl(x, handler, axis, dst_type):
 _IMPLS = {
     "fft": lambda x, h, a: _c2c_impl(x, h, a, -1),
     "ifft": lambda x, h, a: _c2c_impl(x, h, a, +1),
+    "fft_dd": lambda x, h, a: _c2c_dd_impl(x, h, a, -1),
+    "ifft_dd": lambda x, h, a: _c2c_dd_impl(x, h, a, +1),
     "r2c": _r2c_impl,
     "c2r": _c2r_impl,
     "dct1": lambda x, h, a: _dct_impl(x, h, a, 1),

@@ -64,7 +64,8 @@ def _spec_tuple(spec, ndim: int) -> list[Optional[str]]:
     return parts
 
 
-def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
+def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec,
+                frozen_dims: Sequence[int] = ()):
     """Statically simulate the re-sharding schedule.
 
     Uneven decompositions (e.g. the R2C half-spectrum m = n//2+1 not divisible
@@ -73,6 +74,11 @@ def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
     the padding back off when a dim becomes local again (the standard uneven
     pencil technique, cf. AccFFT). Invariant: LOCAL dims always carry their
     true length; SHARDED dims may carry tail padding.
+
+    ``frozen_dims``: dims that must stay WHOLE on every chip — never chosen
+    as an all_to_all split destination (nor as a pipeline-chunk bystander in
+    :func:`pencil_transform`). Used for semantic plane dims, e.g. the
+    double-float leaf stack of :func:`fftn_pencil_dd`.
 
     Returns (reshard_plan, out_spec, true_out_shape, padded_out_shape,
     in_pad_shape):
@@ -99,9 +105,12 @@ def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
             k = mesh.shape[name]
             # destination: any local dim; prefer the most recently
             # transformed (classic pencil rotation)
-            cands = [b for b in reversed(transformed) if b != a and spec[b] is None]
+            frozen = set(frozen_dims)
+            cands = [b for b in reversed(transformed)
+                     if b != a and spec[b] is None and b not in frozen]
             cands += [b for b in range(ndim)
-                      if b != a and spec[b] is None and b not in cands]
+                      if b != a and spec[b] is None and b not in cands
+                      and b not in frozen]
             if not cands:
                 raise ValueError(
                     f"cannot re-shard: no local dim available to receive the "
@@ -127,7 +136,8 @@ def plan_pencil(global_shape, steps: Sequence[Step], mesh: Mesh, in_spec):
 
 
 def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
-                     pipeline_chunks: int = 1, wire_dtype=None):
+                     pipeline_chunks: int = 1, wire_dtype=None,
+                     frozen_dims: Sequence[int] = ()):
     """Apply a sequence of axis transforms to a mesh-sharded global array.
 
     ``in_spec`` is a PartitionSpec (or tuple) mapping each array dim to at
@@ -160,7 +170,7 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
     """
     steps = list(steps)
     plan, out_spec, true_shape, pad_shape, in_pad_shape = plan_pencil(
-        x.shape, steps, mesh, in_spec
+        x.shape, steps, mesh, in_spec, frozen_dims
     )
     if in_pad_shape != x.shape:
         pads = [(0, p - s) for s, p in zip(x.shape, in_pad_shape)]
@@ -212,7 +222,8 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
             # bystander dim for pipelining: uninvolved in the transpose and
             # big enough locally (a sharded bystander chunks its local part)
             cands = [d for d in range(ndim)
-                     if d not in (a, b) and lx.shape[d] >= pipeline_chunks]
+                     if d not in (a, b) and d not in frozen_dims
+                     and lx.shape[d] >= pipeline_chunks]
             c = cands[0] if (pipeline_chunks > 1 and cands) else None
             if c is None:
                 lx = apply(reshard(lx, rs))
@@ -257,6 +268,37 @@ def fftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,
     return pencil_transform(x, steps, mesh, in_spec,
                             pipeline_chunks=pipeline_chunks,
                             wire_dtype=wire_dtype)
+
+
+def fftn_pencil_dd(rh, rl, ih, il, mesh: Mesh, in_spec,
+                   axes: Optional[Sequence[int]] = None,
+                   inverse: bool = False):
+    """Multi-axis C2C FFT at the double-float (~1e-13) tier on a sharded
+    global array — the distributed form of the ``tpu_f64='emulate'``
+    accuracy tier (ops/df64.py; reference f64 parity,
+    /root/reference/src/lib.rs:105-115).
+
+    Operands are the four f32 leaves of :func:`ops.df64.split64`
+    (re_hi, re_lo, im_hi, im_lo), each sharded with ``in_spec``. They ride
+    the pencil machinery as a stacked leading (4, ...) plane dim, so every
+    all_to_all global transpose moves plain f32 — LOSSLESS for the dd
+    representation (no wire_dtype knob: f32 wire IS the format; bf16 wire
+    would defeat the tier's purpose). Inverse applies the Default 1/n as
+    an exact double-float multiply per axis.
+
+    Runs unchunked (the plane dim must never be pipeline-split). Returns
+    ``((rh, rl, ih, il), out_spec)`` with out_spec in the LEAF frame;
+    recombine on host with :func:`ops.df64.join64`.
+    """
+    jnp = jax.numpy
+    axes = list(range(rh.ndim)) if axes is None else list(axes)
+    kind = "ifft_dd" if inverse else "fft_dd"
+    x = jnp.stack([rh, rl, ih, il])
+    steps = [Step(kind, a + 1, FftHandler(rh.shape[a])) for a in axes]
+    spec = P(None, *_spec_tuple(in_spec, rh.ndim))
+    out, out_spec = pencil_transform(x, steps, mesh, spec, frozen_dims=(0,))
+    leaf_spec = P(*tuple(out_spec)[1:])
+    return (out[0], out[1], out[2], out[3]), leaf_spec
 
 
 def rfftn_pencil(x, mesh: Mesh, in_spec, axes: Optional[Sequence[int]] = None,

@@ -266,3 +266,56 @@ def test_c2c_dd_axis0_and_grad_composability():
     out_v = vm(*leaves)
     got_v = df64.join64(*[np.asarray(o) for o in out_v])
     assert relerr(got_v, got) < 1e-14
+
+
+# ---------------------------------------------------------------------------
+# distributed dd tier: the emulate accuracy rides the pencil path (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_fftn_pencil_dd_3d_mesh():
+    """The double-float tier over a 2x4 mesh: dd leaves ride the stacked
+    plane dim through real all_to_all rotations, forward matches numpy
+    f64 at dd accuracy and the roundtrip closes (reference f64 parity,
+    src/lib.rs:105-115, now including the distributed layer)."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ndrustfft_tpu.parallel import fftn_pencil_dd
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 24, 20)) + 1j * rng.standard_normal(
+        (16, 24, 20))
+    leaves = df64.split64(x)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("py", "pz"))
+    spec = P("py", "pz", None)
+    sh = NamedSharding(mesh, spec)
+    dl = [jax.device_put(np.asarray(l), sh) for l in leaves]
+    outs, ospec = fftn_pencil_dd(*dl, mesh, spec)
+    got = df64.join64(*[np.asarray(t) for t in outs])
+    ref = np.fft.fftn(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < RTOL
+    dl2 = [jax.device_put(np.asarray(t), NamedSharding(mesh, ospec))
+           for t in outs]
+    back, _ = fftn_pencil_dd(*dl2, mesh, ospec, inverse=True)
+    rt = df64.join64(*[np.asarray(t) for t in back])
+    assert np.abs(rt - x).max() < 1e-12
+
+
+def test_plan_pencil_frozen_dims():
+    """A frozen dim is never chosen as the all_to_all destination (it would
+    scatter the dd planes), and with no other local dim available the plan
+    fails loudly instead of silently splitting it."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from ndrustfft_tpu.handlers import FftHandler
+    from ndrustfft_tpu.parallel import Step, plan_pencil
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("py",))
+    steps = [Step("fft_dd", 1, FftHandler(32))]
+    plan, out_spec, *_ = plan_pencil((4, 32, 48), steps, mesh,
+                                     P(None, "py", None), frozen_dims=(0,))
+    assert plan[0] is not None and plan[0]["split"] == 2  # not the plane dim
+    with pytest.raises(ValueError, match="no local dim"):
+        plan_pencil((4, 32), steps, mesh, P(None, "py"), frozen_dims=(0,))
