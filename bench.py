@@ -830,7 +830,10 @@ def main():
             sc = drift / math.sqrt(ne)
 
             def _emulate_row():
-                K1, K2 = 2, 10  # dd core is compute-heavy; short chains
+                # the dd batch step is only ~tens of us, so the chain delta
+                # must clear the ~30 ms tunnel round-trip noise floor: long
+                # chains (fori_loop => program size is K-independent)
+                K1, K2 = 25, 825
 
                 def chain(K):
                     @_jax.jit
