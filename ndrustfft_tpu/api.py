@@ -1103,15 +1103,21 @@ def _make_par(kind, serial_fn, handler_cls):
             # pinned in tests/test_parallel.py) instead of the pencil
             # all_to_all schedule. For the pencil schedule under jit, call
             # parallel.pencil.pencil_transform explicitly inside the jit.
-            import warnings
+            from .config import config as _cfg
 
-            warnings.warn(
-                f"{serial_fn.__name__}_par was traced inside jit: sharded "
-                "inputs cannot be detected under tracing, so the serial "
-                "implementation runs (GSPMD inserts its own collectives). "
-                "Use ndrustfft_tpu.parallel.pencil.pencil_transform inside "
-                "jit for the explicit pencil schedule.",
-                stacklevel=2)
+            if _cfg.warn_par_under_jit:
+                import warnings
+
+                warnings.warn(
+                    f"{serial_fn.__name__}_par was traced inside jit: "
+                    "sharded inputs cannot be detected under tracing, so "
+                    "the serial implementation runs (harmless for "
+                    "unsharded/replicated inputs; a mesh-sharded input "
+                    "gets GSPMD's collectives instead of the pencil "
+                    "schedule). Use parallel.pencil.pencil_transform "
+                    "inside jit for the explicit pencil schedule, or set "
+                    "config.warn_par_under_jit=False to silence.",
+                    stacklevel=2)
             return serial_fn(x, handler, axis, **kw)
         sharded = (
             hasattr(x, "sharding")

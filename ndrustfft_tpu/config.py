@@ -98,6 +98,14 @@ class _Config:
     # plan logging only).
     debug_plan_log: bool = os.environ.get("NDRUSTFFT_TPU_DEBUG_PLAN", "0") in (
         "1", "true")
+    # Warn when a `_par` entry point is traced inside a user jit (tracers
+    # carry no committed sharding, so the pencil path cannot be selected
+    # and the serial impl runs — harmless for unsharded/replicated inputs,
+    # but a mesh-sharded input silently gets GSPMD's collectives instead
+    # of the pencil schedule). Set False (or NDRUSTFFT_TPU_WARN_PAR_JIT=0)
+    # to silence once the behavior is understood.
+    warn_par_under_jit: bool = os.environ.get(
+        "NDRUSTFFT_TPU_WARN_PAR_JIT", "1") in ("1", "true")
     # Axis-0 execution strategy for C2C:
     #   'moveaxis' (default) — transpose to lane-last; XLA fuses the
     #                transposes into the stage matmuls (fastest measured)

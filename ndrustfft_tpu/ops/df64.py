@@ -295,7 +295,14 @@ def c2c_dd(rh, rl, ih, il, sign: int = -1, axis: int = -1, scale=None):
     axis = axis % rh.ndim
     n = rh.shape[axis]
     if n == 1:
-        return rh, rl, ih, il
+        # a length-1 DFT is the identity, but a requested scale still applies
+        if scale is None:
+            return rh, rl, ih, il
+        sh, sl = _split64(np.float64(scale))
+        s_dd = (jnp.asarray(sh), jnp.asarray(sl))
+        re = _dd_mul((rh, rl), s_dd)
+        im = _dd_mul((ih, il), s_dd)
+        return re[0], re[1], im[0], im[1]
     parts = (rh, rl, ih, il)
 
     def prep(t):

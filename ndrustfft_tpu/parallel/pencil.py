@@ -189,7 +189,15 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
             pads[b] = (0, pad_to - lx.shape[b])
             lx = jnp.pad(lx, pads)
         dt = lx.dtype
-        demote = wire is not None and jnp.dtype(dt).itemsize > wire.itemsize
+        # demote only when the wire format actually shrinks the payload: a
+        # complex payload crosses as TWO stacked wire planes, so e.g.
+        # wire_dtype='float32' on complex64 would move identical bytes while
+        # paying the stack/cast/reassembly passes — skip it
+        if wire is not None:
+            planes = 2 if jnp.issubdtype(dt, jnp.complexfloating) else 1
+            demote = planes * wire.itemsize < jnp.dtype(dt).itemsize
+        else:
+            demote = False
         if demote:
             if jnp.issubdtype(dt, jnp.complexfloating):
                 # stacked re/im planes -> ONE all_to_all (split/concat axes

@@ -157,6 +157,7 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
                                 hbm_gbps: float | None = None,
                                 axis_bw: float | None = None,
                                 wire_itemsize: int | None = None,
+                                payload_complex: bool = True,
                                 ) -> PencilEstimate:
     """Roofline model of weak-scaling efficiency for an rfftn+irfftn pencil
     pipeline on a (py, pz) mesh.
@@ -173,7 +174,10 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
     ``wire_itemsize`` models ``pencil_transform(wire_dtype=...)``: bytes on
     the wire scale by wire_itemsize/itemsize (bf16 wire on a complex64
     volume => 4/8, halving t_comm), while the compute term keeps the full
-    working-dtype volume (the casts fuse into the local passes).
+    working-dtype volume (the casts fuse into the local passes). A complex
+    payload (``payload_complex``, the default) crosses the wire as TWO
+    stacked real planes of ``wire_itemsize`` each; set False for a real
+    payload so bf16 wire on f32 models its true 2x byte saving.
     """
     import numpy as np
 
@@ -182,7 +186,8 @@ def predict_pencil_weak_scaling(local_shape, mesh_shape, itemsize: int = 8,
     if axis_bw is None:
         axis_bw = ici_axis_bw()
     v_bytes = float(np.prod(local_shape)) * itemsize
-    w_bytes = v_bytes * ((2.0 * wire_itemsize / itemsize)
+    planes = 2.0 if payload_complex else 1.0
+    w_bytes = v_bytes * ((planes * wire_itemsize / itemsize)
                          if wire_itemsize else 1.0)
     t_pass = 2.0 * v_bytes / (hbm_fraction * hbm_gbps * 1e9)
     t_compute = n_transform_passes * t_pass

@@ -248,6 +248,21 @@ def test_c2c_dd_traceable_inside_jit():
     assert relerr(gotf, np.fft.fft(x, axis=1)) < 1e-13
 
 
+def test_c2c_dd_length1_axis_applies_scale():
+    """A length-1 DFT is the identity, but a requested scale must still
+    apply (it carries a normalization fold, e.g. 1/n from the pencil dd
+    inverse) — regression for the early return that dropped it."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 1)) + 1j * rng.standard_normal((4, 1))
+    leaves = [jnp.asarray(v) for v in df64.split64(x)]
+    out = df64.c2c_dd(*leaves, sign=+1, axis=1, scale=0.5)
+    got = df64.join64(*[np.asarray(o) for o in out])
+    assert relerr(got, 0.5 * x) < 1e-15
+    out2 = df64.c2c_dd(*leaves, sign=+1, axis=1)
+    got2 = df64.join64(*[np.asarray(o) for o in out2])
+    assert relerr(got2, x) < 1e-15
+
+
 def test_c2c_dd_axis0_and_grad_composability():
     """c2c_dd composes with vmap (pure f32 jax ops) and honors axis."""
     import jax

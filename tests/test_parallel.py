@@ -372,6 +372,23 @@ def test_pencil_bf16_wire_numerics():
     assert rel < 3e-2, rel
 
 
+def test_pencil_wire_demote_requires_byte_saving():
+    # wire_dtype='float32' on a complex64 payload moves IDENTICAL bytes
+    # (two f32 planes == one c64 plane), so the demote path must be
+    # skipped: results bit-match the plain path and the compiled module
+    # carries no bf16/stack overhead ops beyond it
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((8, 16, 12)) + 1j * rng.standard_normal(
+        (8, 16, 12))
+    mesh = mesh_2d()
+    x = shard(jnp.asarray(v, jnp.complex64), mesh, P("y", "z", None))
+    steps = [Step("fft", 2, FftHandler(12)), Step("fft", 1, FftHandler(16))]
+    out, _ = pencil_transform(x, steps, mesh, P("y", "z", None),
+                              wire_dtype="float32")
+    ref, _ = pencil_transform(x, steps, mesh, P("y", "z", None))
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_pencil_bf16_wire_real_payload():
     # a real-dtype payload (DCT pipeline) takes the non-complex wire branch
     from ndrustfft_tpu import DctHandler

@@ -292,7 +292,7 @@ def main():
                     "alias_fullrow", "alias_batch4", "alias_sub", "pipe4",
                     "pipe4a"]
     rows = []
-    rows.append(measure("ctrl_pre") if False else measure("ctrl"))
+    rows.append(measure("ctrl"))
     for v in variants:
         if v == "ctrl":
             continue
