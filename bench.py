@@ -814,6 +814,28 @@ def main():
                       lambda v: nddct4(nddct4(v, h4a, axis=1), h4b, axis=1),
                       x4, scale=None, per_iter=2 * 16))
 
+        # same-window engine A/B for the DCT-IV 2048 row (the half-c2c
+        # kernel route's comparison point, mirroring the 2049 outlier A/B)
+        if _want("dct2d_4_2048_engine"):
+            from ndrustfft_tpu import nddct4
+
+            x4 = rng.standard_normal((16, 2048, 2048)).astype(np.float32)
+            h4a = DctHandler(2048).normalization(Normalization.NONE)
+            h4b = DctHandler(2048).normalization(
+                Normalization.scalar(2.0 * drift / 2048))
+
+            def _engine_dct4_pair():
+                _cfg2.use_pallas = False
+                try:
+                    return per_transform(
+                        lambda v: nddct4(nddct4(v, h4a, axis=1), h4b,
+                                         axis=1),
+                        x4, scale=None, per_iter=2 * 16)
+                finally:
+                    _cfg2.use_pallas = True
+
+            _emit("dct2d_4_2048_engine_f32_axis0", _engine_dct4_pair)
+
         # f64 'emulate' tier under jit on THIS backend (verdict next #5):
         # the traceable double-float core (ops/df64.c2c_dd) chained at
         # c2c 1024 — the TPU f64 answer measured, not just asserted

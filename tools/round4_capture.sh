@@ -40,7 +40,9 @@ run 1800 python bench.py --all --only fft2d_prime_1021_
 run 2700 python bench.py --all --only dct2d_23_2049_,dct2d_23_2049_engine
 # 6. verdict item-9 capability rows
 run 1500 python bench.py --all --only dst2d_23_1024_
-run 1800 python bench.py --all --only dct2d_4_2048_
+# dct2d_4_2048_ substring-matches BOTH the kernel-route row and its
+# same-window engine A/B row (dct2d_4_2048_engine)
+run 2700 python bench.py --all --only dct2d_4_2048_
 run 1200 python bench.py --all --only fft1d_f64emulate_
 # 7. core grid (sizes 128..1024 x 4 families) — regression watch vs round 3
 run 3000 python bench.py --all --only fft2d_128_,fft2d_264_,fft2d_512_,fft2d_1024_
