@@ -349,6 +349,18 @@ def verify():
                  lambda v, _h2=h2, _h3=h3: jnp.max(jnp.abs(
                      nddct3(nddct2(v, _h2, axis=1), _h3, axis=1) - v)), xd)
 
+    # DCT-IV 2048 (round-4 fully fused 4-pipeline kernel, beyond the dense
+    # cap): DCT-IV is an involution, dct4(dct4(x)) = (n/2) x at the rustdct
+    # convention, so scalar(2/n) on the second pass closes the roundtrip
+    from ndrustfft_tpu import nddct4
+
+    x44 = rng.standard_normal((2, 2048, 256)).astype(np.float32)
+    h44a = DctHandler(2048).normalization(Normalization.NONE)
+    h44b = DctHandler(2048).normalization(Normalization.scalar(2.0 / 2048))
+    run_case("dct4_2048",
+             lambda v: jnp.max(jnp.abs(
+                 nddct4(nddct4(v, h44a, axis=1), h44b, axis=1) - v)), x44)
+
     # DST-II/III 1024 (beyond-parity; flip/sign conjugations of the fused
     # DCT kernels, ops/dst.py) — same 2n duality roundtrip as the DCT case
     xs = rng.standard_normal((2, 1024, 256)).astype(np.float32)

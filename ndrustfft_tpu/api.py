@@ -484,12 +484,27 @@ def _dct_impl(x, handler, axis, dct_type):
         # the engine lowering.
         dims = _mid_dims(x, axis)
         if dims is not None:
+            from .ops.pallas.dct import dct4_mid_supported, dct4_pallas_mid
             from .ops.pallas.fft import (
                 blue_mid_supported, c2c_pallas_axis_mid,
                 c2c_pallas_axis_mid_blue, pallas_supported,
             )
 
             n = handler.n
+            if dct4_mid_supported(n, x.dtype):
+                # fully fused route: entry chirp/deinterleave + both
+                # twostep pipelines + exit chirp in ONE kernel pass, the
+                # odd-stream flip+interleave as one XLA epilogue (measured
+                # 403 -> see BASELINE.md round-4 dct4 row; the composite
+                # below paid ~300 us of XLA glue at 2048^2)
+                _plan_log("dct4", n, axis,
+                          f"pallas-dct4-fused(hl={n // 2})")
+                norm = handler.norm
+                s = (2.0 if norm.kind == "default"
+                     else norm.value if norm.kind == "scalar" else 1.0)
+                nb, cols = dims
+                x3 = x.reshape(nb, n, cols)
+                return dct4_pallas_mid(x3, s).reshape(x.shape)
             m = n // 2
             plan_m = get_c2c_plan(m, -1)
             use_ct = plan_m.kind == "ct" and pallas_supported(plan_m,

@@ -119,7 +119,7 @@ def _fft_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
     return m, f, consts
 
 
-def _real_ts_core_x2(x2, consts, m, f, cols, mode, re_only):
+def _real_ts_core_x2(x2, consts, m, f, cols, mode, re_only, sign=-1):
     """Twostep FFT core on a pre-assembled REAL x2 (m, f*cols); returns
     n-LEADING (n, cols) (zr, zi), zi None when ``re_only``.
 
@@ -151,7 +151,7 @@ def _real_ts_core_x2(x2, consts, m, f, cols, mode, re_only):
     from .fft import _BFLY_F, bfly_dft_leading
 
     if f in _BFLY_F:
-        planes = bfly_dft_leading([(yr[k], yi[k]) for k in range(f)], -1)
+        planes = bfly_dft_leading([(yr[k], yi[k]) for k in range(f)], sign)
         zr = jnp.concatenate([p[0][None] for p in planes], axis=0)
         zi = (None if re_only else
               jnp.concatenate([p[1][None] for p in planes], axis=0))
@@ -548,4 +548,159 @@ def dct_dense_pallas_mid(x, dct_type: int, scale=None):
                                bool(config.pallas_interpret), dot_mode(),
                                float(1.0 if scale is None else scale),
                                tcfg=int(config.pallas_tile))
+    return run(x)
+
+
+# --------------------------------------------------------------------------
+# Fused DCT-IV kernel (axis-mid), even n beyond the dense cap.
+#
+# The reference plans type 4 at any n (src/lib.rs:643-646,827-844). The
+# half-length complex factorization (hl = n/2):
+#
+#   c_s = w_s (x[2s] + i x[n-1-2s]),  w_s = e^{-i pi (4s+1)/(4n)}
+#   D   = FFT_hl(c),  E_k = D_k e^{-i pi k / n}
+#   X[2k] = Re(E_k),  X[n-1-2k] = -Im(E_k)        (rustdct base values)
+#
+# previously ran as kernel + THREE XLA passes (entry strided deinterleave/
+# flip/chirp, exit chirp, interleave) — measured ~300 us of glue per
+# 2048^2 transform vs ~50 us of kernel. This kernel fuses everything but
+# the final flip+interleave:
+#
+# * entry deinterleave: reshape (hl, 2, TL) + middle slices (the DCT-II
+#   kernel's pattern — no strided HBM access)
+# * ALL data movement folds into constants or aligned lane-chunk concats,
+#   because the chirps are SEPARABLE over the twostep index split
+#   v = t'*f + j (geometric chirps factor over any index split):
+#   w_s = C0 * a[t'] * b[j].  Four REAL-input twostep pipelines (reusing
+#   _real_ts_core_x2 + _fft_consts' pre_a/pre_b/row_perm folds, the
+#   Makhoul DCT-II machinery):
+#     E_k = FFT_hl(c)_k            = A(xe) + B(xod_jrev)      [sign -1]
+#     G_j = FFT_hl(c)_{hl-1-j}
+#         = FFT_{+1}(c * e^{2i pi s/hl})_j = C(xe) + D(xod_jrev) [sign +1]
+#   where c = w * (xe + i * rev(xod)): the full-hl reversal of the odd
+#   stream becomes (j-chunk concat) + (row-reversed stage-1 matrix), and
+#   the sign-+1 identity delivers the ODD outputs X[n-1-2k] = -Im(E_k) in
+#   NATURAL j order — no output flip exists anywhere.
+# * two real pipelines cost the same stage-1 MACs as ONE complex one
+#   (the _real_ts_core_x2 K-stacked real dot), so the 4-pipeline kernel
+#   pays ~2x a C2C kernel's MXU — mostly hidden under its DMA window.
+# * exit chirps e^{-i pi k/n} / e^{-i pi (hl-1-j)/n} and the policy scalar
+#   fold into (hl, 1) consts; the even/odd interleave is an in-kernel
+#   concat + sublane merge writing the (1, n, TL) block directly — the
+#   whole DCT-IV is ONE kernel pass, zero XLA epilogue.
+# --------------------------------------------------------------------------
+
+
+def dct4_mid_supported(n: int, dtype) -> bool:
+    """Even n whose half length has a {128,256} twostep split, f32."""
+    if not config.use_pallas:
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or n % 2 or n < 4 or n > 2 * _MAX_N:
+        return False
+    ts = _twostep_split(n // 2)
+    if ts is None or ts[0] > config.max_base_radix:
+        return False
+    backend = jax.default_backend()
+    return backend == "tpu" or config.pallas_interpret
+
+
+def _jrev_chunks(t, m, f, tl):
+    """(hl, tl) -> (hl, tl) with the f lane-chunks of each t'-row reversed
+    (j -> f-1-j): static slices + concat, Mosaic-legal."""
+    t3 = t.reshape(m, f, tl)
+    return jnp.concatenate(
+        [t3[:, jj:jj + 1, :] for jj in range(f - 1, -1, -1)],
+        axis=1).reshape(m * f, tl)
+
+
+def _dct4_kernel_mid(hl, m, f, mode, nc, x_ref, *refs):
+    """Block (1, n, TL) real -> (1, n, TL): the whole DCT-IV in-kernel."""
+    cs = [[r[:] for r in refs[i * nc:(i + 1) * nc]] for i in range(4)]
+    pe_r, pe_i, po_r, po_i = [r[:] for r in refs[4 * nc:4 * nc + 4]]
+    out_ref = refs[-1]
+    tl = x_ref.shape[-1]
+    xt = x_ref[:].reshape(hl, 2, tl)
+    xe = xt[:, 0, :].reshape(m, f * tl)                  # x[2s]
+    xodr = _jrev_chunks(xt[:, 1, :], m, f, tl).reshape(m, f * tl)
+    ar, ai = _real_ts_core_x2(xe, cs[0], m, f, tl, mode, False, -1)
+    br, bi = _real_ts_core_x2(xodr, cs[1], m, f, tl, mode, False, -1)
+    gr_, gi_ = _real_ts_core_x2(xe, cs[2], m, f, tl, mode, False, +1)
+    dr_, di_ = _real_ts_core_x2(xodr, cs[3], m, f, tl, mode, False, +1)
+    er, ei = ar + br, ai + bi                            # E_k = FFT(c)_k
+    gr, gi = gr_ + dr_, gi_ + di_                        # G_j = E_{hl-1-j}
+    evens = er * pe_r + ei * pe_i                        # Re(E pe)
+    odds = gr * po_i - gi * po_r                         # -Im(G po)
+    out = jnp.concatenate([evens.reshape(hl, 1, tl),
+                           odds.reshape(hl, 1, tl)], axis=1)
+    out_ref[:] = out.reshape(1, 2 * hl, tl)              # interleave
+
+
+@lru_cache(maxsize=64)
+def _build_dct4_mid(n: int, nb: int, cols: int, dtype_str: str,
+                    interpret: bool, mode: str, scale: float = 1.0,
+                    tcfg: int = 0, donate: bool = False):
+    from .fft import _donate_kw
+
+    dtype = jnp.dtype(dtype_str)
+    hl = n // 2
+    m0, f0 = _twostep_split(hl)
+    tv = np.arange(m0, dtype=np.float64)
+    jv = np.arange(f0, dtype=np.float64)
+    # w_s = C0 a[t'] b[j]; q_s = qa[t'] qb[j] (odd-exit sign-+1 fold)
+    c0 = np.exp(-1j * np.pi / (4 * n))
+    a = np.exp(-1j * np.pi * tv * f0 / n)
+    b = c0 * np.exp(-1j * np.pi * jv / n)
+    qa = np.exp(2j * np.pi * tv * f0 / hl)
+    qb = np.exp(2j * np.pi * jv / hl)
+    rev = np.arange(m0)[::-1].copy()
+
+    def fc(sign, pa, pb, perm=None):
+        m, f, consts = _fft_consts(hl, sign, dtype, mode,
+                                   pre_a=(pa.real, pa.imag),
+                                   pre_b=(pb.real, pb.imag), row_perm=perm)
+        assert (m, f) == (m0, f0)
+        return consts
+
+    cons = (fc(-1, a, b) + fc(-1, a, 1j * b, rev)
+            + fc(+1, a * qa, b * qb) + fc(+1, a * qa, 1j * b * qb, rev))
+    nc = len(cons) // 4
+    kv = np.arange(hl)
+    ch = [np.asarray(v.reshape(hl, 1), dtype) for v in (
+        scale * np.cos(np.pi * kv / n), scale * np.sin(np.pi * kv / n),
+        scale * np.cos(np.pi * (hl - 1 - kv) / n),
+        scale * np.sin(np.pi * (hl - 1 - kv) / n))]
+    consts = cons + ch
+    tile = _mid_tile(cols, tcfg)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                      memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_dct4_kernel_mid, hl, m0, f0, mode, nc),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[sn] + const_specs,
+        out_specs=sn,
+        cost_estimate=pl.CostEstimate(
+            flops=int(12 * hl * np.log2(max(hl, 2)) * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        **_donate_kw(donate, nplanes=1),
+    )
+    return lambda x: call(x, *consts)
+
+
+def dct4_pallas_mid(x, scale=None):
+    """(B, n, L) real -> scale * DCT-IV (rustdct base values) along axis 1,
+    in ONE kernel pass (in-kernel interleave; no XLA epilogue at all)."""
+    nb, n, cols = x.shape
+    run = _build_dct4_mid(n, nb, cols, str(x.dtype),
+                          bool(config.pallas_interpret), dot_mode(),
+                          float(1.0 if scale is None else scale),
+                          tcfg=int(config.pallas_tile),
+                          donate=bool(config.donate_io))
     return run(x)

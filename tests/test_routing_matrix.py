@@ -142,38 +142,45 @@ def test_custom_normalization_keeps_kernel_route(capsys):
     assert np.abs(got_d - want_d).max() / np.abs(want_d).max() < 1e-4
 
 
-def test_dct4_half_c2c_route_beyond_dense_cap(capsys):
+def test_dct4_kernel_routes_beyond_dense_cap(capsys):
     """Round-3 verdict weak #7: DCT-IV past the dense cap (n=1100) must NOT
-    silently ride engine+moveaxis. The half-length complex FFT
-    factorization routes it through the fused axis-mid C2C kernel; DST-IV
-    rides the same path via its flip/sign conjugation."""
+    silently ride engine+moveaxis. n=2048 takes the round-4 FUSED kernel
+    (entry chirp/deinterleave + both twostep pipelines + exit chirp in one
+    pass); n=2018 (half length 1009 prime, no twostep split) falls back to
+    the half-length-C2C composite over the fused chirp-z kernel. DST-IV
+    rides the same paths via its flip/sign conjugation."""
     import scipy.fft as sfft
 
     from ndrustfft_tpu import nddct4 as _dct4
     from ndrustfft_tpu import nddst4 as _dst4
     from ndrustfft_tpu.api import _jitted
 
-    n = 2048
     rng = np.random.default_rng(3)
-    x = rng.standard_normal((1, n, 16)).astype(np.float32)
+    x = rng.standard_normal((1, 2048, 16)).astype(np.float32)
+    xb = rng.standard_normal((1, 2018, 16)).astype(np.float32)
     old = (config.use_pallas, config.pallas_interpret, config.debug_plan_log)
     try:
         config.use_pallas = True
         config.pallas_interpret = True
         config.debug_plan_log = True
         _jitted.cache_clear()
-        got4 = np.asarray(_dct4(jnp.asarray(x), DctHandler(n), axis=1))
-        gots = np.asarray(_dst4(jnp.asarray(x), DstHandler(n), axis=1))
+        got4 = np.asarray(_dct4(jnp.asarray(x), DctHandler(2048), axis=1))
+        gots = np.asarray(_dst4(jnp.asarray(x), DstHandler(2048), axis=1))
+        gotb = np.asarray(_dct4(jnp.asarray(xb), DctHandler(2018), axis=1))
         err = capsys.readouterr().err
     finally:
         (config.use_pallas, config.pallas_interpret,
          config.debug_plan_log) = old
         _jitted.cache_clear()
-    assert "dct4 n=2048 axis=1 -> pallas-dct4-half-c2c(m=1024,ct)" in err, err
+    assert "dct4 n=2048 axis=1 -> pallas-dct4-fused(hl=1024)" in err, err
+    assert "dct4 n=2018 axis=1 -> pallas-dct4-half-c2c(m=1009,blue)" in err, \
+        err
     ref4 = sfft.dct(x.astype(np.float64), type=4, axis=1)
     assert np.abs(got4 - ref4).max() / np.abs(ref4).max() < 1e-4
     refs = sfft.dst(x.astype(np.float64), type=4, axis=1)
     assert np.abs(gots - refs).max() / np.abs(refs).max() < 1e-4
+    refb = sfft.dct(xb.astype(np.float64), type=4, axis=1)
+    assert np.abs(gotb - refb).max() / np.abs(refb).max() < 1e-4
 
 
 def test_eligibility_boundaries():
