@@ -324,19 +324,29 @@ def _dct2_kernel_mid(m, f, mode, h, x_ref, *refs):
     out_ref[:] = (zr * w_r - zi * w_i).reshape(1, n, tl)
 
 
-def _dct3_kernel_mid(m, f, mode, x_ref, *refs):
-    """Block (1, n, TL) real -> ((1, n/2, TL) head, (1, n/2, TL) tail)."""
-    consts = [r[:] for r in refs[:-3]]
-    h0 = refs[-3][:]                # (n, 1) x0-halving mask
-    ev_ref, od_ref = refs[-2:]
+def _dct3_kernel_mid(m, f, mode, nc, x_ref, *refs):
+    """Block (1, n, TL) real -> (1, n, TL): natural DCT-III INCLUDING the
+    output un-permutation. z[2t] = zr[t] and z[2t+1] = zr[n-1-t]; the
+    reversed-index read is a second re-only pipeline via the sign-+1
+    identity F(y)[n-1-t] = F_{+1}(y * e^{2i pi s/n})[t] (the extra chirp
+    is separable and folds into pre_a/pre_b), so the interleave is an
+    in-kernel concat and NO XLA epilogue exists (round 4; previously a
+    flip+stack pass per call)."""
+    cs1 = [r[:] for r in refs[0:nc]]
+    cs2 = [r[:] for r in refs[nc:2 * nc]]
+    h0 = refs[2 * nc][:]            # (n, 1) x0-halving mask
+    out_ref = refs[-1]
     tl = x_ref.shape[-1]
     n = m * f
     c = x_ref[:].reshape(n, tl) * h0
-    zr, _ = _real_ts_core_x2(c.reshape(m, f * tl), consts, m, f, tl, mode,
-                             re_only=True)
+    x2 = c.reshape(m, f * tl)
+    zr1, _ = _real_ts_core_x2(x2, cs1, m, f, tl, mode, re_only=True)
+    zr2, _ = _real_ts_core_x2(x2, cs2, m, f, tl, mode, re_only=True,
+                              sign=+1)
     half = n // 2
-    ev_ref[:] = zr[:half, :].reshape(1, half, tl)
-    od_ref[:] = zr[half:, :].reshape(1, half, tl)
+    out = jnp.concatenate([zr1[:half].reshape(half, 1, tl),
+                           zr2[:half].reshape(half, 1, tl)], axis=1)
+    out_ref[:] = out.reshape(1, n, tl)
 
 
 def _mid_tile(cols: int, tcfg: int = 0) -> int:
@@ -384,40 +394,48 @@ def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 @lru_cache(maxsize=256)
 def _build_dct3_mid(n: int, nb: int, cols: int, dtype_str: str,
-                    interpret: bool, mode: str, scale: float = 1.0, tcfg: int = 0):
+                    interpret: bool, mode: str, scale: float = 1.0,
+                    tcfg: int = 0, donate: bool = False):
+    from .fft import _donate_kw
+
     dtype = jnp.dtype(dtype_str)
     m0, f0 = _twostep_split(n)
     tp = np.arange(m0, dtype=np.int64)
     a = _cis(tp, 2 * m0, -1)
     j = np.arange(f0, dtype=np.int64)
     b = _cis(j, 2 * n, -1)
-    m, f, consts = _fft_consts(n, -1, dtype, mode, scale=scale,
-                               pre_a=a, pre_b=b, re_only_s2=True)
+    m, f, cons1 = _fft_consts(n, -1, dtype, mode, scale=scale,
+                              pre_a=a, pre_b=b, re_only_s2=True)
+    # pipeline 2 (odd outputs, natural order): sign +1 with the extra
+    # e^{2i pi s/n} fold: pre * e^{2i pi s/n} = e^{+i pi 3 t' f/(2n)} x
+    # e^{+i pi 3 j/(2n)} (exact integer phases via _cis)
+    a2 = _cis(3 * tp * f0, 2 * n, +1)
+    b2 = _cis(3 * j, 2 * n, +1)
+    _, _, cons2 = _fft_consts(n, +1, dtype, mode, scale=scale,
+                              pre_a=a2, pre_b=b2, re_only_s2=True)
     h0 = np.ones((n, 1), dtype)
     h0[0, 0] = 0.5
-    consts = consts + [h0]
+    consts = cons1 + cons2 + [h0]
     tile = _mid_tile(cols, tcfg)
     gc = pl.cdiv(cols, tile)
     grid = (nb * gc,)
     sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
                       memory_space=pltpu.VMEM)
-    sh = pl.BlockSpec((1, n // 2, tile), lambda g: (g // gc, 0, g % gc),
-                      memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
-        partial(_dct3_kernel_mid, m, f, mode),
-        out_shape=(jax.ShapeDtypeStruct((nb, n // 2, cols), dtype),
-                   jax.ShapeDtypeStruct((nb, n // 2, cols), dtype)),
+        partial(_dct3_kernel_mid, m, f, mode, len(cons1)),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
         grid=grid,
         in_specs=[sn] + const_specs,
-        out_specs=(sh, sh),
+        out_specs=sn,
         cost_estimate=pl.CostEstimate(
             flops=int(6 * n * np.log2(max(n, 2)) * nb * cols),
             bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate, nplanes=1),
     )
     return lambda x: call(x, *consts)
 
@@ -434,17 +452,16 @@ def dct2_pallas_mid(x, scale=None):
 
 
 def dct3_pallas_mid(x, scale=None):
-    """(B, n, L) real -> scale * DCT-III along axis 1; the un-permutation
-    (z[2t] = head, z[2t+1] = flip(tail)) runs as one XLA middle-axis pass."""
+    """(B, n, L) real -> scale * DCT-III along axis 1, in ONE kernel pass —
+    the output un-permutation (z[2t] = zr[t], z[2t+1] = zr[n-1-t]) runs
+    in-kernel via a second sign-+1 re-only pipeline (no XLA epilogue)."""
     nb, n, cols = x.shape
     run = _build_dct3_mid(n, nb, cols, str(x.dtype),
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
-                          tcfg=int(config.pallas_tile))
-    ev, od = run(x)
-    odf = od[:, ::-1, :]
-    z = jnp.stack([ev, odf], axis=2).reshape(nb, n, cols)
-    return z
+                          tcfg=int(config.pallas_tile),
+                          donate=bool(config.donate_io))
+    return run(x)
 
 
 # --------------------------------------------------------------------------

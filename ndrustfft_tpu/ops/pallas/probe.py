@@ -256,6 +256,15 @@ def _probe_dct3_mid(n, nb, cols, mode):
     return run, (x,)
 
 
+def _probe_dct4_mid(n, nb, cols, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct4_mid(n, nb, cols, "float32", _interp(), mode, 2.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
 # (label, builder, kwargs). n=1024 is the headline shape; n=264 covers the
 # non-power-of-two mixed-radix path; n=128 the dense single-matmul path.
 PROBES = [
@@ -321,6 +330,11 @@ PROBES = [
     ("c2r_mid   n=1024", _probe_c2r_mid, dict(n=1024, nb=4, cols=256)),
     ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
+    # the fully fused 4-pipeline DCT-IV (bench shape + partial-lane-block
+    # boundary)
+    ("dct4_mid  n=2048", _probe_dct4_mid, dict(n=2048, nb=4, cols=256)),
+    ("dct4_mid  n=2048 c200", _probe_dct4_mid, dict(n=2048, nb=4,
+                                                    cols=200)),
     ("r2c_mid   n=1024 c200", _probe_r2c_mid, dict(n=1024, nb=4, cols=200)),
     ("c2r_mid   n=1024 c200", _probe_c2r_mid, dict(n=1024, nb=4, cols=200)),
     ("dct2_mid  n=1024 c200", _probe_dct2_mid, dict(n=1024, nb=4, cols=200)),
