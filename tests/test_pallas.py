@@ -323,6 +323,43 @@ def test_pallas_dct_axis_mid():
         assert np.abs(got3 - ref3).max() / np.abs(ref3).max() < 1e-4, n
 
 
+def test_pallas_dct4_fused_mid():
+    # the fully fused 4-real-pipeline DCT-IV kernel (round 4): covers the
+    # f=8 butterfly split (2048), the f=9 matrix-combine split (2304), and
+    # a non-128-multiple lane extent (cols=200 partial last block)
+    import scipy.fft
+
+    from ndrustfft_tpu.ops.pallas.dct import dct4_mid_supported, dct4_pallas_mid
+
+    rng = np.random.default_rng(21)
+    for n, cols in [(2048, 256), (2304, 256), (1536, 200)]:
+        assert dct4_mid_supported(n, jnp.float32), n
+        x = rng.standard_normal((2, n, cols)).astype(np.float32)
+        got = np.asarray(dct4_pallas_mid(jnp.asarray(x), 2.0))
+        ref = scipy.fft.dct(x, type=4, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, (n, cols)
+    # unsupported half lengths (no {128,256} twostep split) are refused
+    assert not dct4_mid_supported(2018, jnp.float32)   # hl=1009 prime
+    assert not dct4_mid_supported(2049, jnp.float32)   # odd n
+
+
+def test_pallas_dct3_unperm_in_kernel():
+    # DCT-III's output un-permutation now runs in-kernel (sign-+1 second
+    # pipeline): the builder's single output must already be interleaved
+    import scipy.fft
+
+    from ndrustfft_tpu.ops.pallas.dct import _build_dct3_mid, dot_mode
+
+    rng = np.random.default_rng(22)
+    for n, cols in [(1024, 256), (2048, 200)]:
+        x = rng.standard_normal((2, n, cols)).astype(np.float32)
+        run = _build_dct3_mid(n, 2, cols, "float32", True, dot_mode(), 2.0)
+        got = np.asarray(run(jnp.asarray(x)))
+        assert got.shape == x.shape
+        ref = scipy.fft.dct(x, type=3, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, (n, cols)
+
+
 def test_pallas_dct1_axis_mid():
     # DCT-I along axis 1 via the packed-mid r2c kernel (ext = 2n-2)
     import scipy.fft
