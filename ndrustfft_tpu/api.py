@@ -687,12 +687,74 @@ def _config_key():
             _cfg.donate_io, _cfg.debug_plan_log)
 
 
+def _ad_wrap_active() -> bool:
+    """True when a Pallas kernel route may engage for this trace — i.e.
+    when reverse-mode AD needs the engine-vjp wrapper (see _diffable)."""
+    from .config import config as _cfg
+
+    if not _cfg.use_pallas:
+        return False
+    if _cfg.pallas_interpret:
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _diffable(kind, x, handler, axis):
+    """Run ``_IMPLS[kind]`` with reverse-mode autodiff supported on kernel
+    routes.
+
+    Pallas kernels have no JAX autodiff rules, so on kernel-active
+    backends ``jax.grad`` through a kernel-routed transform fails to
+    linearize. Every transform here is the same math as its ENGINE
+    lowering (pure lax ops, differentiable; engine==kernel numerics
+    pinned by tests/test_routing_matrix.py), so the fix is a custom_vjp
+    whose backward runs the vjp of the engine twin — the forward keeps
+    whatever kernel route it earns.
+
+    The map is LINEAR for the none/default/scalar policies, so the vjp
+    is primal-independent and the backward takes it at zeros (no
+    residual kept alive). A ``custom`` policy callable may be nonlinear:
+    the primal is saved and the vjp taken at it. The dd kinds are pure
+    jnp (ops/df64.py) and differentiable as-is; forward-mode (jvp)
+    through a kernel route remains unsupported — set
+    ``config.use_pallas = False`` for forward-mode work.
+    """
+    impl = _IMPLS[kind]
+    if kind.endswith("_dd") or not _ad_wrap_active():
+        return impl(x, handler, axis)
+    linear = handler.norm.kind != "custom"
+    shape, dtype = x.shape, x.dtype
+
+    def engine_fn(v):
+        from .config import config as _cfg
+
+        prev = _cfg.use_pallas
+        _cfg.use_pallas = False
+        try:
+            return impl(v, handler, axis)
+        finally:
+            _cfg.use_pallas = prev
+
+    f = jax.custom_vjp(lambda v: impl(v, handler, axis))
+
+    def fwd(v):
+        return impl(v, handler, axis), (None if linear else v)
+
+    def bwd(res, g):
+        v0 = jnp.zeros(shape, dtype) if res is None else res
+        _, vjp = jax.vjp(engine_fn, v0)
+        return (vjp(g)[0],)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
 @lru_cache(maxsize=4096)
 def _jitted(kind, handler, axis, cfg_key=None):
     if kind.endswith(":demote"):
         base = kind.split(":", 1)[0]
         return jax.jit(lambda x: _run_demoted(base, x, handler, axis))
-    return jax.jit(lambda x: _IMPLS[kind](x, handler, axis))
+    return jax.jit(lambda x: _diffable(kind, x, handler, axis))
 
 
 def _is_tpu_device(d) -> bool:
@@ -853,7 +915,7 @@ def _run_demoted(kind, x, handler, axis):
     # thread-local scope: concurrently traced transforms on other threads
     # keep their configured precision
     with precision_override("highest"):
-        y = _IMPLS[kind](x.astype(_F32_TWIN[orig]), handler, axis)
+        y = _diffable(kind, x.astype(_F32_TWIN[orig]), handler, axis)
     wide = (jnp.complex128 if jnp.issubdtype(y.dtype, jnp.complexfloating)
             else jnp.float64)
     return y.astype(wide)
@@ -892,7 +954,7 @@ def _dispatch(kind, x, handler, axis):
                 return _run_demoted(kind, x, handler, axis)
             else:
                 _check_tpu_f64(x.dtype, jax.devices())
-        return _IMPLS[kind](x, handler, axis)
+        return _diffable(kind, x, handler, axis)
     devs = getattr(x, "devices", None)
     if callable(devs):
         if _demote_wanted(x.dtype, devs()):
