@@ -26,7 +26,7 @@ import jax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from ..api import _IMPLS
+from ..api import _IMPLS, _diffable
 from ..handlers import FftHandler, R2cFftHandler
 
 _KINDS = set(_IMPLS)
@@ -221,8 +221,11 @@ def pencil_transform(x, steps: Sequence[Step], mesh: Mesh, in_spec,
 
     def local_fn(lx):
         for step, rs in zip(steps, plan):
-            apply = lambda v, _s=step: _IMPLS[_s.kind](v, _s.handler,
-                                                       _s.axis % ndim)
+            # _diffable: local transforms keep reverse-mode AD on kernel
+            # routes (engine-vjp custom_vjp; the collectives outside are
+            # natively differentiable)
+            apply = lambda v, _s=step: _diffable(_s.kind, v, _s.handler,
+                                                 _s.axis % ndim)
             if rs is None:
                 lx = apply(lx)
                 continue

@@ -134,6 +134,31 @@ def test_grad_spectral_pipeline_bluestein(kernel_mode):
         _x((2, n, _N), seed=3))
 
 
+def test_grad_through_pencil_transform(kernel_mode):
+    # the pencil path's local transforms also carry the wrapper: grad of
+    # a sharded 2-D spectral loss on an 8-device mesh, kernel routes on
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ndrustfft_tpu.parallel import fftn_pencil
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    v = _x((_N, _N)).astype(jnp.complex64)
+
+    def loss(x):
+        out, _ = fftn_pencil(x, mesh, P("d", None))
+        return jnp.sum(jnp.abs(out) ** 2)
+
+    x = jax.device_put(v, NamedSharding(mesh, P("d", None)))
+    config.use_pallas = True
+    gk = np.asarray(jax.grad(loss)(x))
+    config.use_pallas = False
+    ge = np.asarray(jax.grad(loss)(x))
+    config.use_pallas = True
+    rel = np.abs(gk - ge).max() / (np.abs(ge).max() + 1e-30)
+    assert np.all(np.isfinite(gk)) and rel < _REL, rel
+
+
 def test_no_wrapper_on_plain_cpu_forward_mode_intact():
     # on CPU without interpret mode nothing is wrapped: forward-mode
     # (jvp) through the engine paths keeps working
