@@ -724,6 +724,12 @@ def _diffable(kind, x, handler, axis):
         return impl(x, handler, axis)
     linear = handler.norm.kind != "custom"
     shape, dtype = x.shape, x.dtype
+    # the backward is traced AFTER any scoped precision_override around
+    # the forward has exited (e.g. _run_demoted's HIGHEST scope) — capture
+    # the effective precision now so the engine vjp matches the forward's
+    from .config import matmul_precision_name, precision_override
+
+    prec = matmul_precision_name()
 
     def engine_fn(v):
         from .config import config as _cfg
@@ -731,7 +737,8 @@ def _diffable(kind, x, handler, axis):
         prev = _cfg.use_pallas
         _cfg.use_pallas = False
         try:
-            return impl(v, handler, axis)
+            with precision_override(prec):
+                return impl(v, handler, axis)
         finally:
             _cfg.use_pallas = prev
 

@@ -123,15 +123,19 @@ config = _Config()
 _tls = threading.local()
 
 
+def matmul_precision_name() -> str:
+    """The effective precision NAME for the current thread (override-aware)."""
+    return getattr(_tls, "precision", None) or config.matmul_precision
+
+
 def matmul_precision():
     import jax
 
-    name = getattr(_tls, "precision", None) or config.matmul_precision
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
-    }[name]
+    }[matmul_precision_name()]
 
 
 class precision_override:
