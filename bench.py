@@ -386,6 +386,18 @@ def verify():
     run_case(f"c2c_fourstep_{nl}", fourstep_case,
              xl.real.astype(np.float32), xl.imag.astype(np.float32))
 
+    # reverse-mode AD through the kernel route (round-4 engine-vjp
+    # custom_vjp, api._diffable): d/dx sum|FFT x|^2 = 2 n x for real x
+    # (Parseval) — an analytic oracle, so no host FFT needed on-chip
+    xg = rng.standard_normal((2, 1024, 256)).astype(np.float32)
+
+    def grad_case(v):
+        g = jax.grad(lambda u: jnp.sum(jnp.abs(
+            ndfft(jnp.asarray(u, jnp.complex64), h, axis=1)) ** 2))(v)
+        return jnp.max(jnp.abs(g - 2.0 * 1024 * v)) / (2.0 * 1024)
+
+    run_case("grad_c2c_1024", grad_case, xg)
+
     # f64 'emulate' tier (ops/df64.py, config.tpu_f64='emulate'): the
     # dot-free double-float (two-f32) core runs its f32-pure program on
     # THIS backend — on the driver capture that is the real TPU — while
