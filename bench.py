@@ -180,10 +180,17 @@ def _hbm_gbps():
     return chip_spec()[0]
 
 
-def _copy_floor(n, B, tl=512, alias=True):
-    """Measured us/transform for a pure chained Pallas copy at the headline
-    shape — the SAME block specs, grid, and slope protocol as the production
-    axis-mid kernel, with the transform replaced by out = 1.001*in.
+def _copy_floor(n, B, tl=512, alias=True, planes=2, rows=None):
+    """Measured us/transform for a pure chained Pallas copy matched to one
+    grid row's HBM traffic — the SAME block specs, grid, and slope protocol
+    as the production axis-mid kernels, with the transform replaced by
+    out = 1.001*in.
+
+    ``planes`` is the number of f32 (B, rows, n) arrays copied per
+    iteration = the row's per-transform HBM bytes over 8*rows*n:
+      * a C2C transform reads+writes a c64 array = TWO f32 planes;
+      * one leg of a real pair chain (rfft2d / dct2d pairs measured at
+        per_iter = 2*batch) reads+writes a real f32 array = ONE plane.
 
     ``alias=True`` (default) aliases the copy's outputs onto its inputs
     (input_output_aliases), matching the production kernels under
@@ -194,7 +201,7 @@ def _copy_floor(n, B, tl=512, alias=True):
     Pass ``alias=False`` for the round-3 style non-aliased floor.
 
     This is the practical HBM bound through this host/tunnel stack in THIS
-    measurement window (it drifts with tunnel health). The headline reports
+    measurement window (it drifts with tunnel health). Rows report
     pct_copy_floor = floor/t so the driver capture carries the
     binding-constraint evidence alongside the nominal-roofline pct
     (slope attribution: full bts2 body = floor + ~2 us; compute and exit
@@ -208,41 +215,44 @@ def _copy_floor(n, B, tl=512, alias=True):
 
     from ndrustfft_tpu.ops.pallas.fft import _VMEM_LIMIT
 
+    rows = n if rows is None else rows
+    tl = min(tl, n)
     gc = pl.cdiv(n, tl)
-    spec = pl.BlockSpec((1, n, tl), lambda g: (g // gc, 0, g % gc),
+    spec = pl.BlockSpec((1, rows, tl), lambda g: (g // gc, 0, g % gc),
                         memory_space=pltpu.VMEM)
 
-    def body(xr_ref, xi_ref, or_ref, oi_ref):
-        or_ref[:] = 1.001 * xr_ref[:]
-        oi_ref[:] = 1.001 * xi_ref[:]
+    def body(*refs):
+        ins, outs = refs[:planes], refs[planes:]
+        for i_ref, o_ref in zip(ins, outs):
+            o_ref[:] = 1.001 * i_ref[:]
 
     call = pl.pallas_call(
         body,
-        out_shape=(jax.ShapeDtypeStruct((B, n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((B, n, n), jnp.float32)),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, rows, n), jnp.float32)
+                        for _ in range(planes)),
         grid=(B * gc,),
-        in_specs=[spec, spec], out_specs=(spec, spec),
+        in_specs=[spec] * planes, out_specs=(spec,) * planes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
-        **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
+        **({"input_output_aliases": {i: i for i in range(planes)}}
+           if alias else {}),
     )
 
     def chain(K):
         @jax.jit
-        def run(r, i):
-            rr, ii = jax.lax.fori_loop(0, K, lambda _, c: call(c[0], c[1]),
-                                       (r, i))
-            return jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ii))
+        def run(*arrs):
+            outs = jax.lax.fori_loop(0, K, lambda _, c: call(*c), arrs)
+            return sum(jnp.sum(jnp.abs(o)) for o in outs)
 
         return run
 
     rng = np.random.default_rng(1)
-    r0 = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32)
-    i0 = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32)
+    arrs = tuple(jnp.asarray(rng.standard_normal((B, rows, n)), jnp.float32)
+                 for _ in range(planes))
     K1, K2 = 2, 34
     c1, c2 = chain(K1), chain(K2)
-    a = _time_call(lambda: float(c1(r0, i0)))
-    b = _time_call(lambda: float(c2(r0, i0)))
+    a = _time_call(lambda: float(c1(*arrs)))
+    b = _time_call(lambda: float(c2(*arrs)))
     return max((b - a) / ((K2 - K1) * B), 1e-9)
 
 
@@ -434,6 +444,9 @@ def main():
                     help="on-chip numeric verification; one JSON verdict line")
     ap.add_argument("--compile-check", action="store_true",
                     help="compile every Pallas kernel flavor; pass/fail matrix")
+    ap.add_argument("--no-floors", action="store_true",
+                    help="with --all, skip the per-row same-window aliased "
+                         "copy-floor measurements")
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated substrings: with --all, measure "
                          "only grid rows whose metric name matches (tunnel "
@@ -614,7 +627,22 @@ def main():
         def _want(metric):
             return not only or any(s in metric for s in only)
 
-        def _emit(metric, thunk, extra=None):
+        # per-row SAME-WINDOW aliased copy floors (round-4 verdict next #1:
+        # the floor-bound evidence must cover the whole criterion grid, not
+        # just the headline chain); cached per (n, batch, planes)
+        floor_cache = {}
+
+        def _floor(m, bm, planes):
+            key = (m, bm, planes)
+            if key not in floor_cache:
+                try:
+                    floor_cache[key] = _copy_floor(m, bm, alias=True,
+                                                   planes=planes)
+                except Exception:  # noqa: BLE001 - tunnel flake
+                    floor_cache[key] = None
+            return floor_cache[key]
+
+        def _emit(metric, thunk, extra=None, floor_key=None):
             # one row per measurement, crash-proof: a wedged-tunnel failure
             # (or a poisoned session, NOTES_TPU.md) reports value=null and
             # the grid continues instead of dying mid-capture; flush so a
@@ -625,6 +653,11 @@ def main():
                 row["value"] = round(t * 1e6, 2)
                 if extra:
                     row.update(extra(t))
+                if floor_key is not None and not args.no_floors:
+                    fl = _floor(*floor_key)
+                    if fl:
+                        row["copy_floor_us"] = round(fl * 1e6, 2)
+                        row["pct_copy_floor"] = round(100.0 * fl / t, 1)
             except Exception as e:  # noqa: BLE001
                 row["value"] = None
                 row["error"] = f"{type(e).__name__}: {e}"[:200]
@@ -646,7 +679,8 @@ def main():
                           "gflops": round(
                               5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
                           "pct_hbm_roofline": round(
-                              100 * 2 * _m * _m * 8 / (hbm * 1e9) / t, 1)})
+                              100 * 2 * _m * _m * 8 / (hbm * 1e9) / t, 1)},
+                      floor_key=(m, bm, 2))
             if _want(f"rfft2d_{m}_"):
                 bm = max(1, (1 << 27) // (m * m * 4))
                 xr = rng.standard_normal((bm, m, m)).astype(np.float32)
@@ -658,8 +692,13 @@ def main():
                           lambda v, _h=hr, _hi=hri: ndifft_r2c(
                               ndfft_r2c(v, _h, axis=1), _hi, axis=1),
                           xr, scale=None, per_iter=2 * bm),
-                      lambda t, _m=m: {"gflops": round(
-                          0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9, 1)})
+                      lambda t, _m=m: {
+                          "gflops": round(
+                              0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9,
+                              1),
+                          "pct_hbm_roofline": round(
+                              100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
+                      floor_key=(m, bm, 1))
             d = m + 1
             bm = max(1, (1 << 27) // (d * d * 4))
             xd = None
@@ -675,8 +714,13 @@ def main():
                           lambda v, _h2=hd2n, _h3=hd3: nddct3(
                               nddct2(v, _h2, axis=1), _h3, axis=1),
                           xd, scale=None, per_iter=2 * bm),
-                      lambda t, _d=d: {"gflops": round(
-                          0.5 * 5.0 * _d * math.log2(_d) * _d / t / 1e9, 1)})
+                      lambda t, _d=d: {
+                          "gflops": round(
+                              0.5 * 5.0 * _d * math.log2(_d) * _d / t / 1e9,
+                              1),
+                          "pct_hbm_roofline": round(
+                              100 * 2 * _d * _d * 4 / (hbm * 1e9) / t, 1)},
+                      floor_key=(d, bm, 1))
             if _want(f"dct2d_1_{d}_"):
                 if xd is None:
                     xd = rng.standard_normal((bm, d, d)).astype(np.float32)
@@ -689,7 +733,8 @@ def main():
                       lambda: per_transform(
                           lambda v, _ha=hd1a, _hb=hd1b: nddct1(
                               nddct1(v, _ha, axis=1), _hb, axis=1),
-                          xd, scale=None, per_iter=2 * bm))
+                          xd, scale=None, per_iter=2 * bm),
+                      floor_key=(d, bm, 1))
             if _want(f"dct2d_23_{m}_"):
                 # even-size DCT-II/III twin (runs the fused Pallas DCT
                 # kernels; the reference's n+1 grid sizes are odd and keep
@@ -703,8 +748,13 @@ def main():
                           lambda v, _h2=he2, _h3=he3: nddct3(
                               nddct2(v, _h2, axis=1), _h3, axis=1),
                           xd2, scale=None, per_iter=2 * bm),
-                      lambda t, _m=m: {"gflops": round(
-                          0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9, 1)})
+                      lambda t, _m=m: {
+                          "gflops": round(
+                              0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9,
+                              1),
+                          "pct_hbm_roofline": round(
+                              100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
+                      floor_key=(m, bm, 1))
 
         # prime sizes (rustfft covers these via Rader/Bluestein; here the
         # fused single-kernel chirp-z path — round-2 verdict next #3:
@@ -721,8 +771,37 @@ def main():
                   lambda: per_transform(
                       lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
                       scale=None, per_iter=bm),
-                  lambda t, _m=m: {"gflops": round(
-                      5.0 * _m * math.log2(_m) * _m / t / 1e9, 1)})
+                  lambda t, _m=m: {
+                      "gflops": round(
+                          5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
+                      "pct_hbm_roofline": round(
+                          100 * 2 * _m * _m * 8 / (hbm * 1e9) / t, 1)},
+                  floor_key=(m, bm, 2))
+
+        # smooth-2048 C2C row: the prime rows' FLOP-envelope comparison
+        # point (round-5 verdict next #5). A 1021-point Bluestein transform
+        # internally runs two trimmed M=2048 cores over 1021 lanes — work
+        # ~= ONE smooth 2048-point transform per transform — so
+        # fft2d_prime_1021 ~= fft2d_2048 measured in the SAME window is the
+        # "FLOP-bound, not lowering-defect" evidence the per-row copy floor
+        # (which primes sit far above, being compute-bound) cannot give.
+        if _want("fft2d_2048_"):
+            m2 = 2048
+            bm = max(1, (1 << 27) // (m2 * m2 * 8))
+            xc = (rng.standard_normal((bm, m2, m2)) + 1j
+                  * rng.standard_normal((bm, m2, m2))).astype(np.complex64)
+            hm = FftHandler(m2).normalization(
+                Normalization.scalar(drift / math.sqrt(m2)))
+            _emit("fft2d_2048_c2c_f32_axis0",
+                  lambda: per_transform(
+                      lambda v, _h=hm: ndifft(v, _h, axis=1), xc,
+                      scale=None, per_iter=bm),
+                  lambda t, _m=m2: {
+                      "gflops": round(
+                          5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
+                      "pct_hbm_roofline": round(
+                          100 * 2 * _m * _m * 8 / (hbm * 1e9) / t, 1)},
+                  floor_key=(m2, bm, 2))
 
         # long transforms (round-2 verdict next #2): 2^18 and 2^20 1-D C2C
         # through the four-step kernel path vs the multi-stage XLA engine
@@ -772,7 +851,8 @@ def main():
                   lambda: per_transform(
                       lambda v, _ha=hd1a, _hb=hd1b: nddct1(
                           nddct1(v, _ha, axis=1), _hb, axis=1),
-                      xd, scale=None, per_iter=2 * bm))
+                      xd, scale=None, per_iter=2 * bm),
+                  floor_key=(d, bm, 1))
         if _want(f"dct2d_23_{d}_"):
             if xd is None:
                 xd = rng.standard_normal((bm, d, d)).astype(np.float32)
@@ -783,7 +863,8 @@ def main():
                   lambda: per_transform(
                       lambda v, _h2=hd2n, _h3=hd3: nddct3(
                           nddct2(v, _h2, axis=1), _h3, axis=1),
-                      xd, scale=None, per_iter=2 * bm))
+                      xd, scale=None, per_iter=2 * bm),
+                  floor_key=(d, bm, 1))
 
         # A/B the dct2d_23_2049 outlier against the XLA-engine lowering in
         # the SAME window (round-3 verdict weak #6: the order-of-magnitude
@@ -821,7 +902,8 @@ def main():
                       lambda v: nddst3(nddst2(v, hs2, axis=1), hs3, axis=1),
                       xs, scale=None, per_iter=2 * 16),
                   lambda t: {"gflops": round(
-                      0.5 * 5.0 * 1024 * 10 * 1024 / t / 1e9, 1)})
+                      0.5 * 5.0 * 1024 * 10 * 1024 / t / 1e9, 1)},
+                  floor_key=(1024, 16, 1))
 
         # DCT-IV at n=2048 — beyond the n<=1100 dense cap via the round-4
         # half-shift kernel route (verdict next #6); DCT-IV is an
@@ -836,7 +918,8 @@ def main():
             _emit("dct2d_4_2048_f32_axis0",
                   lambda: per_transform(
                       lambda v: nddct4(nddct4(v, h4a, axis=1), h4b, axis=1),
-                      x4, scale=None, per_iter=2 * 16))
+                      x4, scale=None, per_iter=2 * 16),
+                  floor_key=(2048, 16, 1))
 
         # same-window engine A/B for the DCT-IV 2048 row (the half-c2c
         # kernel route's comparison point, mirroring the 2049 outlier A/B)
@@ -915,7 +998,8 @@ def main():
             _emit("fft2d_par_1024_c2c_f32_axis0",
                   lambda: per_transform(
                       lambda v: ndifft_par(v, hp, axis=1), xc,
-                      scale=None, per_iter=16))
+                      scale=None, per_iter=16),
+                  floor_key=(1024, 16, 2))
 
     if skip_headline:
         return      # filtered grid re-run: named rows only, no headline

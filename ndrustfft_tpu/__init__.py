@@ -76,6 +76,20 @@ def real_dtype(cplx):
     return jnp.finfo(d).dtype if jnp.issubdtype(d, jnp.complexfloating) else d
 
 
+def __getattr__(name):
+    # lazy re-exports: `ndrustfft_tpu.parallel` / `ndrustfft_tpu.runtime`
+    # resolve without importing the multi-chip machinery at package import
+    if name == "parallel":
+        from . import parallel
+
+        return parallel
+    if name == "runtime":
+        from .parallel import runtime
+
+        return runtime
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -98,12 +98,21 @@ class _Config:
     # plan logging only).
     debug_plan_log: bool = os.environ.get("NDRUSTFFT_TPU_DEBUG_PLAN", "0") in (
         "1", "true")
-    # Warn when a `_par` entry point is traced inside a user jit (tracers
-    # carry no committed sharding, so the pencil path cannot be selected
-    # and the serial impl runs — harmless for unsharded/replicated inputs,
-    # but a mesh-sharded input silently gets GSPMD's collectives instead
-    # of the pencil schedule). Set False (or NDRUSTFFT_TPU_WARN_PAR_JIT=0)
-    # to silence once the behavior is understood.
+    # How a `_par` entry point traced inside a user jit executes:
+    #   'spmd' (default) — a custom_partitioning custom-call: the SPMD
+    #          partitioner rotates a sharded transform axis local with a
+    #          tiled all_to_all (never an all-gather) and the serial impl
+    #          runs per-shard — the reference's `_par` contract ("same
+    #          call, parallel execution", src/lib.rs:169-238) inside jit
+    #          (parallel/spmd.py). vmap-batched calls fall back to
+    #          'serial' (custom_partitioning has no batching rule).
+    #   'serial' — legacy (rounds 2-4): run the serial impl and let GSPMD
+    #          partition it (typically contraction-dim all-reduces).
+    par_under_jit: str = os.environ.get("NDRUSTFFT_TPU_PAR_JIT", "spmd")
+    # Warn when a `_par` entry point is traced inside a user jit UNDER THE
+    # LEGACY 'serial' MODE (a mesh-sharded input silently gets GSPMD's
+    # collectives instead of a pencil-style schedule). No warning in
+    # 'spmd' mode — the partitioned path honors the contract.
     warn_par_under_jit: bool = os.environ.get(
         "NDRUSTFFT_TPU_WARN_PAR_JIT", "1") in ("1", "true")
     # Axis-0 execution strategy for C2C:
@@ -152,4 +161,38 @@ class precision_override:
 
     def __exit__(self, *exc):
         _tls.precision = self._prev
+        return False
+
+
+def use_pallas_effective() -> bool:
+    """Whether Pallas kernel routes are enabled for the CURRENT THREAD:
+    ``config.use_pallas`` unless a scoped :class:`pallas_override` is
+    active. Every kernel-eligibility gate consults this instead of the
+    global flag directly."""
+    ov = getattr(_tls, "use_pallas", None)
+    return config.use_pallas if ov is None else ov
+
+
+class pallas_override:
+    """Context manager: force kernel-route enablement for the CURRENT
+    THREAD only (trace-time scope; nestable).
+
+    Used by the AD wrapper (api._diffable) to trace its engine tangent
+    with kernels disabled WITHOUT mutating ``config.use_pallas`` — a
+    global toggle there could interleave with another thread's
+    save/restore and leave kernels off permanently, and would silently
+    reroute transforms being traced concurrently elsewhere (the same
+    hazard :class:`precision_override` exists to prevent for precision).
+    """
+
+    def __init__(self, enabled: bool):
+        self._enabled = enabled
+
+    def __enter__(self):
+        self._prev = getattr(_tls, "use_pallas", None)
+        _tls.use_pallas = self._enabled
+        return self
+
+    def __exit__(self, *exc):
+        _tls.use_pallas = self._prev
         return False

@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
+from ...config import use_pallas_effective as _use_pallas
 from ...plan import _cis, dft_matrix, stage_twiddle
 from .fft import (
     _MAX_N,
@@ -71,7 +72,7 @@ from .fft import (
 
 
 def dct_pallas_supported(n: int, dtype) -> bool:
-    if not config.use_pallas:
+    if not _use_pallas():
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -357,7 +358,10 @@ def _mid_tile(cols: int, tcfg: int = 0) -> int:
 
 @lru_cache(maxsize=256)
 def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
-                    interpret: bool, mode: str, scale: float = 1.0, tcfg: int = 0):
+                    interpret: bool, mode: str, scale: float = 1.0,
+                    tcfg: int = 0, donate: bool = False):
+    from .fft import _donate_kw
+
     dtype = jnp.dtype(dtype_str)
     m0, _f0 = _twostep_split(n)
     perm = np.concatenate([np.arange(m0 // 2),
@@ -388,6 +392,7 @@ def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate, nplanes=1),
     )
     return lambda x: call(x, *consts)
 
@@ -447,7 +452,8 @@ def dct2_pallas_mid(x, scale=None):
     run = _build_dct2_mid(n, nb, cols, str(x.dtype),
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
-                          tcfg=int(config.pallas_tile))
+                          tcfg=int(config.pallas_tile),
+                          donate=bool(config.donate_io))
     return run(x)
 
 
@@ -499,7 +505,7 @@ def _dct_dense_matrix(n: int, dct_type: int):
 
 
 def dct_dense_mid_supported(n: int, dtype) -> bool:
-    if not config.use_pallas:
+    if not _use_pallas():
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -527,7 +533,9 @@ def _dct_dense_kernel(n, mode, x_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_dct_dense_mid(n: int, dct_type: int, nb: int, cols: int,
                          dtype_str: str, interpret: bool, mode: str,
-                         scale: float, tcfg: int = 0):
+                         scale: float, tcfg: int = 0, donate: bool = False):
+    from .fft import _donate_kw
+
     dtype = jnp.dtype(dtype_str)
     m_ = _dct_dense_matrix(n, dct_type) * scale
     if mode == "bf16x3":
@@ -553,6 +561,7 @@ def _build_dct_dense_mid(n: int, dct_type: int, nb: int, cols: int,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate, nplanes=1),
     )
     return lambda x: call(x, *consts)
 
@@ -564,7 +573,8 @@ def dct_dense_pallas_mid(x, dct_type: int, scale=None):
     run = _build_dct_dense_mid(n, dct_type, nb, cols, str(x.dtype),
                                bool(config.pallas_interpret), dot_mode(),
                                float(1.0 if scale is None else scale),
-                               tcfg=int(config.pallas_tile))
+                               tcfg=int(config.pallas_tile),
+                               donate=bool(config.donate_io))
     return run(x)
 
 
@@ -610,7 +620,7 @@ def dct_dense_pallas_mid(x, dct_type: int, scale=None):
 
 def dct4_mid_supported(n: int, dtype) -> bool:
     """Even n whose half length has a {128,256} twostep split, f32."""
-    if not config.use_pallas:
+    if not _use_pallas():
         return False
     if jnp.dtype(dtype) != jnp.float32 or n % 2 or n < 4 or n > 2 * _MAX_N:
         return False

@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
+from ...config import use_pallas_effective as _use_pallas
 from ...config import matmul_precision as _cfg_precision
 from ...plan import C2CPlan, chirp, dft_matrix, factorize, stage_twiddle
 
@@ -295,7 +296,7 @@ def _lane_factor_cached(n: int, _max_base: int) -> Optional[int]:
 
 
 def pallas_supported(plan: C2CPlan, dtype) -> bool:
-    if not config.use_pallas:
+    if not _use_pallas():
         return False
     if plan.kind != "ct":
         return False
@@ -1367,7 +1368,7 @@ def _blue_tile(M: int, cols: int, itemsize: int, tcfg: int = 0) -> int:
 
 def blue_mid_supported(plan: C2CPlan, dtype) -> bool:
     """Fused-Bluestein axis-mid kernel eligibility (prime/arbitrary n)."""
-    if not config.use_pallas or plan.kind != "bluestein":
+    if not _use_pallas() or plan.kind != "bluestein":
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -1903,7 +1904,7 @@ def fourstep_supported(plan: C2CPlan, dtype) -> bool:
     > _MAX_N, or inside it but failing the single-kernel VMEM working-set
     check (n ~20481..65536, which previously fell silently to the
     engine)."""
-    if not config.use_pallas or plan.kind != "ct":
+    if not _use_pallas() or plan.kind != "ct":
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False

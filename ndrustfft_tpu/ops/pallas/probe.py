@@ -359,7 +359,16 @@ def _compile_one(builder, kwargs, mode):
 
 
 def run(verbose: bool = True, modes=None, probes=None) -> bool:
-    """Compile the probe matrix; return True iff everything passes."""
+    """Compile the probe matrix; return True iff everything passes.
+
+    Each row also records its wall-clock compile seconds (round-5 verdict
+    next #8: Mosaic compile latency is a serving-relevant cost — 20-40 s
+    per big kernel on the real toolchain — so the matrix carries the
+    per-kernel numbers; the cold/warm serving recipe is
+    ``handler.warmup()`` + ``utils.cache.enable_persistent_cache``,
+    measured in tools/compile_latency.py)."""
+    import time as _time
+
     import jax
 
     backend = jax.default_backend()
@@ -367,24 +376,30 @@ def run(verbose: bool = True, modes=None, probes=None) -> bool:
     ok_all = True
     for label, builder, kwargs in (probes or PROBES):
         for mode in (modes or MODES):
+            t0 = _time.perf_counter()
             try:
                 _compile_one(builder, kwargs, mode)
-                results.append((label, mode, "PASS", ""))
+                dt = _time.perf_counter() - t0
+                results.append((label, mode, "PASS", "", dt))
             except Exception as e:  # noqa: BLE001
                 ok_all = False
+                dt = _time.perf_counter() - t0
                 msg = f"{type(e).__name__}: {e}"
-                results.append((label, mode, "FAIL", msg.splitlines()[0][:100]))
+                results.append((label, mode, "FAIL",
+                                msg.splitlines()[0][:100], dt))
                 if verbose:
                     traceback.print_exc(limit=2, file=sys.stderr)
     if verbose:
         print(f"# kernel compile probe on backend={backend}")
-        for label, mode, status, msg in results:
-            line = f"{status}  {label:24s} {mode:8s}"
+        for label, mode, status, msg, dt in results:
+            line = f"{status}  {label:24s} {mode:8s} {dt:7.2f}s"
             if msg:
                 line += f"  {msg}"
             print(line)
         n_pass = sum(1 for r in results if r[2] == "PASS")
-        print(f"# {n_pass}/{len(results)} passed")
+        total = sum(r[4] for r in results)
+        print(f"# {n_pass}/{len(results)} passed, "
+              f"total compile {total:.1f}s")
     return ok_all
 
 

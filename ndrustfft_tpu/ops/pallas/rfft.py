@@ -70,6 +70,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
+from ...config import use_pallas_effective as _use_pallas
 from ...plan import R2CPlan, _cis, get_c2c_plan
 from .fft import (
     _VMEM_LIMIT,
@@ -734,8 +735,12 @@ def _dct1_kernel_mid(core, m_, f_, mode, n, scale, x_ref, xf_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
                     interpret: bool, mode: str, scale: float, tcfg: int = 0,
-                    core: str = "bts2"):
-    """(B, n, L) x and flip(x) -> (B, n, L) DCT-I * scale along axis 1."""
+                    core: str = "bts2", donate: bool = False):
+    """(B, n, L) x and flip(x) -> (B, n, L) DCT-I * scale along axis 1.
+
+    ``donate`` aliases the output onto the FIRST operand (x): xf is a
+    separate materialized array, so per-block in-place writes are safe."""
+    from .fft import _donate_kw
     h = n - 1
     ext = 2 * h
     dtype = jnp.dtype(dtype_str)
@@ -764,6 +769,7 @@ def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        **_donate_kw(donate, nplanes=1),
     )
     return lambda x, xf: call(x, xf, *consts)
 
@@ -771,7 +777,7 @@ def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
 def dct1_mid_supported(n: int, dtype) -> bool:
     """Natural DCT-I kernel eligibility: odd n >= 5 with a twostep-eligible
     h = n-1 (the reference's 2^k+1 bench sizes all qualify)."""
-    if not config.use_pallas or jnp.dtype(dtype) != jnp.float32:
+    if not _use_pallas() or jnp.dtype(dtype) != jnp.float32:
         return False
     if n < 5 or n % 2 == 0 or _nat_ts(n - 1) is None:
         return False
@@ -787,7 +793,8 @@ def dct1_pallas_mid(x, scale=None):
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
                           tcfg=int(config.pallas_tile),
-                          core=mid_core_body())
+                          core=mid_core_body(),
+                          donate=bool(config.donate_io))
     return run(x, xf)
 
 
@@ -807,7 +814,7 @@ _DENSE_RFFT_MAX = 1100    # same one-dot-beats-fused cap as the DCT dense
 def rfft_dense_mid_supported(n: int, dtype) -> bool:
     """Any n (odd included — round-2 verdict weak #5: odd R2C/C2R never
     reached a kernel) up to the dense cap."""
-    if not config.use_pallas:
+    if not _use_pallas():
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False

@@ -172,3 +172,120 @@ def test_no_wrapper_on_plain_cpu_forward_mode_intact():
         np.testing.assert_allclose(np.asarray(y), np.asarray(t), rtol=1e-6)
     finally:
         config.use_pallas, config.pallas_interpret = prev
+
+
+# --------------------------------------------------------------------------
+# Forward-mode AD (round-5: the custom_jvp engine-tangent wrapper gives
+# BOTH modes on kernel routes; the round-4 custom_vjp form made jvp raise)
+# --------------------------------------------------------------------------
+
+
+def _jvp_both(fn, x, t):
+    """(kernel-route jvp tangent, engine-route jvp tangent)."""
+    config.use_pallas = True
+    _, tk = jax.jvp(fn, (x,), (t,))
+    config.use_pallas = False
+    _, te = jax.jvp(fn, (x,), (t,))
+    config.use_pallas = True
+    return np.asarray(tk), np.asarray(te)
+
+
+def _pin_jvp(fn, x, t):
+    tk, te = _jvp_both(fn, x, t)
+    assert np.all(np.isfinite(tk))
+    rel = np.abs(tk - te).max() / (np.abs(te).max() + 1e-30)
+    assert rel < _REL, rel
+
+
+def test_jvp_every_family_kernel_route(kernel_mode):
+    from ndrustfft_tpu import nddst1, nddst3, nddst4
+    h = FftHandler(_N)
+    hr = R2cFftHandler(_N)
+    hd = DctHandler(_N)
+    xc = jnp.asarray(_x((2, _N, _N)), jnp.complex64)
+    xr = _x((2, _N, _N), 1)
+    tc = jnp.asarray(_x((2, _N, _N), 2), jnp.complex64)
+    tr = _x((2, _N, _N), 3)
+    _pin_jvp(lambda v: ndfft(v, h, axis=1), xc, tc)
+    _pin_jvp(lambda v: ndifft(v, h, axis=1), xc, tc)
+    _pin_jvp(lambda v: ndfft_r2c(v, hr, axis=1), xr, tr)
+    xs = jnp.asarray(_x((2, _N // 2 + 1, _N), 4), jnp.complex64)
+    ts = jnp.asarray(_x((2, _N // 2 + 1, _N), 5), jnp.complex64)
+    _pin_jvp(lambda v: ndifft_r2c(v, hr, axis=1), xs, ts)
+    for fn in (nddct1, nddct2, nddct3, nddct4, nddst1, nddst3, nddst4):
+        _pin_jvp(lambda v, _f=fn: _f(v, axis=1), xr, tr)
+    # hd exercises the handler-carrying path too
+    _pin_jvp(lambda v: nddct2(v, hd, axis=1), xr, tr)
+
+
+def test_linearize_and_jit_jvp_compose(kernel_mode):
+    h = FftHandler(_N)
+    x = jnp.asarray(_x((2, _N, _N)), jnp.complex64)
+    t = jnp.asarray(_x((2, _N, _N), 2), jnp.complex64)
+    y, lin = jax.linearize(lambda v: ndfft(v, h, axis=1), x)
+    config.use_pallas = False
+    _, te = jax.jvp(lambda v: ndfft(v, h, axis=1), (x,), (t,))
+    config.use_pallas = True
+    rel = np.abs(np.asarray(lin(t)) - np.asarray(te)).max() / (
+        np.abs(np.asarray(te)).max() + 1e-30)
+    assert rel < _REL, rel
+    # jit(jvp) keeps working
+    tk = jax.jit(lambda a, b: jax.jvp(
+        lambda v: ndfft(v, h, axis=1), (a,), (b,))[1])(x, t)
+    rel = np.abs(np.asarray(tk) - np.asarray(te)).max() / (
+        np.abs(np.asarray(te)).max() + 1e-30)
+    assert rel < _REL, rel
+
+
+def test_jvp_custom_nonlinear_policy(kernel_mode):
+    # nonlinear custom policy: the tangent is the engine jvp AT THE PRIMAL
+    h = FftHandler(_N).normalization(
+        Normalization.custom(lambda v: v * jnp.abs(v)))
+    x = jnp.asarray(_x((2, _N, _N)), jnp.complex64)
+    t = jnp.asarray(_x((2, _N, _N), 2), jnp.complex64)
+    _pin_jvp(lambda v: ndifft(v, h, axis=1), x, t)
+
+
+def test_hvp_forward_over_reverse(kernel_mode):
+    h = FftHandler(_N)
+    x = _x((2, _N, _N))
+    t = _x((2, _N, _N), 2)
+
+    def loss(v):
+        return jnp.sum(jnp.abs(
+            ndfft(jnp.asarray(v, jnp.complex64), h, axis=1)) ** 2)
+
+    config.use_pallas = True
+    hk = jax.jvp(jax.grad(loss), (x,), (t,))[1]
+    config.use_pallas = False
+    he = jax.jvp(jax.grad(loss), (x,), (t,))[1]
+    config.use_pallas = True
+    rel = np.abs(np.asarray(hk) - np.asarray(he)).max() / (
+        np.abs(np.asarray(he)).max() + 1e-30)
+    assert rel < _REL, rel
+
+
+def test_jvp_through_pencil_transform(kernel_mode):
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ndrustfft_tpu.parallel import fftn_pencil
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    v = jnp.asarray(_x((_N, _N)), jnp.complex64)
+    t = jnp.asarray(_x((_N, _N), 2), jnp.complex64)
+
+    def fn(x):
+        out, _ = fftn_pencil(x, mesh, P("d", None))
+        return out
+
+    xs = jax.device_put(v, NamedSharding(mesh, P("d", None)))
+    ts = jax.device_put(t, NamedSharding(mesh, P("d", None)))
+    config.use_pallas = True
+    _, tk = jax.jvp(fn, (xs,), (ts,))
+    config.use_pallas = False
+    _, te = jax.jvp(fn, (xs,), (ts,))
+    config.use_pallas = True
+    rel = np.abs(np.asarray(tk) - np.asarray(te)).max() / (
+        np.abs(np.asarray(te)).max() + 1e-30)
+    assert rel < _REL, rel
