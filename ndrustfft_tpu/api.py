@@ -11,6 +11,10 @@ src/lib.rs:169-238) does not exist on TPU: lanes are always batched across
 the VPU/MXU. The ``_par`` names are kept so reference code ports 1:1, and
 they additionally route mesh-sharded eager inputs through the multi-chip
 pencil path (see ``_make_par`` below and ``ndrustfft_tpu.parallel``).
+Inside a user ``jax.jit`` — where sharding is invisible to tracing — they
+lower through ``jax.experimental.custom_partitioning`` so the SPMD
+partitioner itself performs the pencil axis rotation (parallel/spmd.py,
+round 5; ``config.par_under_jit`` selects the legacy serial behavior).
 
 Axis/layout generality: the reference's three-way dispatch (fast minor-axis
 path / swap+copy / per-lane contiguity matrix, src/lib.rs:100-167) collapses

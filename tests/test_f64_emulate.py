@@ -334,3 +334,47 @@ def test_plan_pencil_frozen_dims():
     assert plan[0] is not None and plan[0]["split"] == 2  # not the plane dim
     with pytest.raises(ValueError, match="no local dim"):
         plan_pencil((4, 32), steps, mesh, P(None, "py"), frozen_dims=(0,))
+
+
+def test_dd_steps_honor_normalization_policy():
+    """Round-5 advisor fix: the dd step kinds derive their scale from the
+    handler's policy (reference C2C semantics: forward unnormalized,
+    inverse scaled after) instead of hard-coding Default's 1/n; a custom
+    callable raises with guidance (it cannot see values in the split
+    plane representation)."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from ndrustfft_tpu import FftHandler, Normalization, df64
+    from ndrustfft_tpu.parallel import Step, pencil_transform
+
+    rng = np.random.default_rng(3)
+    n = 16
+    x = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    leaves = jnp.stack([jnp.asarray(p) for p in df64.split64(x)])
+    mesh = Mesh(np.array(jax.devices()[:4]), ("py",))
+    spec = P(None, "py", None)
+
+    def run(handler, kind):
+        out, _ = pencil_transform(leaves, [Step(kind, 2, handler)], mesh,
+                                  spec, frozen_dims=(0,))
+        return df64.join64(*[np.asarray(out[i]) for i in range(4)])
+
+    fwd = np.fft.fft(x, axis=1)
+    # NONE policy: inverse stays unnormalized
+    h_none = FftHandler(n).normalization(Normalization.NONE)
+    got = run(h_none, "ifft_dd")
+    ref = np.fft.ifft(x, axis=1) * n
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+    # scalar policy: the exact scalar rides the dd multiply
+    h_s = FftHandler(n).normalization(Normalization.scalar(0.25))
+    got = run(h_s, "ifft_dd")
+    ref = np.fft.ifft(x, axis=1) * n * 0.25
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+    # forward is NEVER normalized, any policy (src/lib.rs:313-318)
+    got = run(h_s, "fft_dd")
+    assert np.abs(got - fwd).max() / np.abs(fwd).max() < 1e-12
+    # custom raises with guidance
+    h_c = FftHandler(n).normalization(Normalization.custom(lambda v: v))
+    with pytest.raises(ValueError, match="dd"):
+        run(h_c, "ifft_dd")

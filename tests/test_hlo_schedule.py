@@ -202,9 +202,11 @@ def _a2a_payload_bytes(hlo):
         m = re.search(r"= (.*?) all-to-all\(", ln)
         if not m:
             continue
-        for dt, dims in re.findall(r"(bf16|c64|c128|f32|f64)\[([\d,]*)\]",
-                                   m.group(1)):
-            sz = {"bf16": 2, "f32": 4, "c64": 8, "f64": 8, "c128": 16}[dt]
+        for dt, dims in re.findall(
+                r"(bf16|c64|c128|f32|f64|s16|u16)\[([\d,]*)\]",
+                m.group(1)):
+            sz = {"bf16": 2, "s16": 2, "u16": 2, "f32": 4, "c64": 8,
+                  "f64": 8, "c128": 16}[dt]
             total += sz * int(np.prod([int(d) for d in dims.split(",")
                                        if d]))
     return total
@@ -307,3 +309,39 @@ def test_async_overlap_with_bf16_wire_on_tpu_schedule():
             open_started = False
     assert overlapped >= 1, (
         f"no compute scheduled inside any async all-to-all window: {events}")
+
+
+def test_int16_wire_halves_bytes_on_tpu_schedule():
+    """Round-5 wire ladder: 'int16' must move the SAME halved ICI bytes as
+    bf16 on the real TPU compiler's schedule (its all_to_all payloads are
+    s16 planes; the per-source scales ride a k-scalar all-gather whose
+    bytes are noise). A silent fallback to f32 wire would pass numerics
+    but fail here."""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"TPU topology AOT unavailable: {e}")
+    mesh = Mesh(np.array(topo.devices).reshape(2, 4), ("y", "z"))
+    steps = [Step("fft", 2, FftHandler(64)),
+             Step("fft", 1, FftHandler(64)),
+             Step("fft", 0, FftHandler(64))]
+
+    def run(wire):
+        fn = lambda v: pencil_transform(  # noqa: E731
+            v, steps, mesh, P("y", "z", None), wire_dtype=wire)[0]
+        xs = jax.ShapeDtypeStruct(
+            (64, 64, 64), jnp.complex64,
+            sharding=NamedSharding(mesh, P("y", "z", None)))
+        return jax.jit(fn).lower(xs).compile().as_text()
+
+    b32 = _a2a_payload_bytes(run(None))
+    bq = _a2a_payload_bytes(run("int16"))
+    assert b32 > 0 and bq > 0
+    assert bq * 2 == b32, (bq, b32)
+    # bf16x2 on a c64 payload moves f32-EQUAL bytes (precision tier, not a
+    # bandwidth tier, for f32-class grids)
+    bx2 = _a2a_payload_bytes(run("bfloat16x2"))
+    assert bx2 == b32, (bx2, b32)
