@@ -50,6 +50,42 @@ from jax.sharding import PartitionSpec as P
 _SHAPE_CHANGING = ("r2c", "c2r")
 
 
+def _install_cp_batching_rule():
+    """Give ``custom_partitioning`` a vmap fallback.
+
+    This jax build has no batching rule for the custom_partitioning
+    primitive, so ``vmap(jit(ndfft_par))`` — vmap OUTSIDE the jit, where
+    _make_par's BatchTracer fallback cannot see it — raised
+    NotImplementedError. The registered rule simply vmaps the op's inner
+    jaxpr (the unpartitioned semantics): partitioning is lost under the
+    batch, exactly matching the documented vmap-inside-jit fallback,
+    instead of erroring. Registered once at module import; a future jax
+    that ships its own rule wins (we never overwrite an existing one).
+    """
+    try:
+        from jax._src import core as _core
+        from jax._src.custom_partitioning import custom_partitioning_p
+        from jax._src.interpreters import batching
+    except ImportError:  # pragma: no cover - jax internals moved
+        return
+    if custom_partitioning_p in batching.primitive_batchers:
+        return
+
+    def _cp_batcher(args, dims, *, call, **params):
+        def inner(*a):
+            return _core.jaxpr_as_fun(call)(*a)
+
+        in_axes = tuple(None if d is batching.not_mapped else d
+                        for d in dims)
+        out = jax.vmap(inner, in_axes=in_axes, out_axes=0)(*args)
+        return out, (0,) * len(out)
+
+    batching.primitive_batchers[custom_partitioning_p] = _cp_batcher
+
+
+_install_cp_batching_rule()
+
+
 def _norm_spec(spec, ndim):
     parts = list(spec) if spec is not None else []
     return parts + [None] * (ndim - len(parts))

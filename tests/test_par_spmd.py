@@ -235,3 +235,14 @@ def test_par_under_jit_3d_pipeline_composes():
     want = np.fft.fft(np.fft.fft(v, axis=0), axis=1)
     assert out.sharding.spec == P("y", "z", None)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-3)
+
+
+def test_par_vmap_outside_jit_falls_back():
+    # vmap OUTSIDE the jit: jax has no custom_partitioning batching rule,
+    # so parallel/spmd.py registers a vmap-the-inner-jaxpr fallback
+    v = np.stack([_cx((_N, 16), 13), _cx((_N, 16), 14)])
+    h = FftHandler(_N)
+    out = jax.vmap(jax.jit(lambda a: ndfft_par(a, h, axis=0)))(
+        jnp.asarray(v, jnp.complex64))
+    np.testing.assert_allclose(np.asarray(out), np.fft.fft(v, axis=1),
+                               rtol=1e-5, atol=1e-4)
