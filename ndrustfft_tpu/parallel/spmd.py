@@ -68,8 +68,11 @@ def _install_cp_batching_rule():
         from jax._src.interpreters import batching
     except ImportError:  # pragma: no cover - jax internals moved
         return
-    if custom_partitioning_p in batching.primitive_batchers:
-        return
+    try:
+        batching.primitive_batchers[custom_partitioning_p]
+        return  # jax grew its own rule: keep it
+    except (KeyError, TypeError):
+        pass
 
     def _cp_batcher(args, dims, *, call, **params):
         def inner(*a):
