@@ -149,3 +149,58 @@ def test_donate_flag_invalidates_jit_cache():
     k0 = _config_key()
     _flip(True)
     assert _config_key() != k0
+
+
+def test_donate_dct_family_kernels():
+    """Round 5: DCT-II (fused Makhoul), the dense DCT kernel (any type,
+    odd n), and the natural DCT-I kernel now thread input_output_aliases
+    too — flag-on results must bit-match flag-off for each."""
+    import scipy.fft as sf
+
+    from ndrustfft_tpu import nddct1, nddct3, nddct4
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (nddct2, 256, 2),   # fused Makhoul DCT-II (newly donating)
+        (nddct3, 256, 3),   # fused DCT-III (donating since round 4)
+        (nddct1, 129, 1),   # dense kernel, odd n (newly donating)
+        (nddct4, 128, 4),   # dense kernel DCT-IV (newly donating)
+        (nddct1, 257, 1),   # natural DCT-I kernel (newly donating)
+    ]
+    for fn, n, t in cases:
+        x = rng.standard_normal((2, n, 256)).astype(np.float32)
+        _flip(False)
+        ref = np.asarray(fn(jnp.asarray(x), axis=1))
+        _flip(True)
+        got = np.asarray(fn(jnp.asarray(x), axis=1))
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_allclose(
+            got, sf.dct(x, type=t, axis=1), rtol=2e-4,
+            atol=2e-4 * np.abs(ref).max())
+
+
+def test_donate_chained_dct_pair_loop():
+    """The bench DCT pair chain (dct3(dct2(x)) with the 2/n fold) under
+    donate_io: both kernels alias in place inside a fori_loop — the exact
+    pattern whose hidden carry copy the flag removes. Values must match
+    the flag-off chain bitwise over several iterations."""
+    n = 256
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, n, 256)).astype(np.float32)
+    h2 = DctHandler(n).normalization(Normalization.NONE)
+    h3 = DctHandler(n).normalization(Normalization.scalar(2.0 / n))
+
+    def chain(v):
+        from ndrustfft_tpu import nddct3
+
+        def body(_, c):
+            return nddct3(nddct2(c, h2, axis=1), h3, axis=1)
+
+        return jax.lax.fori_loop(0, 4, body, v)
+
+    _flip(False)
+    ref = np.asarray(jax.jit(chain)(jnp.asarray(x)))
+    _flip(True)
+    got = np.asarray(jax.jit(chain)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-3)
