@@ -632,17 +632,18 @@ def main():
         # just the headline chain); cached per (n, batch, planes)
         floor_cache = {}
 
-        def _floor(m, bm, planes):
-            key = (m, bm, planes)
+        def _floor(m, bm, planes, alias=True):
+            key = (m, bm, planes, alias)
             if key not in floor_cache:
                 try:
-                    floor_cache[key] = _copy_floor(m, bm, alias=True,
+                    floor_cache[key] = _copy_floor(m, bm, alias=alias,
                                                    planes=planes)
                 except Exception:  # noqa: BLE001 - tunnel flake
                     floor_cache[key] = None
             return floor_cache[key]
 
-        def _emit(metric, thunk, extra=None, floor_key=None):
+        def _emit(metric, thunk, extra=None, floor_key=None,
+                  floor_noalias=False):
             # one row per measurement, crash-proof: a wedged-tunnel failure
             # (or a poisoned session, NOTES_TPU.md) reports value=null and
             # the grid continues instead of dying mid-capture; flush so a
@@ -658,6 +659,16 @@ def main():
                     if fl:
                         row["copy_floor_us"] = round(fl * 1e6, 2)
                         row["pct_copy_floor"] = round(100.0 * fl / t, 1)
+                    if floor_noalias:
+                        # rows whose kernels CANNOT alias (r2c/c2r change
+                        # shape): the honest bound includes the fori_loop
+                        # carry copy — report the non-aliased floor too
+                        fn_ = _floor(*floor_key, alias=False)
+                        if fn_:
+                            row["copy_floor_noalias_us"] = round(
+                                fn_ * 1e6, 2)
+                            row["pct_copy_floor_noalias"] = round(
+                                100.0 * fn_ / t, 1)
             except Exception as e:  # noqa: BLE001
                 row["value"] = None
                 row["error"] = f"{type(e).__name__}: {e}"[:200]
@@ -698,7 +709,7 @@ def main():
                               1),
                           "pct_hbm_roofline": round(
                               100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
-                      floor_key=(m, bm, 1))
+                      floor_key=(m, bm, 1), floor_noalias=True)
             d = m + 1
             bm = max(1, (1 << 27) // (d * d * 4))
             xd = None
