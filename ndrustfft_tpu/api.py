@@ -699,6 +699,7 @@ def _config_key():
     return (_cfg.use_pallas, _cfg.pallas_interpret, _cfg.pallas_flavor,
             _cfg.axis0_strategy, _cfg.matmul_precision, _cfg.max_base_radix,
             _cfg.pallas_tile, _cfg.mid_body, _cfg.mid_split,
+            _cfg.dct_split, _cfg.rfft_split,
             _cfg.donate_io, _cfg.debug_plan_log)
 
 

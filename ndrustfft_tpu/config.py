@@ -76,6 +76,15 @@ class _Config:
     # m=256 gives f=4 (2 levels, 2x stage-2 MACs) — a VPU/MXU tradeoff
     # knob for per-n tuning.
     mid_split: int = int(os.environ.get("NDRUSTFFT_TPU_MID_SPLIT", "0"))
+    # Force the twostep sublane factor m for the fused DCT kernels
+    # (II/III mid, IV's half-length pipelines) / the R2C-C2R half-FFT
+    # kernels. 0 = per-n measured default. The kernels' dominant MXU cost
+    # is the stage-1/stage-2 dense DFT-m dot (linear in m), so the
+    # smallest m whose butterfly factor f stays on the VPU wins whenever
+    # Mosaic lays the narrower planes out cleanly — per-n winners are
+    # blessed from an on-chip A/B (tools/split_probe.py), never assumed.
+    dct_split: int = int(os.environ.get("NDRUSTFFT_TPU_DCT_SPLIT", "0"))
+    rfft_split: int = int(os.environ.get("NDRUSTFFT_TPU_RFFT_SPLIT", "0"))
     # Opt-in in-place pages for same-shape Pallas kernels: alias each data
     # output buffer to the corresponding input operand (input_output_aliases)
     # so chained / loop-carried transforms write IN PLACE. Inside a

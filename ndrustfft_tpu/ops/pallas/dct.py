@@ -71,6 +71,26 @@ from .fft import (
 )
 
 
+def _dct_msplit(n: int) -> int:
+    """Effective stage-split preference for the fused DCT kernels.
+
+    ``config.dct_split`` > 0 forces that m (when it divides n — otherwise
+    :func:`fft._twostep_split` silently falls back to auto); 0 = the
+    measured per-n default. The DCT kernels' MXU cost is their stage-1
+    dense DFT-m dot (6 m^2 f L MACs/tile, linear in m), so smaller legal
+    m is faster whenever the f-butterfly stays on the VPU — but only an
+    on-chip A/B can bless a per-n entry here (round-5 probe)."""
+    forced = int(config.dct_split)
+    if forced:
+        return forced
+    return _DCT_MSPLIT_DEFAULT.get(n, 0)
+
+
+# per-n measured winners (on-chip A/B, tools/split_probe.py); empty until
+# a round's probe blesses an entry
+_DCT_MSPLIT_DEFAULT = {}
+
+
 def dct_pallas_supported(n: int, dtype) -> bool:
     if not _use_pallas():
         return False
@@ -86,15 +106,18 @@ def dct_pallas_supported(n: int, dtype) -> bool:
 
 
 def _fft_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
-                pre_a=None, pre_b=None, row_perm=None, re_only_s2=False):
+                pre_a=None, pre_b=None, row_perm=None, re_only_s2=False,
+                m_pref: int = 0):
     """Mode-packed twostep consts for a REAL-input length-n FFT.
 
     bf16x3: [W3m (3m, 2m) bf16, tw_r (m,f), tw_i, W6f bf16]; other modes:
     [wm_r, wm_i, tw_r, tw_i, wf_r, wf_i] f32. Folds: ``pre_a[t']`` into the
     Wm rows (complex), ``pre_b[j]`` and ``scale`` into the stage twiddle,
     ``row_perm`` permutes Wm's rows (the Makhoul fold), ``re_only_s2``
-    builds the real-rows-only stage-2 matrix."""
-    m, f = _twostep_split(n)
+    builds the real-rows-only stage-2 matrix. ``m_pref`` forces the
+    (m, f) split (config.dct_split; the stage-1 dot is 6 m^2 f L MACs per
+    tile, so m=64 halves the kernel's MXU work vs m=128 when it divides)."""
+    m, f = _twostep_split(n, m_pref)
     wm_r, wm_i = dft_matrix(m, sign)
     if pre_a is not None:
         ar, ai = pre_a  # (m,)
@@ -359,15 +382,15 @@ def _mid_tile(cols: int, tcfg: int = 0) -> int:
 @lru_cache(maxsize=256)
 def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
                     interpret: bool, mode: str, scale: float = 1.0,
-                    tcfg: int = 0, donate: bool = False):
+                    tcfg: int = 0, donate: bool = False, msplit: int = 0):
     from .fft import _donate_kw
 
     dtype = jnp.dtype(dtype_str)
-    m0, _f0 = _twostep_split(n)
+    m0, _f0 = _twostep_split(n, msplit)
     perm = np.concatenate([np.arange(m0 // 2),
                            np.arange(m0 - 1, m0 // 2 - 1, -1)])
     m, f, consts = _fft_consts(n, -1, dtype, mode, scale=scale,
-                               row_perm=perm)
+                               row_perm=perm, m_pref=msplit)
     k = np.arange(n, dtype=np.int64)
     w = _cis(k, 2 * n, -1)
     consts = consts + [np.asarray(w[0], dtype).reshape(n, 1),
@@ -400,24 +423,26 @@ def _build_dct2_mid(n: int, nb: int, cols: int, dtype_str: str,
 @lru_cache(maxsize=256)
 def _build_dct3_mid(n: int, nb: int, cols: int, dtype_str: str,
                     interpret: bool, mode: str, scale: float = 1.0,
-                    tcfg: int = 0, donate: bool = False):
+                    tcfg: int = 0, donate: bool = False, msplit: int = 0):
     from .fft import _donate_kw
 
     dtype = jnp.dtype(dtype_str)
-    m0, f0 = _twostep_split(n)
+    m0, f0 = _twostep_split(n, msplit)
     tp = np.arange(m0, dtype=np.int64)
     a = _cis(tp, 2 * m0, -1)
     j = np.arange(f0, dtype=np.int64)
     b = _cis(j, 2 * n, -1)
     m, f, cons1 = _fft_consts(n, -1, dtype, mode, scale=scale,
-                              pre_a=a, pre_b=b, re_only_s2=True)
+                              pre_a=a, pre_b=b, re_only_s2=True,
+                              m_pref=msplit)
     # pipeline 2 (odd outputs, natural order): sign +1 with the extra
     # e^{2i pi s/n} fold: pre * e^{2i pi s/n} = e^{+i pi 3 t' f/(2n)} x
     # e^{+i pi 3 j/(2n)} (exact integer phases via _cis)
     a2 = _cis(3 * tp * f0, 2 * n, +1)
     b2 = _cis(3 * j, 2 * n, +1)
     _, _, cons2 = _fft_consts(n, +1, dtype, mode, scale=scale,
-                              pre_a=a2, pre_b=b2, re_only_s2=True)
+                              pre_a=a2, pre_b=b2, re_only_s2=True,
+                              m_pref=msplit)
     h0 = np.ones((n, 1), dtype)
     h0[0, 0] = 0.5
     consts = cons1 + cons2 + [h0]
@@ -453,7 +478,8 @@ def dct2_pallas_mid(x, scale=None):
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
                           tcfg=int(config.pallas_tile),
-                          donate=bool(config.donate_io))
+                          donate=bool(config.donate_io),
+                          msplit=_dct_msplit(n))
     return run(x)
 
 
@@ -466,7 +492,8 @@ def dct3_pallas_mid(x, scale=None):
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
                           tcfg=int(config.pallas_tile),
-                          donate=bool(config.donate_io))
+                          donate=bool(config.donate_io),
+                          msplit=_dct_msplit(n))
     return run(x)
 
 
@@ -665,12 +692,12 @@ def _dct4_kernel_mid(hl, m, f, mode, nc, x_ref, *refs):
 @lru_cache(maxsize=64)
 def _build_dct4_mid(n: int, nb: int, cols: int, dtype_str: str,
                     interpret: bool, mode: str, scale: float = 1.0,
-                    tcfg: int = 0, donate: bool = False):
+                    tcfg: int = 0, donate: bool = False, msplit: int = 0):
     from .fft import _donate_kw
 
     dtype = jnp.dtype(dtype_str)
     hl = n // 2
-    m0, f0 = _twostep_split(hl)
+    m0, f0 = _twostep_split(hl, msplit)
     tv = np.arange(m0, dtype=np.float64)
     jv = np.arange(f0, dtype=np.float64)
     # w_s = C0 a[t'] b[j]; q_s = qa[t'] qb[j] (odd-exit sign-+1 fold)
@@ -684,7 +711,8 @@ def _build_dct4_mid(n: int, nb: int, cols: int, dtype_str: str,
     def fc(sign, pa, pb, perm=None):
         m, f, consts = _fft_consts(hl, sign, dtype, mode,
                                    pre_a=(pa.real, pa.imag),
-                                   pre_b=(pb.real, pb.imag), row_perm=perm)
+                                   pre_b=(pb.real, pb.imag), row_perm=perm,
+                                   m_pref=msplit)
         assert (m, f) == (m0, f0)
         return consts
 
@@ -729,5 +757,6 @@ def dct4_pallas_mid(x, scale=None):
                           bool(config.pallas_interpret), dot_mode(),
                           float(1.0 if scale is None else scale),
                           tcfg=int(config.pallas_tile),
-                          donate=bool(config.donate_io))
+                          donate=bool(config.donate_io),
+                          msplit=_dct_msplit(n // 2))
     return run(x)

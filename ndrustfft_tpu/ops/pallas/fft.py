@@ -661,12 +661,22 @@ def _twostep_split(n: int, m_pref: int = 0):
     unsupported-shape-cast on the (n, T) -> (m, f*T) view (m=132 measured to
     fail); among {128, 256} prefer minimal m + f (dense MACs/element).
     ``m_pref`` forces a specific m when it divides n (perf experiments,
-    config.mid_split)."""
-    cands = [d for d in (128, 256) if n % d == 0 and n // d <= 256]
-    if not cands:
-        return None
+    config.mid_split).
+
+    ``m_pref = 64`` is additionally honored (round 5): the stage-2 dense
+    DFT-m dot is the kernels' dominant MXU cost (6m^2 f L MACs/tile scales
+    linearly with m), and m=64 keeps every MXU-relevant extent tile-clean
+    (K-stack 3m=192 / 6m=384, output 2m=128 = exactly one lane tile; only
+    the f-butterfly's per-plane lane width drops to 64 on the TS body).
+    64 is never picked automatically — it must win an on-chip A/B first
+    (config.dct_split / config.rfft_split / config.mid_split)."""
+    cands = [d for d in (64, 128, 256)
+             if n % d == 0 and n // d <= (256 if d >= 128 else 16)]
     if m_pref in cands:
         return m_pref, n // m_pref
+    cands = [d for d in cands if d >= 128]
+    if not cands:
+        return None
     m = min(cands, key=lambda d: d + n // d)
     return m, n // m
 
@@ -708,7 +718,7 @@ def _twostep_math(xr, xi, consts, m, f, rows, mode, sign=None):
 
 
 def _twostep_consts(n: int, sign: int, dtype, mode: str = "default",
-                    scale: float = 1.0):
+                    scale: float = 1.0, m_pref: int = 0):
     """Twostep kernel consts + (m, f).
 
     bf16x3 mode: [W6_m (bf16), tw_r (m,f), tw_i, W6_f (bf16)] with the
@@ -716,7 +726,7 @@ def _twostep_consts(n: int, sign: int, dtype, mode: str = "default",
     [wm_r, wm_i, tw_r, tw_i, wf_r, wf_i] f32 pairs. ``scale`` is folded
     into the stage twiddle (every element passes it once) — the fused
     scalar-normalization path, costing zero kernel work."""
-    m, f = _twostep_split(n)
+    m, f = _twostep_split(n, m_pref)
     wm = dft_matrix(m, sign)
     wf = dft_matrix(f, sign)
     twi_ = stage_twiddle(f, m, sign)  # (f, m)[j, p]
@@ -811,7 +821,7 @@ def _dg_sw(x, w, mode):
                                preferred_element_type=jnp.float32)
 
 
-_BFLY_F = (2, 4, 8)
+_BFLY_F = (2, 4, 8, 16)
 
 
 def bfly_dft_leading(planes, sign):
@@ -1148,7 +1158,7 @@ def _nlead_consts(n: int, sign: int, dtype, mode: str, scale: float = 1.0,
     _twostep_consts/_bts2_consts)."""
     if body == "bts2":
         return _bts2_consts(n, sign, dtype, mode, scale, m_pref)
-    return _twostep_consts(n, sign, dtype, mode, scale)
+    return _twostep_consts(n, sign, dtype, mode, scale, m_pref)
 
 
 def mid_core_body() -> str:

@@ -99,12 +99,29 @@ def rfft_pallas_supported(plan: R2CPlan, dtype) -> bool:
     return pallas_supported(plan.sub, dtype)
 
 
-def _nat_ts(h: int):
-    """Twostep split for the natural-layout kernels' half-FFT, or None."""
-    ts = _twostep_split(h)
+def _nat_ts(h: int, m_pref: int = 0):
+    """Twostep split for the natural-layout kernels' half-FFT, or None.
+
+    ``m_pref`` forces the sublane factor m (config.rfft_split): the
+    half-FFT's per-q stage-2 dots are 12 m^2 f L MACs/tile — linear in m —
+    so m=64 halves the kernels' MXU work where it divides h (blessed per-n
+    from the on-chip A/B, tools/split_probe.py)."""
+    ts = _twostep_split(h, m_pref)
     if h >= 256 and ts is not None and ts[0] <= config.max_base_radix:
         return ts
     return None
+
+
+def _rfft_msplit(h: int) -> int:
+    """Effective half-FFT split preference (0 = measured per-h default)."""
+    forced = int(config.rfft_split)
+    if forced:
+        return forced
+    return _RFFT_MSPLIT_DEFAULT.get(h, 0)
+
+
+# per-h measured winners (on-chip A/B); empty until a probe blesses entries
+_RFFT_MSPLIT_DEFAULT = {}
 
 
 def rfft_nat_supported(plan: R2CPlan, dtype) -> bool:
@@ -255,13 +272,13 @@ def _r2c_kernel_nat(core, m_, f_, mode, h, x_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_r2c_nat(n: int, batch: int, dtype_str: str, interpret: bool,
-                   mode: str, core: str = "bts2"):
+                   mode: str, core: str = "bts2", msplit: int = 0):
     """(B, n) real -> (B, m) split re/im spectrum; no external pack pass."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    m_, f_ = _nat_ts(h)
-    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
+    m_, f_ = _nat_ts(h, msplit)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core, m_pref=msplit)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)     # W_n^k, k = 0..h-1
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -298,7 +315,8 @@ def r2c_pallas_nat(x, plan: R2CPlan):
     batch, _n = x.shape
     run = _build_r2c_nat(plan.n, batch, str(x.dtype),
                          bool(config.pallas_interpret), dot_mode(),
-                         core=mid_core_body())
+                         core=mid_core_body(),
+                         msplit=_rfft_msplit(plan.n // 2))
     return run(x)
 
 
@@ -345,14 +363,15 @@ def _c2r_kernel_nat(core, m_, f_, mode, h, sr_ref, si_ref, *refs):
 
 @lru_cache(maxsize=256)
 def _build_c2r_nat(n: int, batch: int, dtype_str: str, interpret: bool,
-                   mode: str, scale: float, core: str = "bts2"):
+                   mode: str, scale: float, core: str = "bts2",
+                   msplit: int = 0):
     """(B, m) RAW split re/im spectrum -> (B, n) real; normalization and
     DC/Nyquist masking fused (no external passes)."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    m_, f_ = _nat_ts(h)
-    consts, _ = _nlead_consts(h, +1, dtype, mode, body=core)
+    m_, f_ = _nat_ts(h, msplit)
+    consts, _ = _nlead_consts(h, +1, dtype, mode, body=core, m_pref=msplit)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, +1)     # W_n^{-k} under the forward convention
     a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur          # (1 + i u)/2
@@ -406,7 +425,8 @@ def c2r_pallas_nat(sr, si, n: int, scale=None):
     run = _build_c2r_nat(n, batch, str(sr.dtype),
                          bool(config.pallas_interpret), dot_mode(),
                          float(1.0 if scale is None else scale),
-                         core=mid_core_body())
+                         core=mid_core_body(),
+                         msplit=_rfft_msplit(n // 2))
     return run(sr, si)
 
 
@@ -489,13 +509,13 @@ def _mid_tile(cols: int, tcfg: int = 0) -> int:
 @lru_cache(maxsize=256)
 def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
                    interpret: bool, mode: str, tcfg: int = 0,
-                   core: str = "bts2"):
+                   core: str = "bts2", msplit: int = 0):
     """(B, n, L) real -> (B, m, L) split re/im, transform along axis 1."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    m_, f_ = _nat_ts(h)
-    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
+    m_, f_ = _nat_ts(h, msplit)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core, m_pref=msplit)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -529,14 +549,14 @@ def _build_r2c_mid(n: int, nb: int, cols: int, dtype_str: str,
 @lru_cache(maxsize=256)
 def _build_c2r_mid(n: int, nb: int, cols: int, dtype_str: str,
                    interpret: bool, mode: str, scale: float, tcfg: int = 0,
-                   core: str = "bts2"):
+                   core: str = "bts2", msplit: int = 0):
     """(B, m, L) RAW split re/im -> (B, n, L) real, transform along axis 1;
     normalization + DC/Nyquist masking fused."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    m_, f_ = _nat_ts(h)
-    consts, _ = _nlead_consts(h, +1, dtype, mode, body=core)
+    m_, f_ = _nat_ts(h, msplit)
+    consts, _ = _nlead_consts(h, +1, dtype, mode, body=core, m_pref=msplit)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, +1)
     a_r, a_i = 0.5 * (1.0 - ui), 0.5 * ur
@@ -587,7 +607,8 @@ def r2c_pallas_mid(x, plan: R2CPlan):
     run = _build_r2c_mid(n, nb, cols, str(x.dtype),
                          bool(config.pallas_interpret), dot_mode(),
                          tcfg=int(config.pallas_tile),
-                         core=mid_core_body())
+                         core=mid_core_body(),
+                         msplit=_rfft_msplit(n // 2))
     return run(x)
 
 
@@ -598,7 +619,8 @@ def c2r_pallas_mid(sr, si, n: int, scale=None):
                          bool(config.pallas_interpret), dot_mode(),
                          float(1.0 if scale is None else scale),
                          tcfg=int(config.pallas_tile),
-                         core=mid_core_body())
+                         core=mid_core_body(),
+                         msplit=_rfft_msplit(n // 2))
     return run(sr, si)
 
 
@@ -636,13 +658,14 @@ def _r2c_kernel_packed_mid(core, m_, f_, mode, h, scale, xe_ref, xo_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_r2c_packed_mid(n: int, nb: int, cols: int, dtype_str: str,
                           interpret: bool, mode: str, scale: float,
-                          tcfg: int = 0, core: str = "bts2"):
+                          tcfg: int = 0, core: str = "bts2",
+                          msplit: int = 0):
     """(B, h, L) even/odd pair -> (B, m, L) split re/im * scale, axis 1."""
     h = n // 2
     m = h + 1
     dtype = jnp.dtype(dtype_str)
-    m_, f_ = _nat_ts(h)
-    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
+    m_, f_ = _nat_ts(h, msplit)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core, m_pref=msplit)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, n, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -681,7 +704,8 @@ def r2c_pallas_packed_mid(xe, xo, n: int, scale=None):
                                 bool(config.pallas_interpret), dot_mode(),
                                 float(1.0 if scale is None else scale),
                                 tcfg=int(config.pallas_tile),
-                                core=mid_core_body())
+                                core=mid_core_body(),
+                                msplit=_rfft_msplit(n // 2))
     return run(xe, xo)
 
 
@@ -735,7 +759,8 @@ def _dct1_kernel_mid(core, m_, f_, mode, n, scale, x_ref, xf_ref, *refs):
 @lru_cache(maxsize=256)
 def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
                     interpret: bool, mode: str, scale: float, tcfg: int = 0,
-                    core: str = "bts2", donate: bool = False):
+                    core: str = "bts2", donate: bool = False,
+                    msplit: int = 0):
     """(B, n, L) x and flip(x) -> (B, n, L) DCT-I * scale along axis 1.
 
     ``donate`` aliases the output onto the FIRST operand (x): xf is a
@@ -744,8 +769,8 @@ def _build_dct1_mid(n: int, nb: int, cols: int, dtype_str: str,
     h = n - 1
     ext = 2 * h
     dtype = jnp.dtype(dtype_str)
-    m_, f_ = _nat_ts(h)
-    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core)
+    m_, f_ = _nat_ts(h, msplit)
+    consts, _ = _nlead_consts(h, -1, dtype, mode, body=core, m_pref=msplit)
     k = np.arange(h, dtype=np.int64)
     ur, ui = _cis(2 * k, ext, -1)
     consts = consts + [np.asarray(ur, dtype).reshape(h, 1),
@@ -794,7 +819,8 @@ def dct1_pallas_mid(x, scale=None):
                           float(1.0 if scale is None else scale),
                           tcfg=int(config.pallas_tile),
                           core=mid_core_body(),
-                          donate=bool(config.donate_io))
+                          donate=bool(config.donate_io),
+                          msplit=_rfft_msplit(n - 1))
     return run(x, xf)
 
 
