@@ -916,6 +916,35 @@ def main():
                       0.5 * 5.0 * 1024 * 10 * 1024 / t / 1e9, 1)},
                   floor_key=(1024, 16, 1))
 
+        # Fused spectral pipeline (round 5): ONE kernel runs r2c ->
+        # diagonal multiply -> c2r, so the spectrum never round-trips HBM
+        # and the real->real same-shape pass aliases in place under
+        # donate_io. H = ones makes the math identical to the rfft2d pair
+        # rows above (per_iter = 2*bm: one fwd + one inv equivalent), so
+        # the delta vs rfft2d_{m} is pure dataflow — the spectrum HBM
+        # round-trip plus the unaliasable carry copy, both gone.
+        for ms in [512, 1024]:
+            if not _want(f"spectral_r2c_{ms}_"):
+                continue
+            from ndrustfft_tpu import ndspectral_r2c
+
+            bm = max(1, (1 << 27) // (ms * ms * 4))
+            xr = rng.standard_normal((bm, ms, ms)).astype(np.float32)
+            hones = np.ones(ms // 2 + 1, np.float32)
+            hsp = R2cFftHandler(ms).normalization(
+                Normalization.scalar(drift / ms))
+            _emit(f"spectral_r2c_{ms}_f32_axis0",
+                  lambda _m=ms, _x=xr, _ho=hones, _h=hsp, _b=bm:
+                  per_transform(
+                      lambda v: ndspectral_r2c(v, _ho, _h, axis=1),
+                      _x, scale=None, per_iter=2 * _b),
+                  lambda t, _m=ms: {
+                      "gflops": round(
+                          0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
+                      "pct_hbm_roofline": round(
+                          100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
+                  floor_key=(ms, bm, 1))
+
         # DCT-IV at n=2048 — beyond the n<=1100 dense cap via the round-4
         # half-shift kernel route (verdict next #6); DCT-IV is an
         # involution: dct4(dct4(x)) = (n/2) x in the rustdct convention

@@ -1,0 +1,79 @@
+"""Fused spectral filtering with ndspectral_r2c — the single-kernel
+r2c -> diagonal multiply -> c2r pipeline (round 5).
+
+Three canonical frequency-domain operators on a batch of real signals,
+each ONE call (and on the TPU axis-mid route, ONE kernel pass — the
+spectrum never leaves VMEM):
+
+  1. sharp low-pass (dealiasing-style 2/3 truncation),
+  2. spectral first derivative (multiplier i*k),
+  3. 1-D periodic Poisson solve (multiplier -1/k^2, zero-mean gauge).
+
+The reference has no fused analog (each transform is a separate call,
+src/lib.rs:169-238); semantics are pinned against the explicit
+ndifft_r2c(mult * ndfft_r2c(x)) composition and numpy oracles.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from ndrustfft_tpu import R2cFftHandler, ndfft_r2c, ndifft_r2c, ndspectral_r2c
+
+
+def main():
+    n = 256
+    h = R2cFftHandler(n)
+    k = np.fft.rfftfreq(n, d=1.0 / n)          # integer wavenumbers 0..n/2
+    t = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    # two tones + "noise" above the cutoff
+    rng = np.random.default_rng(0)
+    x = (np.sin(3 * t) + 0.5 * np.cos(7 * t)
+         + 0.1 * rng.standard_normal(n) * 0.0
+         + 0.2 * np.sin(100 * t))
+    xb = jnp.asarray(np.broadcast_to(x, (4, n)).copy())
+
+    # 1. sharp low-pass at the 2/3 rule
+    keep = jnp.asarray((k <= n // 3).astype(np.float64))
+    y = ndspectral_r2c(xb, keep, h, axis=1)
+    ref = ndifft_r2c(keep[None, :] * ndfft_r2c(xb, h, axis=1), h, axis=1)
+    assert float(jnp.abs(y - ref).max()) < 1e-12
+    # the 100-mode is gone, the low tones survive
+    lowpass_oracle = np.sin(3 * t) + 0.5 * np.cos(7 * t)
+    assert float(jnp.abs(y[0] - lowpass_oracle).max()) < 1e-10
+    print("low-pass:   max|y - oracle| =",
+          float(jnp.abs(y[0] - lowpass_oracle).max()))
+
+    # 2. spectral derivative: d/dt sin(3t) = 3 cos(3t)
+    ik = jnp.asarray(1j * k)
+    xs = jnp.asarray(np.broadcast_to(np.sin(3 * t), (4, n)).copy())
+    dx = ndspectral_r2c(xs, ik, h, axis=1)
+    d_oracle = 3.0 * np.cos(3 * t)
+    assert float(jnp.abs(dx[0] - d_oracle).max()) < 1e-9
+    print("derivative: max|dx - 3cos(3t)| =",
+          float(jnp.abs(dx[0] - d_oracle).max()))
+
+    # 3. periodic Poisson u'' = f with f = -9 sin(3t): u = sin(3t)
+    f = jnp.asarray(np.broadcast_to(-9.0 * np.sin(3 * t), (4, n)).copy())
+    inv_k2 = np.zeros_like(k)
+    inv_k2[1:] = -1.0 / k[1:] ** 2              # zero-mean gauge at k=0
+    u = ndspectral_r2c(f, jnp.asarray(inv_k2), h, axis=1)
+    u_oracle = np.sin(3 * t)
+    assert float(jnp.abs(u[0] - u_oracle).max()) < 1e-9
+    print("poisson:    max|u - sin(3t)| =",
+          float(jnp.abs(u[0] - u_oracle).max()))
+
+    print("fused_filter: all oracles passed — OK")
+
+
+if __name__ == "__main__":
+    main()

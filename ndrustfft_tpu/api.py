@@ -1123,6 +1123,138 @@ def ndifft_r2c(x, handler: R2cFftHandler | None = None, axis: int = -1,
     return _dispatch("c2r", x, handler, axis)
 
 
+def _spectral_impl(x, mult, handler, axis):
+    """``c2r(mult * r2c(x))`` — the multiply fused IN-KERNEL on the nat
+    axis-mid route (the spectrum never leaves VMEM; see
+    ops/pallas/rfft.py::_spectral_kernel_mid), exact public composition
+    everywhere else."""
+    axis = _norm_axis(axis, x.ndim)
+    _check_size(x.shape[axis], handler.n)
+    n, m = handler.n, handler.m
+    norm = handler.norm
+    dims = _mid_dims(x, axis)
+    if (norm.kind != "custom" and mult.ndim == 1 and mult.shape[0] == m
+            and dims is not None):
+        from .ops.pallas.rfft import rfft_nat_supported, spectral_pallas_mid
+        from .plan import get_r2c_plan as _grp
+
+        if rfft_nat_supported(_grp(n), x.dtype):
+            scale = (1.0 / n if norm.kind == "default"
+                     else norm.value if norm.kind == "scalar" else 1.0)
+            nb, cols = dims
+            _plan_log("spectral", n, axis, "pallas-spectral-mid-nat")
+            hr = jnp.real(mult).astype(x.dtype).reshape(m, 1)
+            hi = (jnp.imag(mult).astype(x.dtype).reshape(m, 1)
+                  if jnp.issubdtype(mult.dtype, jnp.complexfloating)
+                  else jnp.zeros((m, 1), x.dtype))
+            y = spectral_pallas_mid(x.reshape(nb, n, cols), hr, hi, n, scale)
+            return y.reshape(x.shape)
+    # universal fallback: the exact composition (engine or per-leg kernels;
+    # handles custom normalization, odd n, minor axis, any mult shape)
+    if mult.ndim == 1:
+        shape = [1] * x.ndim
+        shape[axis] = mult.shape[0]
+        mult = mult.reshape(shape)
+    return _c2r_impl(mult * _r2c_impl(x, handler, axis), handler, axis)
+
+
+def _spectral_diffable(x, mult, handler, axis):
+    """Full-AD wrapper for the spectral pipeline (the 2-arg analog of
+    _diffable): primal keeps the kernel route, tangents run the engine
+    twin. For none/default/scalar policies the map is BILINEAR in
+    (x, mult): dy = P(dx, mult) + P(x, dmult)."""
+    if not _ad_wrap_active():
+        return _spectral_impl(x, mult, handler, axis)
+    from .config import (matmul_precision_name, pallas_override,
+                         precision_override)
+
+    prec = matmul_precision_name()
+    linear = handler.norm.kind != "custom"
+
+    def engine_fn(v, hm):
+        with pallas_override(False), precision_override(prec):
+            return _spectral_impl(v, hm, handler, axis)
+
+    f = jax.custom_jvp(lambda v, hm: _spectral_impl(v, hm, handler, axis))
+
+    def jvp(primals, tangents):
+        (v, hm), (tv, th) = primals, tangents
+        from jax._src.interpreters import ad as _ad
+
+        nested = (isinstance(v, _ad.JVPTracer)
+                  or isinstance(hm, _ad.JVPTracer))
+        primal_fn = engine_fn if nested else (
+            lambda a, b: _spectral_impl(a, b, handler, axis))
+        y = primal_fn(v, hm)
+        if linear:
+            return y, engine_fn(tv, hm) + engine_fn(v, th)
+        return y, jax.jvp(engine_fn, (v, hm), (tv, th))[1]
+
+    f.defjvp(jvp)
+    return f(x, mult)
+
+
+@lru_cache(maxsize=1024)
+def _spectral_jitted(handler, axis, cfg_key=None):
+    return jax.jit(
+        lambda x, mult: _spectral_diffable(x, mult, handler, axis))
+
+
+def ndspectral_r2c(x, multiplier, handler: R2cFftHandler | None = None,
+                   axis: int = -1):
+    """Fused real spectral pipeline along ``axis``: exactly
+
+        ``ndifft_r2c(multiplier * ndfft_r2c(x, handler, axis), handler, axis)``
+
+    — forward R2C, diagonal frequency-domain multiply, normalized inverse
+    C2R (the handler's normalization applies at the inverse, and the
+    DC/Nyquist imaginary parts of the product spectrum are zeroed, both
+    per the reference's inverse semantics, src/lib.rs:506-523) — but on
+    the production axis-mid kernel route all three steps run in ONE
+    Pallas pass: the spectrum never round-trips HBM, so the canonical
+    filter / derivative / diagonal-solve step costs read-n + write-n
+    instead of the composition's read-n + write-2m + read-2m + write-n.
+    The real->real same-shape signature also makes chained steps
+    ``config.donate_io``-eligible (in-place HBM pages), which the
+    separate r2c/c2r kernels never are (their shapes change).
+
+    ``multiplier``: complex or real, either shape ``(m,)`` (broadcast
+    over all other axes — the fused fast path) or anything broadcastable
+    against the spectrum (exact composition fallback). No reference
+    analog (each transform is a separate call there) — a TPU-native
+    extension in the spirit of the reference's filter examples.
+
+    Example (low-pass filter)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import R2cFftHandler, ndspectral_r2c
+        >>> x = jnp.ones((4, 8))
+        >>> keep = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])  # m = 5 bins
+        >>> y = ndspectral_r2c(x, keep, R2cFftHandler(8), axis=1)
+        >>> y.shape
+        (4, 8)
+        >>> bool(jnp.max(jnp.abs(y - x)) < 1e-5)   # DC passthrough
+        True
+    """
+    x = _prep_real(x)
+    h = handler or _auto_handler(R2cFftHandler,
+                                 x.shape[_norm_axis(axis, x.ndim)])
+    mult = jnp.asarray(multiplier) if not isinstance(
+        multiplier, (jax.core.Tracer, jax.Array)) else multiplier
+    if isinstance(x, np.ndarray) or jnp.dtype(x.dtype) == jnp.float64:
+        # emulate-host / f64-policy tiers: run the exact composition via
+        # the public functions, which own those policies (_dispatch)
+        axn = _norm_axis(axis, x.ndim)
+        shp = [1] * x.ndim
+        if mult.ndim == 1:
+            shp[axn] = mult.shape[0]
+            mult = mult.reshape(shp)
+        return ndifft_r2c(mult * ndfft_r2c(x, h, axis), h, axis)
+    if isinstance(x, jax.core.Tracer):
+        return _spectral_diffable(x, mult, h, axis)
+    return _spectral_jitted(h, axis, _config_key())(x, mult)
+
+
 def _make_dct(dct_type):
     def f(x, handler: DctHandler | None = None, axis: int = -1):
         x = _prep_real(x)

@@ -995,3 +995,164 @@ def c2r_dense_pallas_mid(sr, si, n: int, scale=None):
                                float(1.0 if scale is None else scale),
                                tcfg=int(config.pallas_tile))
     return run(sr, si)
+
+
+# --------------------------------------------------------------------------
+# Fused spectral pipeline: r2c -> diagonal multiply -> c2r in ONE kernel.
+#
+# The canonical real spectral step — filter / derivative / 1-D Poisson —
+# is ndifft_r2c(H * ndfft_r2c(x)): two kernel passes plus a full HBM
+# round-trip of the spectrum (write 2m + read 2m floats per lane). Here
+# the spectrum never leaves VMEM: the forward combine, the diagonal
+# multiply by H[k] and the inverse combine all run between the two
+# half-FFT cores, so HBM traffic drops to read-n + write-n — the same
+# real->real same-shape signature as the C2C kernels, which also makes
+# the pipeline donate_io-eligible (in-place pages under chaining; the
+# separate r2c/c2r kernels never can be: their shapes change n <-> m).
+#
+# H is an OPERAND (shape (m,) complex, split re/im host-side), not a
+# constant — users re-filter without recompiling. Reference scope: the
+# reference has no fused analog (each transform is a separate call,
+# src/lib.rs:169-238); this is a TPU-native extension in the spirit of
+# its examples' filter pipelines.
+# --------------------------------------------------------------------------
+
+
+def _spectral_kernel_mid(core, m_, f_, mode, h, ncf,
+                         x_ref, hr_ref, hi_ref, *refs):
+    """Block (1, n, TL) real -> (1, n, TL) real = c2r(H * r2c(x)).
+
+    ``ncf`` = number of forward-core consts (the fwd/inv const split
+    point). The r2c part mirrors _r2c_kernel_mid, the multiply applies
+    the (m, 1) split-complex H rowwise, the c2r part mirrors
+    _c2r_kernel_mid with the spectrum rows already in registers."""
+    fwd_vals = [r[:] for r in refs[:ncf]]
+    ur = refs[ncf][:]                        # (h, 1) pack twiddle
+    ui = refs[ncf + 1][:]
+    inv_vals = [r[:] for r in refs[ncf + 2:-7]]
+    ar, ai = refs[-7][:], refs[-6][:]        # (h, 1), scale-folded
+    cr_, ci_ = refs[-5][:], refs[-4][:]
+    b0 = refs[-3][:]                         # (2, 1)
+    mk = refs[-2][:]                         # (h, 1) DC-imag mask
+    o_ref = refs[-1]
+    tl = x_ref.shape[-1]
+    # ---- forward r2c (see _r2c_kernel_mid) ----
+    xt = x_ref[:].reshape(h, 2, tl)          # free even/odd de-interleave
+    xe = xt[:, 0, :]
+    xo = xt[:, 1, :]
+    wr = jnp.concatenate([xe, xe], axis=1)   # columns [z | conj(z)]
+    wi = jnp.concatenate([xo, -xo], axis=1)
+    yr, yi = _nlead_core(core, wr, wi, fwd_vals, m_, f_, mode, -1)
+    zr, zi = yr[:, :tl], yi[:, :tl]
+    c_r, c_i = yr[:, tl:], yi[:, tl:]
+    fer = 0.5 * (zr + c_r)
+    fei = 0.5 * (zi + c_i)
+    for_ = 0.5 * (zi - c_i)
+    foi = -0.5 * (zr - c_r)
+    xr = fer + for_ * ur - foi * ui          # spectrum rows 0..h-1
+    xi = fei + for_ * ui + foi * ur
+    last = zr[:1, :] - zi[:1, :]             # Nyquist re (imag exactly 0)
+    # ---- diagonal multiply: S = H * X ----
+    hr = hr_ref[:]                           # (m, 1) = (h+1, 1)
+    hi = hi_ref[:]
+    skr = hr[:h, :] * xr - hi[:h, :] * xi
+    ski = hr[:h, :] * xi + hi[:h, :] * xr
+    snr = hr[h:, :] * last                   # Re(S[h]); Im is masked by the
+    #                                          c2r contract (never read)
+    # ---- inverse c2r (see _c2r_kernel_mid) ----
+    ski = ski * mk                           # DC imag forced 0
+    pr = ar * skr - ai * ski
+    pi = ar * ski + ai * skr
+    qr = cr_ * skr + ci_ * ski
+    qi = ci_ * skr - cr_ * ski
+    q0r = qr[:1, :] + b0[:1, :] * snr
+    q0i = qi[:1, :] + b0[1:, :] * snr
+    qr = jnp.concatenate([q0r, qr[1:, :]], axis=0)
+    qi = jnp.concatenate([q0i, qi[1:, :]], axis=0)
+    wr2 = jnp.concatenate([pr, qr], axis=1)  # columns [P | conj(Q)]
+    wi2 = jnp.concatenate([pi, -qi], axis=1)
+    yr2, yi2 = _nlead_core(core, wr2, wi2, inv_vals, m_, f_, mode, +1)
+    ev = 2.0 * (yr2[:, :tl] + yr2[:, tl:])   # (h, TL)
+    od = 2.0 * (yi2[:, :tl] - yi2[:, tl:])
+    d = jnp.concatenate([ev.reshape(h, 1, tl), od.reshape(h, 1, tl)],
+                        axis=1)
+    o_ref[:] = d.reshape(1, 2 * h, tl)       # free interleave
+
+
+@lru_cache(maxsize=256)
+def _build_spectral_mid(n: int, nb: int, cols: int, dtype_str: str,
+                        interpret: bool, mode: str, scale: float,
+                        tcfg: int = 0, core: str = "bts2", msplit: int = 0,
+                        donate: bool = False):
+    """(B, n, L) real + (m,) split H -> (B, n, L) real, axis 1.
+
+    ``scale`` is the TOTAL scalar (forward handler scalar x inverse
+    normalization), folded into the c2r combine constants as usual.
+    ``donate`` aliases the output onto the x operand (same shape)."""
+    from .fft import _donate_kw
+
+    h = n // 2
+    m = h + 1
+    dtype = jnp.dtype(dtype_str)
+    m_, f_ = _nat_ts(h, msplit)
+    fwd, _ = _nlead_consts(h, -1, dtype, mode, body=core, m_pref=msplit)
+    ncf = len(fwd)
+    k = np.arange(h, dtype=np.int64)
+    ur, ui = _cis(2 * k, n, -1)
+    fwd = fwd + [np.asarray(ur, dtype).reshape(h, 1),
+                 np.asarray(ui, dtype).reshape(h, 1)]
+    inv, _ = _nlead_consts(h, +1, dtype, mode, body=core, m_pref=msplit)
+    vr, vi = _cis(2 * k, n, +1)
+    a_r, a_i = 0.5 * (1.0 - vi), 0.5 * vr
+    b_r, b_i = 0.5 * (1.0 + vi), -0.5 * vr
+    idx = (-k) % h
+    c_r, c_i = b_r[idx].copy(), b_i[idx].copy()
+    c_r[0] = 0.0
+    c_i[0] = 0.0
+    mk = np.ones((h, 1), np.float64)
+    mk[0, 0] = 0.0
+    consts = fwd + inv + [
+        np.asarray(a_r * scale, dtype).reshape(h, 1),
+        np.asarray(a_i * scale, dtype).reshape(h, 1),
+        np.asarray(c_r * scale, dtype).reshape(h, 1),
+        np.asarray(c_i * scale, dtype).reshape(h, 1),
+        np.asarray([[b_r[0] * scale], [b_i[0] * scale]], dtype),
+        np.asarray(mk, dtype),
+    ]
+    tile = _mid_tile(cols, tcfg)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    io_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                           memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((m, 1), lambda g: (0, 0),
+                          memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_spectral_kernel_mid, core, m_, f_, mode, h, ncf),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[io_spec, h_spec, h_spec] + const_specs,
+        out_specs=io_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=int(20 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        **_donate_kw(donate, 1),
+    )
+    return lambda x, hr, hi: call(x, hr, hi, *consts)
+
+
+def spectral_pallas_mid(x, hr, hi, n: int, scale=None):
+    """(B, n, L) real, (m, 1) split H -> (B, n, L) real along axis 1."""
+    nb, _n, cols = x.shape
+    run = _build_spectral_mid(n, nb, cols, str(x.dtype),
+                              bool(config.pallas_interpret), dot_mode(),
+                              float(1.0 if scale is None else scale),
+                              tcfg=int(config.pallas_tile),
+                              core=mid_core_body(),
+                              msplit=_rfft_msplit(n // 2),
+                              donate=bool(config.donate_io))
+    return run(x, hr, hi)

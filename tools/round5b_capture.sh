@@ -38,6 +38,11 @@ SPLIT_TAG=rfftB run 2400 env NDRUSTFFT_TPU_RFFT_SPLIT=64 \
   python bench.py --all --only rfft2d_512_,rfft2d_1024_
 SPLIT_TAG=rfftA2 run 2400 python bench.py --all --only rfft2d_512_,rfft2d_1024_
 
+# 3b. fused spectral pipeline rows — same window as the rfft pair rows
+# above (the delta vs rfft2d_{m} is the spectrum HBM round-trip + carry
+# copy, both eliminated by the fused same-shape kernel)
+run 2400 python bench.py --all --only spectral_r2c_512_,spectral_r2c_1024_
+
 # 4. m=64 split A/B/A — C2C mid (mid_split honors 64 now: 512->f8, 1024->f16)
 SPLIT_TAG=c2cA run 2400 python bench.py --all --only fft2d_512_,fft2d_1024_
 SPLIT_TAG=c2cB run 2400 env NDRUSTFFT_TPU_MID_SPLIT=64 \
