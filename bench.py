@@ -945,6 +945,34 @@ def main():
                           100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
                   floor_key=(ms, bm, 1))
 
+        # Fused DCT spectral pipeline: dct3(H * dct2(x)) in ONE kernel —
+        # the Neumann twin of spectral_r2c. H = ones + the 2/n·drift
+        # scalar makes the math identical to the dct2d_23 pair rows
+        # (per_iter = 2*bm), so the delta vs dct2d_23_{m} is pure
+        # dataflow (the coefficient-field HBM round-trip, gone).
+        for ms in [512, 1024]:
+            if not _want(f"spectral_dct_{ms}_"):
+                continue
+            from ndrustfft_tpu import ndspectral_dct
+
+            bm = max(1, (1 << 27) // (ms * ms * 4))
+            xr = rng.standard_normal((bm, ms, ms)).astype(np.float32)
+            hones = np.ones(ms, np.float32)
+            hd2 = DctHandler(ms).normalization(Normalization.NONE)
+            hd3 = DctHandler(ms).normalization(
+                Normalization.scalar(2.0 * drift / ms))
+            _emit(f"spectral_dct_{ms}_f32_axis0",
+                  lambda _m=ms, _x=xr, _ho=hones, _h2=hd2, _h3=hd3, _b=bm:
+                  per_transform(
+                      lambda v: ndspectral_dct(v, _ho, _h2, _h3, axis=1),
+                      _x, scale=None, per_iter=2 * _b),
+                  lambda t, _m=ms: {
+                      "gflops": round(
+                          0.5 * 5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
+                      "pct_hbm_roofline": round(
+                          100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
+                  floor_key=(ms, bm, 1))
+
         # DCT-IV at n=2048 — beyond the n<=1100 dense cap via the round-4
         # half-shift kernel route (verdict next #6); DCT-IV is an
         # involution: dct4(dct4(x)) = (n/2) x in the rustdct convention

@@ -72,6 +72,25 @@ def main():
     print("poisson:    max|u - sin(3t)| =",
           float(jnp.abs(u[0] - u_oracle).max()))
 
+    # 4. Neumann Poisson via the fused DCT pipeline (ndspectral_dct):
+    #    -u'' = f on [0, pi] with u'(0) = u'(pi) = 0; cosine basis
+    #    diagonalizes it: u_hat[k] = f_hat[k] / k^2 (zero-mean gauge).
+    from ndrustfft_tpu import DctHandler, Normalization, ndspectral_dct
+
+    nn = 128
+    tc = (np.arange(nn) + 0.5) * np.pi / nn      # DCT-II sample points
+    fsrc = 9.0 * np.cos(3 * tc)                  # f = -u'' for u = cos(3t)
+    fb = jnp.asarray(np.broadcast_to(fsrc, (4, nn)).copy())
+    lam = np.zeros(nn)
+    lam[1:] = 1.0 / np.arange(1, nn) ** 2        # 1/k^2, zero-mean gauge
+    h2 = DctHandler(nn).normalization(Normalization.NONE)
+    h3 = DctHandler(nn).normalization(Normalization.scalar(2.0 / nn))
+    u = ndspectral_dct(fb, jnp.asarray(lam), h2, h3, axis=1)
+    u_oracle = np.cos(3 * tc)
+    assert float(jnp.abs(u[0] - u_oracle).max()) < 1e-9
+    print("neumann:    max|u - cos(3t)| =",
+          float(jnp.abs(u[0] - u_oracle).max()))
+
     print("fused_filter: all oracles passed — OK")
 
 

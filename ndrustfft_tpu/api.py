@@ -1158,24 +1158,24 @@ def _spectral_impl(x, mult, handler, axis):
     return _c2r_impl(mult * _r2c_impl(x, handler, axis), handler, axis)
 
 
-def _spectral_diffable(x, mult, handler, axis):
-    """Full-AD wrapper for the spectral pipeline (the 2-arg analog of
-    _diffable): primal keeps the kernel route, tangents run the engine
-    twin. For none/default/scalar policies the map is BILINEAR in
-    (x, mult): dy = P(dx, mult) + P(x, dmult)."""
+def _bilinear_diffable(impl, linear, x, mult):
+    """Full-AD wrapper for the fused spectral pipelines (the 2-arg analog
+    of _diffable): primal keeps the kernel route, tangents run the engine
+    twin. ``impl(x, mult)`` must be BILINEAR in (x, mult) when ``linear``
+    (none/default/scalar policies): dy = P(dx, mult) + P(x, dmult); a
+    custom policy takes the engine jvp at the primal."""
     if not _ad_wrap_active():
-        return _spectral_impl(x, mult, handler, axis)
+        return impl(x, mult)
     from .config import (matmul_precision_name, pallas_override,
                          precision_override)
 
     prec = matmul_precision_name()
-    linear = handler.norm.kind != "custom"
 
     def engine_fn(v, hm):
         with pallas_override(False), precision_override(prec):
-            return _spectral_impl(v, hm, handler, axis)
+            return impl(v, hm)
 
-    f = jax.custom_jvp(lambda v, hm: _spectral_impl(v, hm, handler, axis))
+    f = jax.custom_jvp(impl)
 
     def jvp(primals, tangents):
         (v, hm), (tv, th) = primals, tangents
@@ -1183,15 +1183,19 @@ def _spectral_diffable(x, mult, handler, axis):
 
         nested = (isinstance(v, _ad.JVPTracer)
                   or isinstance(hm, _ad.JVPTracer))
-        primal_fn = engine_fn if nested else (
-            lambda a, b: _spectral_impl(a, b, handler, axis))
-        y = primal_fn(v, hm)
+        y = engine_fn(v, hm) if nested else impl(v, hm)
         if linear:
             return y, engine_fn(tv, hm) + engine_fn(v, th)
         return y, jax.jvp(engine_fn, (v, hm), (tv, th))[1]
 
     f.defjvp(jvp)
     return f(x, mult)
+
+
+def _spectral_diffable(x, mult, handler, axis):
+    return _bilinear_diffable(
+        lambda v, hm: _spectral_impl(v, hm, handler, axis),
+        handler.norm.kind != "custom", x, mult)
 
 
 @lru_cache(maxsize=1024)
@@ -1253,6 +1257,102 @@ def ndspectral_r2c(x, multiplier, handler: R2cFftHandler | None = None,
     if isinstance(x, jax.core.Tracer):
         return _spectral_diffable(x, mult, h, axis)
     return _spectral_jitted(h, axis, _config_key())(x, mult)
+
+
+def _spectral_dct_impl(x, mult, h2, h3, axis):
+    """``nddct3(mult * nddct2(x, h2, axis), h3, axis)`` — the DCT-II
+    forward, the diagonal multiply and the DCT-III inverse fused IN-KERNEL
+    on the mid route (ops/pallas/dct.py::_spectral_dct_kernel_mid), exact
+    public composition everywhere else."""
+    axis = _norm_axis(axis, x.ndim)
+    _check_size(x.shape[axis], h2.n, what="dct")
+    n = h2.n
+    dims = _mid_dims(x, axis)
+    if (h2.norm.kind != "custom" and h3.norm.kind != "custom"
+            and mult.ndim == 1 and mult.shape[0] == n and dims is not None):
+        from .ops.pallas.dct import (
+            dct_pallas_supported, spectral_dct_pallas_mid,
+        )
+
+        if dct_pallas_supported(n, x.dtype):
+            s2 = (2.0 if h2.norm.kind == "default"
+                  else h2.norm.value if h2.norm.kind == "scalar" else 1.0)
+            s3 = (2.0 if h3.norm.kind == "default"
+                  else h3.norm.value if h3.norm.kind == "scalar" else 1.0)
+            nb, cols = dims
+            _plan_log("spectral_dct", n, axis, "pallas-spectral-dct-mid")
+            hv = mult.astype(x.dtype).reshape(n, 1)
+            y = spectral_dct_pallas_mid(x.reshape(nb, n, cols), hv, s2, s3)
+            return y.reshape(x.shape)
+    if mult.ndim == 1:
+        shape = [1] * x.ndim
+        shape[axis] = mult.shape[0]
+        mult = mult.reshape(shape)
+    return _dct_impl(mult * _dct_impl(x, h2, axis, 2), h3, axis, 3)
+
+
+@lru_cache(maxsize=1024)
+def _spectral_dct_jitted(h2, h3, axis, cfg_key=None):
+    return jax.jit(lambda x, mult: _bilinear_diffable(
+        lambda v, hm: _spectral_dct_impl(v, hm, h2, h3, axis),
+        h2.norm.kind != "custom" and h3.norm.kind != "custom", x, mult))
+
+
+def ndspectral_dct(x, multiplier, handler: DctHandler | None = None,
+                   inv_handler: DctHandler | None = None, axis: int = -1):
+    """Fused cosine-basis spectral pipeline along ``axis``: exactly
+
+        ``nddct3(multiplier * nddct2(x, handler, axis), inv_handler, axis)``
+
+    (``inv_handler`` defaults to ``handler``; each handler's normalization
+    applies BEFORE its transform, the reference's DCT semantics,
+    src/lib.rs:688-741) — the Neumann-boundary twin of
+    :func:`ndspectral_r2c`: diagonal operators in the DCT basis (filters,
+    second-derivative Poisson solves on non-periodic domains). On the
+    production mid-axis kernel route the DCT-II, the multiply by the real
+    vector ``multiplier`` (shape ``(n,)``) and the DCT-III run in ONE
+    Pallas pass — the coefficient field never round-trips HBM, and the
+    real->real same-shape signature makes chained steps
+    ``config.donate_io``-eligible. Any other multiplier shape, odd n,
+    minor axis or custom normalization falls back to the exact public
+    composition. No reference analog (separate calls there).
+
+    Example (identity: DCT-III is DCT-II's inverse up to n/2 in the
+    rustdct convention)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import DctHandler, Normalization
+        >>> from ndrustfft_tpu import ndspectral_dct
+        >>> x = jnp.arange(8.0).reshape(1, 8)
+        >>> h2 = DctHandler(8).normalization(Normalization.NONE)
+        >>> h3 = DctHandler(8).normalization(Normalization.scalar(2.0 / 8))
+        >>> y = ndspectral_dct(x, jnp.ones(8), h2, h3, axis=1)
+        >>> bool(jnp.max(jnp.abs(y - x)) < 1e-5)
+        True
+    """
+    x = _prep_real(x)
+    axn = _norm_axis(axis, x.ndim)
+    h2 = handler or _auto_handler(DctHandler, x.shape[axn])
+    h3 = inv_handler or h2
+    if h3.n != h2.n:
+        raise ValueError(
+            f"Size mismatch in dct, got {h3.n} expected {h2.n}")
+    mult = jnp.asarray(multiplier) if not isinstance(
+        multiplier, (jax.core.Tracer, jax.Array)) else multiplier
+    if jnp.issubdtype(mult.dtype, jnp.complexfloating):
+        raise TypeError("ndspectral_dct expects a real multiplier (the "
+                        "DCT basis is real)")
+    if isinstance(x, np.ndarray) or jnp.dtype(x.dtype) == jnp.float64:
+        shp = [1] * x.ndim
+        if mult.ndim == 1:
+            shp[axn] = mult.shape[0]
+            mult = mult.reshape(shp)
+        return nddct3(mult * nddct2(x, h2, axis), h3, axis)
+    if isinstance(x, jax.core.Tracer):
+        return _bilinear_diffable(
+            lambda v, hm: _spectral_dct_impl(v, hm, h2, h3, axis),
+            h2.norm.kind != "custom" and h3.norm.kind != "custom", x, mult)
+    return _spectral_dct_jitted(h2, h3, axis, _config_key())(x, mult)
 
 
 def _make_dct(dct_type):

@@ -760,3 +760,133 @@ def dct4_pallas_mid(x, scale=None):
                           donate=bool(config.donate_io),
                           msplit=_dct_msplit(n // 2))
     return run(x)
+
+
+# --------------------------------------------------------------------------
+# Fused DCT spectral pipeline: DCT-II -> diagonal multiply -> DCT-III in
+# ONE kernel (the cosine-basis twin of rfft.py's _spectral_kernel_mid).
+#
+# The canonical Neumann-BC diagonal solve / filter is
+# nddct3(H * nddct2(x)): two kernel passes plus a full HBM round-trip of
+# the coefficient field. Here the coefficients never leave VMEM — the
+# Makhoul forward, the multiply by H[k] and the two-pipeline inverse run
+# back to back, so HBM traffic is read-n + write-n (same-shape real->real,
+# donate_io-eligible chains). No reference analog (separate calls there,
+# src/lib.rs:753-844).
+# --------------------------------------------------------------------------
+
+
+def _spectral_dct_kernel_mid(m, f, mode, nc2, nc3, h, x_ref, h_ref, *refs):
+    """Block (1, n, TL) real -> (1, n, TL) = DCT-III(H * DCT-II(x)).
+
+    ``nc2`` = dct2 core const count (then w_r, w_i); ``nc3`` = per-pipeline
+    dct3 const count (cs1, cs2, then h0)."""
+    cs_fwd = [r[:] for r in refs[:nc2]]
+    w_r = refs[nc2][:]              # (n, 1) DCT-II post twiddle
+    w_i = refs[nc2 + 1][:]
+    cs1 = [r[:] for r in refs[nc2 + 2:nc2 + 2 + nc3]]
+    cs2 = [r[:] for r in refs[nc2 + 2 + nc3:nc2 + 2 + 2 * nc3]]
+    h0 = refs[nc2 + 2 + 2 * nc3][:]  # (n, 1) DCT-III x0-halving mask
+    out_ref = refs[-1]
+    tl = x_ref.shape[-1]
+    n = m * f
+    # ---- DCT-II (see _dct2_kernel_mid) ----
+    xt = x_ref[:].reshape(h, 2, tl)              # free even/odd split
+    xe = xt[:, 0, :].reshape(m // 2, f * tl)
+    xo3 = xt[:, 1, :].reshape(m // 2, f, tl)
+    xo2 = jnp.concatenate([xo3[:, jj, :] for jj in range(f - 1, -1, -1)],
+                          axis=1)                # Makhoul j-reversal
+    x2 = jnp.concatenate([xe, xo2], axis=0)
+    zr, zi = _real_ts_core_x2(x2, cs_fwd, m, f, tl, mode, re_only=False)
+    y = zr * w_r - zi * w_i                      # (n, TL) DCT-II values
+    # ---- diagonal multiply ----
+    y = y * h_ref[:]                             # (n, 1) broadcast
+    # ---- DCT-III (see _dct3_kernel_mid) ----
+    c = y * h0
+    x3 = c.reshape(m, f * tl)
+    zr1, _ = _real_ts_core_x2(x3, cs1, m, f, tl, mode, re_only=True)
+    zr2, _ = _real_ts_core_x2(x3, cs2, m, f, tl, mode, re_only=True,
+                              sign=+1)
+    half = n // 2
+    out = jnp.concatenate([zr1[:half].reshape(half, 1, tl),
+                           zr2[:half].reshape(half, 1, tl)], axis=1)
+    out_ref[:] = out.reshape(1, n, tl)
+
+
+@lru_cache(maxsize=256)
+def _build_spectral_dct_mid(n: int, nb: int, cols: int, dtype_str: str,
+                            interpret: bool, mode: str, scale2: float,
+                            scale3: float, tcfg: int = 0,
+                            donate: bool = False, msplit: int = 0):
+    """(B, n, L) real + (n,) H -> (B, n, L) real, axis 1.
+
+    ``scale2``/``scale3`` are the handlers' pre-transform scalars (DCT
+    normalization applies BEFORE each transform; both fold into the
+    respective pipeline constants). ``donate`` aliases the output onto
+    the x operand (same shape)."""
+    from .fft import _donate_kw
+
+    dtype = jnp.dtype(dtype_str)
+    m0, f0 = _twostep_split(n, msplit)
+    perm = np.concatenate([np.arange(m0 // 2),
+                           np.arange(m0 - 1, m0 // 2 - 1, -1)])
+    m, f, cs_fwd = _fft_consts(n, -1, dtype, mode, scale=scale2,
+                               row_perm=perm, m_pref=msplit)
+    nc2 = len(cs_fwd)
+    k = np.arange(n, dtype=np.int64)
+    w = _cis(k, 2 * n, -1)
+    cs_fwd = cs_fwd + [np.asarray(w[0], dtype).reshape(n, 1),
+                       np.asarray(w[1], dtype).reshape(n, 1)]
+    tp = np.arange(m0, dtype=np.int64)
+    a = _cis(tp, 2 * m0, -1)
+    j = np.arange(f0, dtype=np.int64)
+    b = _cis(j, 2 * n, -1)
+    _, _, cs1 = _fft_consts(n, -1, dtype, mode, scale=scale3,
+                            pre_a=a, pre_b=b, re_only_s2=True,
+                            m_pref=msplit)
+    a2 = _cis(3 * tp * f0, 2 * n, +1)
+    b2 = _cis(3 * j, 2 * n, +1)
+    _, _, cs2 = _fft_consts(n, +1, dtype, mode, scale=scale3,
+                            pre_a=a2, pre_b=b2, re_only_s2=True,
+                            m_pref=msplit)
+    h0 = np.ones((n, 1), dtype)
+    h0[0, 0] = 0.5
+    consts = cs_fwd + cs1 + cs2 + [h0]
+    tile = _mid_tile(cols, tcfg)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                      memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((n, 1), lambda g: (0, 0),
+                          memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_spectral_dct_kernel_mid, m, f, mode, nc2, len(cs1),
+                n // 2),
+        out_shape=jax.ShapeDtypeStruct((nb, n, cols), dtype),
+        grid=grid,
+        in_specs=[sn, h_spec] + const_specs,
+        out_specs=sn,
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(2 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        **_donate_kw(donate, nplanes=1),
+    )
+    return lambda x, hv: call(x, hv, *consts)
+
+
+def spectral_dct_pallas_mid(x, hv, scale2=None, scale3=None):
+    """(B, n, L) real, (n, 1) H -> (B, n, L) real along axis 1."""
+    nb, n, cols = x.shape
+    run = _build_spectral_dct_mid(n, nb, cols, str(x.dtype),
+                                  bool(config.pallas_interpret), dot_mode(),
+                                  float(1.0 if scale2 is None else scale2),
+                                  float(1.0 if scale3 is None else scale3),
+                                  tcfg=int(config.pallas_tile),
+                                  donate=bool(config.donate_io),
+                                  msplit=_dct_msplit(n))
+    return run(x, hv)

@@ -194,3 +194,89 @@ def test_under_user_jit():
     got = np.asarray(step(x, H))
     ref = _oracle(np.asarray(x), np.asarray(H), n, 1)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+# ---- ndspectral_dct: the cosine-basis (Neumann) twin ----
+
+
+def test_dct_fused_kernel_matches_scipy():
+    import scipy.fft as sp
+
+    from ndrustfft_tpu import DctHandler, nddct2, nddct3, ndspectral_dct
+
+    _kernel_mode()
+    n = 1024
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, n, 16)).astype(np.float32)
+    H = rng.standard_normal(n).astype(np.float32)
+    h2 = DctHandler(n).normalization(Normalization.NONE)
+    h3 = DctHandler(n).normalization(Normalization.scalar(2.0 / n))
+    got = np.asarray(ndspectral_dct(jnp.asarray(x), jnp.asarray(H), h2, h3,
+                                    axis=1))
+    y2 = sp.dct(x.astype(np.float64), type=2, axis=1) / 2
+    ref = sp.dct((2.0 / n) * H[None, :, None] * y2, type=3, axis=1) / 2
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    # and the fused route equals the public composition bit-for-tolerance
+    comp = np.asarray(nddct3(
+        jnp.asarray(H).reshape(1, n, 1)
+        * nddct2(jnp.asarray(x), h2, axis=1), h3, axis=1))
+    assert np.abs(got - comp).max() < 2e-4 * np.abs(comp).max()
+
+
+def test_dct_fallback_routes_and_identity():
+    from ndrustfft_tpu import DctHandler, ndspectral_dct
+
+    rng = np.random.default_rng(11)
+    # odd n + minor axis fall back to the composition
+    for n, ax in ((511, 1), (64, 1)):
+        x = rng.standard_normal((2, n, 8) if ax == 1 else (2, 8, n)
+                                ).astype(np.float32)
+        h2 = DctHandler(n).normalization(Normalization.NONE)
+        h3 = DctHandler(n).normalization(
+            Normalization.scalar(2.0 / n))
+        y = np.asarray(ndspectral_dct(jnp.asarray(x), jnp.ones(n), h2, h3,
+                                      axis=ax))
+        assert np.abs(y - x).max() < 1e-4  # dct3(dct2(x)) * 2/n = x
+
+
+def test_dct_complex_multiplier_raises():
+    from ndrustfft_tpu import DctHandler, ndspectral_dct
+
+    x = jnp.ones((2, 64))
+    with pytest.raises(TypeError):
+        ndspectral_dct(x, jnp.ones(64, jnp.complex64), DctHandler(64),
+                       axis=1)
+
+
+def test_dct_ad_both_modes():
+    from ndrustfft_tpu import DctHandler, nddct2, nddct3, ndspectral_dct
+
+    _kernel_mode()
+    n = 512
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, n, 16)).astype(np.float32))
+    H = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    h2 = DctHandler(n).normalization(Normalization.NONE)
+    h3 = DctHandler(n).normalization(Normalization.scalar(2.0 / n))
+
+    def loss(v, hm):
+        return jnp.sum(ndspectral_dct(v, hm, h2, h3, axis=1) ** 2)
+
+    def loss_engine(v, hm):
+        config.use_pallas = False
+        try:
+            y = nddct3(hm.reshape(1, n, 1) * nddct2(v, h2, axis=1), h3,
+                       axis=1)
+            return jnp.sum(y ** 2)
+        finally:
+            config.use_pallas = True
+
+    for arg in (0, 1):
+        g = jax.grad(loss, argnums=arg)(x, H)
+        g_ref = jax.grad(loss_engine, argnums=arg)(x, H)
+        assert float(jnp.abs(g - g_ref).max()) < 2e-3
+    tv = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    _, ty = jax.jvp(lambda v: ndspectral_dct(v, H, h2, h3, axis=1),
+                    (x,), (tv,))
+    ty_ref = ndspectral_dct(tv, H, h2, h3, axis=1)
+    assert float(jnp.abs(ty - ty_ref).max()) < 2e-4
