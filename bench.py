@@ -396,6 +396,24 @@ def verify():
     run_case(f"c2c_fourstep_{nl}", fourstep_case,
              xl.real.astype(np.float32), xl.imag.astype(np.float32))
 
+    # fused spectral pipelines (round 5): H = ones makes each an exact
+    # roundtrip, so the single-kernel r2c->mult->c2r and dct2->mult->dct3
+    # passes get on-chip numerics without a host oracle
+    from ndrustfft_tpu import ndspectral_dct, ndspectral_r2c
+
+    xsp = rng.standard_normal((2, 1024, 256)).astype(np.float32)
+    hsp = R2cFftHandler(1024)
+    hones_m = np.ones(513, np.float32)
+    run_case("spectral_r2c_1024",
+             lambda v: jnp.max(jnp.abs(
+                 ndspectral_r2c(v, hones_m, hsp, axis=1) - v)), xsp)
+    hones_n = np.ones(1024, np.float32)
+    hsd2 = DctHandler(1024).normalization(Normalization.NONE)
+    hsd3 = DctHandler(1024).normalization(Normalization.scalar(2.0 / 1024))
+    run_case("spectral_dct_1024",
+             lambda v: jnp.max(jnp.abs(
+                 ndspectral_dct(v, hones_n, hsd2, hsd3, axis=1) - v)), xsp)
+
     # reverse-mode AD through the kernel route (round-4 engine-vjp
     # custom_vjp, api._diffable): d/dx sum|FFT x|^2 = 2 n x for real x
     # (Parseval) — an analytic oracle, so no host FFT needed on-chip

@@ -247,6 +247,52 @@ def _probe_blue_rr(n, variant, nb, cols, mode):
     return run, (x,)
 
 
+def _probe_dct2_mid_m64(n, nb, cols, mode):
+    from ..pallas import dct as D
+
+    run = D._build_dct2_mid(n, nb, cols, "float32", _interp(), mode, 2.0,
+                            msplit=64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
+def _probe_r2c_mid_m64(n, nb, cols, mode):
+    from ..pallas import rfft as R
+
+    run = R._build_r2c_mid(n, nb, cols, "float32", _interp(), mode,
+                           msplit=64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    return run, (x,)
+
+
+def _probe_spectral_mid(n, nb, cols, mode, msplit=0):
+    """Fused r2c -> multiply -> c2r pipeline kernel (round 5)."""
+    from ..pallas import rfft as R
+
+    run = R._build_spectral_mid(n, nb, cols, "float32", _interp(), mode,
+                                1.0 / n, msplit=msplit)
+    rng = np.random.default_rng(0)
+    m = n // 2 + 1
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    hr = rng.standard_normal((m, 1)).astype(np.float32)
+    hi = rng.standard_normal((m, 1)).astype(np.float32)
+    return run, (x, hr, hi)
+
+
+def _probe_spectral_dct_mid(n, nb, cols, mode, msplit=0):
+    """Fused dct2 -> multiply -> dct3 pipeline kernel (round 5)."""
+    from ..pallas import dct as D
+
+    run = D._build_spectral_dct_mid(n, nb, cols, "float32", _interp(), mode,
+                                    1.0, 2.0 / n, msplit=msplit)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    hv = rng.standard_normal((n, 1)).astype(np.float32)
+    return run, (x, hv)
+
+
 def _probe_dct3_mid(n, nb, cols, mode):
     from ..pallas import dct as D
 
@@ -330,6 +376,19 @@ PROBES = [
     ("c2r_mid   n=1024", _probe_c2r_mid, dict(n=1024, nb=4, cols=256)),
     ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
+    # fused spectral pipelines (round 5): bench shapes + the m=64 split
+    ("spec_mid  n=1024", _probe_spectral_mid, dict(n=1024, nb=4, cols=256)),
+    ("spec_mid  n=1024 m64", _probe_spectral_mid,
+     dict(n=1024, nb=4, cols=256, msplit=64)),
+    ("specdct_mid n=1024", _probe_spectral_dct_mid,
+     dict(n=1024, nb=4, cols=256)),
+    ("specdct_mid n=1024 m64", _probe_spectral_dct_mid,
+     dict(n=1024, nb=4, cols=256, msplit=64)),
+    # the m=64 split on the existing kernels (blessing candidates)
+    ("dct2_mid  n=1024 m64", _probe_dct2_mid_m64,
+     dict(n=1024, nb=4, cols=256)),
+    ("r2c_mid   n=1024 m64", _probe_r2c_mid_m64,
+     dict(n=1024, nb=4, cols=256)),
     # the fully fused 4-pipeline DCT-IV (bench shape + partial-lane-block
     # boundary)
     ("dct4_mid  n=2048", _probe_dct4_mid, dict(n=2048, nb=4, cols=256)),
