@@ -407,6 +407,16 @@ def verify():
     run_case("spectral_r2c_1024",
              lambda v: jnp.max(jnp.abs(
                  ndspectral_r2c(v, hones_m, hsp, axis=1) - v)), xsp)
+    from ndrustfft_tpu import ndspectral_c2c
+
+    hones_c = np.ones(1024, np.float32)
+
+    def spec_c2c_case(vr, vi):
+        v = jax.lax.complex(vr, vi)
+        return jnp.max(jnp.abs(
+            ndspectral_c2c(v, hones_c, h, axis=1) - v))
+
+    run_case("spectral_c2c_1024", spec_c2c_case, xr, xi)
     hones_n = np.ones(1024, np.float32)
     hsd2 = DctHandler(1024).normalization(Normalization.NONE)
     hsd3 = DctHandler(1024).normalization(Normalization.scalar(2.0 / 1024))
@@ -962,6 +972,32 @@ def main():
                       "pct_hbm_roofline": round(
                           100 * 2 * _m * _m * 4 / (hbm * 1e9) / t, 1)},
                   floor_key=(ms, bm, 1))
+
+        # Fused C2C spectral pipeline: ifft(H * fft(x)) in ONE kernel.
+        # Each unfused leg is aliased-floor-bound (the fft2d rows above),
+        # so fusion is the only remaining lever for the chained step.
+        for ms in [512, 1024]:
+            if not _want(f"spectral_c2c_{ms}_"):
+                continue
+            from ndrustfft_tpu import ndspectral_c2c
+
+            bm = max(1, (1 << 27) // (ms * ms * 8))
+            xc2 = (rng.standard_normal((bm, ms, ms)) + 1j
+                   * rng.standard_normal((bm, ms, ms))).astype(np.complex64)
+            honesc = np.ones(ms, np.float32)
+            hcs = FftHandler(ms).normalization(
+                Normalization.scalar(drift / ms))
+            _emit(f"spectral_c2c_{ms}_f32_axis0",
+                  lambda _m=ms, _x=xc2, _ho=honesc, _h=hcs, _b=bm:
+                  per_transform(
+                      lambda v: ndspectral_c2c(v, _ho, _h, axis=1),
+                      _x, scale=None, per_iter=2 * _b),
+                  lambda t, _m=ms: {
+                      "gflops": round(
+                          5.0 * _m * math.log2(_m) * _m / t / 1e9, 1),
+                      "pct_hbm_roofline": round(
+                          100 * 2 * _m * _m * 8 / (hbm * 1e9) / t, 1)},
+                  floor_key=(ms, bm, 2))
 
         # Fused DCT spectral pipeline: dct3(H * dct2(x)) in ONE kernel —
         # the Neumann twin of spectral_r2c. H = ones + the 2/n·drift

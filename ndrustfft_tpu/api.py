@@ -1259,6 +1259,100 @@ def ndspectral_r2c(x, multiplier, handler: R2cFftHandler | None = None,
     return _spectral_jitted(h, axis, _config_key())(x, mult)
 
 
+def _spectral_c2c_impl(x, mult, handler, axis):
+    """``ndifft(mult * ndfft(x, h, axis), h, axis)`` — fused IN-KERNEL on
+    the twostep axis-mid route (ops/pallas/fft.py::
+    _spectral_c2c_kernel_mid), exact public composition everywhere else."""
+    axis = _norm_axis(axis, x.ndim)
+    _check_size(x.shape[axis], handler.n)
+    n = handler.n
+    norm = handler.norm
+    dims = _mid_dims(x, axis)
+    rdt = _real_dtype(x.dtype)
+    if (norm.kind != "custom" and mult.ndim == 1 and mult.shape[0] == n
+            and dims is not None):
+        from .ops.pallas.fft import (
+            spectral_c2c_mid_supported, spectral_c2c_pallas_mid,
+        )
+
+        if spectral_c2c_mid_supported(n, rdt):
+            # forward C2C is never normalized (src/lib.rs:313-318); the
+            # inverse norm folds into the inverse-core constants
+            scale = (1.0 / n if norm.kind == "default"
+                     else norm.value if norm.kind == "scalar" else 1.0)
+            nb, cols = dims
+            _plan_log("spectral_c2c", n, axis, "pallas-spectral-c2c-mid")
+            xr = jnp.real(x).astype(rdt).reshape(nb, n, cols)
+            xi = jnp.imag(x).astype(rdt).reshape(nb, n, cols)
+            hr = jnp.real(mult).astype(rdt).reshape(n, 1)
+            hi = (jnp.imag(mult).astype(rdt).reshape(n, 1)
+                  if jnp.issubdtype(mult.dtype, jnp.complexfloating)
+                  else jnp.zeros((n, 1), rdt))
+            yr, yi = spectral_c2c_pallas_mid(xr, xi, hr, hi, scale)
+            return jax.lax.complex(yr, yi).reshape(x.shape)
+    if mult.ndim == 1:
+        shape = [1] * x.ndim
+        shape[axis] = mult.shape[0]
+        mult = mult.reshape(shape)
+    return _c2c_impl(mult * _c2c_impl(x, handler, axis, -1), handler,
+                     axis, +1)
+
+
+@lru_cache(maxsize=1024)
+def _spectral_c2c_jitted(handler, axis, cfg_key=None):
+    return jax.jit(lambda x, mult: _bilinear_diffable(
+        lambda v, hm: _spectral_c2c_impl(v, hm, handler, axis),
+        handler.norm.kind != "custom", x, mult))
+
+
+def ndspectral_c2c(x, multiplier, handler: FftHandler | None = None,
+                   axis: int = -1):
+    """Fused complex spectral pipeline along ``axis``: exactly
+
+        ``ndifft(multiplier * ndfft(x, handler, axis), handler, axis)``
+
+    (forward unnormalized, the handler's normalization applied at the
+    inverse — the reference's C2C semantics, src/lib.rs:313-338) with the
+    forward FFT, the diagonal multiply and the normalized inverse in ONE
+    Pallas pass on the twostep axis-mid route. Each unfused leg is already
+    aliased-copy-floor-bound on v5e (BASELINE.md round 5), so for the
+    chained step fusion is the only remaining lever: one read + one write
+    of the field instead of two of each plus the spectrum HBM round-trip,
+    and the same-shape signature keeps chained steps
+    ``config.donate_io``-eligible.
+
+    ``multiplier``: complex or real, shape ``(n,)`` for the fused path;
+    anything broadcastable falls back to the exact composition. No
+    reference analog. See also :func:`ndspectral_r2c` (real fields) and
+    :func:`ndspectral_dct` (cosine basis).
+
+    Example (identity multiplier = roundtrip)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import FftHandler, ndspectral_c2c
+        >>> x = jnp.exp(2j * jnp.pi * jnp.arange(8.0) / 8).reshape(1, 8)
+        >>> y = ndspectral_c2c(x, jnp.ones(8), FftHandler(8), axis=1)
+        >>> bool(jnp.max(jnp.abs(y - x)) < 1e-5)
+        True
+    """
+    x = _prep_complex(x)
+    axn = _norm_axis(axis, x.ndim)
+    h = handler or _auto_handler(FftHandler, x.shape[axn])
+    mult = jnp.asarray(multiplier) if not isinstance(
+        multiplier, (jax.core.Tracer, jax.Array)) else multiplier
+    if isinstance(x, np.ndarray) or jnp.dtype(x.dtype) == jnp.complex128:
+        shp = [1] * x.ndim
+        if mult.ndim == 1:
+            shp[axn] = mult.shape[0]
+            mult = mult.reshape(shp)
+        return ndifft(mult * ndfft(x, h, axis), h, axis)
+    if isinstance(x, jax.core.Tracer):
+        return _bilinear_diffable(
+            lambda v, hm: _spectral_c2c_impl(v, hm, h, axis),
+            h.norm.kind != "custom", x, mult)
+    return _spectral_c2c_jitted(h, axis, _config_key())(x, mult)
+
+
 def _spectral_dct_impl(x, mult, h2, h3, axis):
     """``nddct3(mult * nddct2(x, h2, axis), h3, axis)`` — the DCT-II
     forward, the diagonal multiply and the DCT-III inverse fused IN-KERNEL

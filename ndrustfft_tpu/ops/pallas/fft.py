@@ -1983,3 +1983,104 @@ def c2c_pallas_axis0(xr, xi, plan: C2CPlan, scale=None):
                             bool(config.pallas_interpret), dot_mode(),
                             float(1.0 if scale is None else scale))
     return run(xr, xi)
+
+
+# --------------------------------------------------------------------------
+# Fused C2C spectral pipeline: fft -> diagonal multiply -> ifft in ONE
+# kernel (the complex member of the round-5 fused-pipeline family; see
+# rfft.py::_spectral_kernel_mid and dct.py::_spectral_dct_kernel_mid).
+# Each unfused leg of ifft(H * fft(x)) is already aliased-copy-floor-bound
+# (BASELINE.md round 5), so the only remaining lever for the chained step
+# IS fusion: one read + one write of the field instead of two of each plus
+# the spectrum round-trip. No reference analog (separate calls,
+# src/lib.rs:350-421).
+# --------------------------------------------------------------------------
+
+
+def _spectral_c2c_kernel_mid(m, f, tl, mode, body, ncf,
+                             xr_ref, xi_ref, hr_ref, hi_ref, *refs):
+    """(1, n, TL) re/im + (n, 1) split H -> (1, n, TL) re/im
+    = IFFT(H * FFT(x)); ``ncf`` = forward-core const count."""
+    fwd = [r[:] for r in refs[:ncf]]
+    inv = [r[:] for r in refs[ncf:-2]]
+    or_ref, oi_ref = refs[-2:]
+    n = m * f
+    zr, zi = _nlead_core(body, xr_ref[:].reshape(n, tl),
+                         xi_ref[:].reshape(n, tl), fwd, m, f, mode, -1)
+    hr = hr_ref[:]                           # (n, 1)
+    hi = hi_ref[:]
+    sr = hr * zr - hi * zi
+    si = hr * zi + hi * zr
+    yr, yi = _nlead_core(body, sr, si, inv, m, f, mode, +1)
+    or_ref[:] = yr.reshape(1, n, tl)
+    oi_ref[:] = yi.reshape(1, n, tl)
+
+
+def spectral_c2c_mid_supported(n: int, dtype) -> bool:
+    """Fused-pipeline eligibility: the twostep axis-mid body (the other
+    bodies fall back to the exact two-call composition)."""
+    from ...plan import get_c2c_plan
+
+    plan = get_c2c_plan(n, -1)
+    if not pallas_supported(plan, dtype):
+        return False
+    ms = int(config.mid_split) if config.mid_body == "bts2" else 0
+    ts = _twostep_split(n, ms)
+    return bool(n > 256 and ts is not None
+                and (ts[0] <= config.max_base_radix or ts[0] == ms))
+
+
+@lru_cache(maxsize=256)
+def _build_spectral_c2c_mid(n: int, nb: int, cols: int, dtype_str: str,
+                            interpret: bool, mode: str, scale: float,
+                            tcfg: int = 0, mid_body: str = "bts2",
+                            mid_split: int = 0, donate: bool = False):
+    """(B, n, L) re/im + (n,) split H -> (B, n, L) re/im, axis 1.
+
+    ``scale`` is the TOTAL scalar (inverse normalization x any forward
+    scalar), folded into the inverse-core constants."""
+    dtype = jnp.dtype(dtype_str)
+    body = "bts2" if mid_body != "ts" else "ts"
+    ms = mid_split if body == "bts2" else 0
+    fwd, (m, f) = _nlead_consts(n, -1, dtype, mode, 1.0, body, ms)
+    inv, _ = _nlead_consts(n, +1, dtype, mode, scale, body, ms)
+    consts = fwd + inv
+    tile = _mid_tile(n, cols, dtype.itemsize, tcfg)
+    gc = pl.cdiv(cols, tile)
+    grid = (nb * gc,)
+    spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
+                        memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((n, 1), lambda g: (0, 0),
+                          memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
+                                memory_space=pltpu.VMEM) for c in consts]
+    call = pl.pallas_call(
+        partial(_spectral_c2c_kernel_mid, m, f, tile, mode, body,
+                len(fwd)),
+        out_shape=(jax.ShapeDtypeStruct((nb, n, cols), dtype),
+                   jax.ShapeDtypeStruct((nb, n, cols), dtype)),
+        grid=grid,
+        in_specs=[spec, spec, h_spec, h_spec] + const_specs,
+        out_specs=(spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=int(20.0 * n * np.log2(max(n, 2)) * nb * cols),
+            bytes_accessed=int(4 * nb * cols * n * dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        **_donate_kw(donate),
+    )
+    return lambda xr, xi, hr, hi: call(xr, xi, hr, hi, *consts)
+
+
+def spectral_c2c_pallas_mid(xr, xi, hr, hi, scale=None):
+    """(B, n, L) split re/im, (n, 1) split H -> (B, n, L) split re/im."""
+    nb, n, cols = xr.shape
+    run = _build_spectral_c2c_mid(n, nb, cols, str(xr.dtype),
+                                  bool(config.pallas_interpret), dot_mode(),
+                                  float(1.0 if scale is None else scale),
+                                  int(config.pallas_tile),
+                                  str(config.mid_body),
+                                  int(config.mid_split),
+                                  donate=bool(config.donate_io))
+    return run(xr, xi, hr, hi)

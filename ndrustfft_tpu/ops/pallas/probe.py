@@ -281,6 +281,20 @@ def _probe_spectral_mid(n, nb, cols, mode, msplit=0):
     return run, (x, hr, hi)
 
 
+def _probe_spectral_c2c_mid(n, nb, cols, mode, msplit=0):
+    """Fused fft -> multiply -> ifft pipeline kernel (round 5)."""
+    from ..pallas import fft as K
+
+    run = K._build_spectral_c2c_mid(n, nb, cols, "float32", _interp(), mode,
+                                    1.0 / n, mid_split=msplit)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    xi = rng.standard_normal((nb, n, cols)).astype(np.float32)
+    hr = rng.standard_normal((n, 1)).astype(np.float32)
+    hi = rng.standard_normal((n, 1)).astype(np.float32)
+    return run, (xr, xi, hr, hi)
+
+
 def _probe_spectral_dct_mid(n, nb, cols, mode, msplit=0):
     """Fused dct2 -> multiply -> dct3 pipeline kernel (round 5)."""
     from ..pallas import dct as D
@@ -377,6 +391,8 @@ PROBES = [
     ("dct2_mid  n=1024", _probe_dct2_mid, dict(n=1024, nb=4, cols=256)),
     ("dct3_mid  n=1024", _probe_dct3_mid, dict(n=1024, nb=4, cols=256)),
     # fused spectral pipelines (round 5): bench shapes + the m=64 split
+    ("specc2c_mid n=1024", _probe_spectral_c2c_mid,
+     dict(n=1024, nb=4, cols=256)),
     ("spec_mid  n=1024", _probe_spectral_mid, dict(n=1024, nb=4, cols=256)),
     ("spec_mid  n=1024 m64", _probe_spectral_mid,
      dict(n=1024, nb=4, cols=256, msplit=64)),

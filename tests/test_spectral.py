@@ -280,3 +280,89 @@ def test_dct_ad_both_modes():
                     (x,), (tv,))
     ty_ref = ndspectral_dct(tv, H, h2, h3, axis=1)
     assert float(jnp.abs(ty - ty_ref).max()) < 2e-4
+
+
+# ---- ndspectral_c2c: the complex member of the fused family ----
+
+
+def test_c2c_fused_kernel_matches_numpy():
+    from ndrustfft_tpu import FftHandler, ndspectral_c2c
+
+    _kernel_mode()
+    n = 1024
+    rng = np.random.default_rng(20)
+    x = (rng.standard_normal((2, n, 16))
+         + 1j * rng.standard_normal((2, n, 16))).astype(np.complex64)
+    H = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(ndspectral_c2c(jnp.asarray(x), jnp.asarray(H),
+                                    FftHandler(n), axis=1))
+    ref = np.fft.ifft(np.asarray(H).reshape(1, n, 1)
+                      * np.fft.fft(x.astype(np.complex128), axis=1), axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4
+
+
+def test_c2c_fused_equals_public_composition():
+    from ndrustfft_tpu import FftHandler, ndfft, ndifft, ndspectral_c2c
+
+    _kernel_mode()
+    n = 512
+    rng = np.random.default_rng(21)
+    x = jnp.asarray((rng.standard_normal((2, n, 16))
+                     + 1j * rng.standard_normal((2, n, 16))
+                     ).astype(np.complex64))
+    H = jnp.asarray((rng.standard_normal(n)
+                     + 1j * rng.standard_normal(n)).astype(np.complex64))
+    h = FftHandler(n).normalization(Normalization.scalar(3.0 / n))
+    got = ndspectral_c2c(x, H, h, axis=1)
+    ref = ndifft(H.reshape(1, n, 1) * ndfft(x, h, axis=1), h, axis=1)
+    assert float(jnp.abs(got - ref).max()) < 2e-4 * float(jnp.abs(ref).max())
+
+
+def test_c2c_fallbacks():
+    from ndrustfft_tpu import FftHandler, ndspectral_c2c
+
+    rng = np.random.default_rng(22)
+    # no-twostep n (264: dense body) and minor axis fall back
+    for n, ax in ((264, 1), (64, 2)):
+        shape = (2, n, 8) if ax == 1 else (2, 8, n)
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        H = np.ones(n, np.float32)
+        y = np.asarray(ndspectral_c2c(jnp.asarray(x), jnp.asarray(H),
+                                      FftHandler(n), axis=ax))
+        assert np.abs(y - x).max() < 1e-4  # roundtrip identity
+
+
+def test_c2c_ad_both_modes():
+    from ndrustfft_tpu import FftHandler, ndfft, ndifft, ndspectral_c2c
+
+    _kernel_mode()
+    n = 512
+    rng = np.random.default_rng(23)
+    x = jnp.asarray((rng.standard_normal((1, n, 16))
+                     + 1j * rng.standard_normal((1, n, 16))
+                     ).astype(np.complex64))
+    H = jnp.asarray((rng.standard_normal(n)
+                     + 1j * rng.standard_normal(n)).astype(np.complex64))
+    h = FftHandler(n)
+
+    def loss(v, hm):
+        return jnp.sum(jnp.abs(ndspectral_c2c(v, hm, h, axis=1)) ** 2)
+
+    def loss_engine(v, hm):
+        config.use_pallas = False
+        try:
+            y = ndifft(hm.reshape(1, n, 1) * ndfft(v, h, axis=1), h, axis=1)
+            return jnp.sum(jnp.abs(y) ** 2)
+        finally:
+            config.use_pallas = True
+
+    for arg in (0, 1):
+        g = jax.grad(loss, argnums=arg)(x, H)
+        g_ref = jax.grad(loss_engine, argnums=arg)(x, H)
+        assert float(jnp.abs(g - g_ref).max()) < 3e-3
+    tv = jnp.ones_like(x)
+    _, ty = jax.jvp(lambda v: ndspectral_c2c(v, H, h, axis=1), (x,), (tv,))
+    ty_ref = ndspectral_c2c(tv, H, h, axis=1)
+    assert float(jnp.abs(ty - ty_ref).max()) < 3e-4

@@ -32,4 +32,6 @@ run 2400 python bench.py --all --only rfft2d_1024_,spectral_r2c_1024_
 run 2400 python bench.py --all --only dct2d_23_1024_,spectral_dct_1024_
 run 2400 python bench.py --all --only rfft2d_512_,spectral_r2c_512_
 run 2400 python bench.py --all --only dct2d_23_512_,spectral_dct_512_
+run 2400 python bench.py --all --only fft2d_1024_,spectral_c2c_1024_
+run 2400 python bench.py --all --only fft2d_512_,spectral_c2c_512_
 echo "== DONE ==" >>"$OUT"
