@@ -38,7 +38,7 @@ from .api import (  # noqa: F401
     nddct4_par, nddst1, nddst1_par, nddst2, nddst2_par, nddst3, nddst3_par,
     nddst4, nddst4_par, ndfft, ndfft_par, ndfft_r2c, ndfft_r2c_par, ndifft,
     ndifft_par, ndifft_r2c, ndifft_r2c_par, ndspectral_c2c,
-    ndspectral_dct, ndspectral_r2c,
+    ndspectral_dct, ndspectral_dst, ndspectral_r2c,
 )
 from .config import config  # noqa: F401
 from .ops import df64  # noqa: F401  — jittable double-float tier
@@ -97,6 +97,7 @@ __all__ = [
     "ndfft", "ndifft", "ndfft_par", "ndifft_par",
     "ndfft_r2c", "ndifft_r2c", "ndfft_r2c_par", "ndifft_r2c_par",
     "ndspectral_r2c", "ndspectral_dct", "ndspectral_c2c",
+    "ndspectral_dst",
     "nddct1", "nddct2", "nddct3", "nddct4",
     "nddct1_par", "nddct2_par", "nddct3_par", "nddct4_par",
     "nddst1", "nddst2", "nddst3", "nddst4",

@@ -1449,6 +1449,70 @@ def ndspectral_dct(x, multiplier, handler: DctHandler | None = None,
     return _spectral_dct_jitted(h2, h3, axis, _config_key())(x, mult)
 
 
+def ndspectral_dst(x, multiplier, handler: DstHandler | None = None,
+                   inv_handler: DstHandler | None = None, axis: int = -1):
+    """Fused sine-basis spectral pipeline along ``axis``: exactly
+
+        ``nddst3(multiplier * nddst2(x, handler, axis), inv_handler, axis)``
+
+    (``inv_handler`` defaults to ``handler``) — the Dirichlet-boundary
+    member of the fused family. Rides the SAME single-pass kernel as
+    :func:`ndspectral_dct` via the exact flip/sign conjugations
+    (ops/dst.py): with ``a = (-1)^t``,
+
+        dst3(H * dst2(x)) = a * dct3(flip(H) * dct2(a * x)),
+
+    so the only extra work is two elementwise sign passes XLA fuses into
+    the kernel's neighbors and a host-side flip of the (n,) multiplier.
+    Custom normalization policies fall back to the public composition
+    (the callable must see the true DST input, not the conjugated one).
+
+    Example (identity: DST-III inverts DST-II up to n/2)::
+
+        >>> import jax.numpy as jnp
+        >>> from ndrustfft_tpu import DstHandler, Normalization
+        >>> from ndrustfft_tpu import ndspectral_dst
+        >>> x = jnp.arange(1.0, 9.0).reshape(1, 8)
+        >>> h2 = DstHandler(8).normalization(Normalization.NONE)
+        >>> h3 = DstHandler(8).normalization(Normalization.scalar(2.0 / 8))
+        >>> y = ndspectral_dst(x, jnp.ones(8), h2, h3, axis=1)
+        >>> bool(jnp.max(jnp.abs(y - x)) < 1e-5)
+        True
+    """
+    x = _prep_real(x)
+    axn = _norm_axis(axis, x.ndim)
+    h2 = handler or _auto_handler(DstHandler, x.shape[axn])
+    h3 = inv_handler or h2
+    if h3.n != h2.n:
+        raise ValueError(
+            f"Size mismatch in dct, got {h3.n} expected {h2.n}")
+    mult = jnp.asarray(multiplier) if not isinstance(
+        multiplier, (jax.core.Tracer, jax.Array)) else multiplier
+    if jnp.issubdtype(mult.dtype, jnp.complexfloating):
+        raise TypeError("ndspectral_dst expects a real multiplier (the "
+                        "DST basis is real)")
+    n = h2.n
+    _check_size(x.shape[axn], n, what="dct")
+    if (h2.norm.kind == "custom" or h3.norm.kind == "custom"
+            or mult.ndim != 1):
+        # the callable must see true DST-basis values; non-vector
+        # multipliers keep the public composition too
+        shp = [1] * x.ndim
+        if mult.ndim == 1:
+            shp[axn] = mult.shape[0]
+            mult = mult.reshape(shp)
+        return nddst3(mult * nddst2(x, h2, axis), h3, axis)
+    from .ops.dst import alt_signs
+
+    shp = [1] * x.ndim
+    shp[axn] = n
+    alt = jnp.asarray(alt_signs(n), x.dtype).reshape(shp)
+    d2 = DctHandler(n).normalization(h2.norm)
+    d3 = DctHandler(n).normalization(h3.norm)
+    y = ndspectral_dct(alt * x, mult[::-1], d2, d3, axis=axis)
+    return alt * y
+
+
 def _make_dct(dct_type):
     def f(x, handler: DctHandler | None = None, axis: int = -1):
         x = _prep_real(x)

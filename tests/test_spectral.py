@@ -366,3 +366,48 @@ def test_c2c_ad_both_modes():
     _, ty = jax.jvp(lambda v: ndspectral_c2c(v, H, h, axis=1), (x,), (tv,))
     ty_ref = ndspectral_c2c(tv, H, h, axis=1)
     assert float(jnp.abs(ty - ty_ref).max()) < 3e-4
+
+
+# ---- ndspectral_dst: the sine-basis (Dirichlet) member ----
+
+
+def test_dst_fused_matches_scipy_and_composition():
+    import scipy.fft as sp
+
+    from ndrustfft_tpu import DstHandler, nddst2, nddst3, ndspectral_dst
+
+    _kernel_mode()
+    n = 512
+    rng = np.random.default_rng(30)
+    x = rng.standard_normal((2, n, 16)).astype(np.float32)
+    H = rng.standard_normal(n).astype(np.float32)
+    h2 = DstHandler(n).normalization(Normalization.NONE)
+    h3 = DstHandler(n).normalization(Normalization.scalar(2.0 / n))
+    got = np.asarray(ndspectral_dst(jnp.asarray(x), jnp.asarray(H), h2, h3,
+                                    axis=1))
+    y2 = sp.dst(x.astype(np.float64), type=2, axis=1) / 2
+    ref = sp.dst((2.0 / n) * H[None, :, None] * y2, type=3, axis=1) / 2
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    comp = np.asarray(nddst3(
+        jnp.asarray(H).reshape(1, n, 1)
+        * nddst2(jnp.asarray(x), h2, axis=1), h3, axis=1))
+    assert np.abs(got - comp).max() < 2e-4 * np.abs(comp).max()
+
+
+def test_dst_identity_and_custom_fallback():
+    from ndrustfft_tpu import DstHandler, ndspectral_dst
+
+    rng = np.random.default_rng(31)
+    n = 64
+    x = rng.standard_normal((2, n, 8)).astype(np.float32)
+    h2 = DstHandler(n).normalization(Normalization.NONE)
+    h3 = DstHandler(n).normalization(Normalization.scalar(2.0 / n))
+    y = np.asarray(ndspectral_dst(jnp.asarray(x), jnp.ones(n), h2, h3,
+                                  axis=1))
+    assert np.abs(y - x).max() < 1e-4  # dst3(dst2(x)) * 2/n = x
+    # custom norm falls back to the composition and stays correct
+    hc = DstHandler(n).normalization(
+        Normalization.custom(lambda v: 2.0 * v / n))
+    yc = np.asarray(ndspectral_dst(jnp.asarray(x), jnp.ones(n), h2, hc,
+                                   axis=1))
+    assert np.abs(yc - x).max() < 1e-4
