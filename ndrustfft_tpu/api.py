@@ -1123,6 +1123,21 @@ def ndifft_r2c(x, handler: R2cFftHandler | None = None, axis: int = -1,
     return _dispatch("c2r", x, handler, axis)
 
 
+def _spectral_mult_cols(x, mult, axis, rows):
+    """Fused-path multiplier layout, or None.
+
+    Returns (reshaped-to-(rows, hc) mult-shape hint) as an int hc:
+    1 for a (rows,) broadcast multiplier, cols for a lane-varying
+    multiplier whose shape equals (rows,) + x.shape[axis+1:] (the 2-D
+    Poisson / full-field filter case). Anything else -> None (exact
+    composition fallback)."""
+    if mult.ndim == 1 and mult.shape[0] == rows:
+        return 1
+    if mult.shape == (rows,) + x.shape[axis + 1:]:
+        return int(np.prod(x.shape[axis + 1:]))
+    return None
+
+
 def _spectral_impl(x, mult, handler, axis):
     """``c2r(mult * r2c(x))`` — the multiply fused IN-KERNEL on the nat
     axis-mid route (the spectrum never leaves VMEM; see
@@ -1133,8 +1148,8 @@ def _spectral_impl(x, mult, handler, axis):
     n, m = handler.n, handler.m
     norm = handler.norm
     dims = _mid_dims(x, axis)
-    if (norm.kind != "custom" and mult.ndim == 1 and mult.shape[0] == m
-            and dims is not None):
+    hc = _spectral_mult_cols(x, mult, axis, m)
+    if norm.kind != "custom" and hc is not None and dims is not None:
         from .ops.pallas.rfft import rfft_nat_supported, spectral_pallas_mid
         from .plan import get_r2c_plan as _grp
 
@@ -1142,11 +1157,12 @@ def _spectral_impl(x, mult, handler, axis):
             scale = (1.0 / n if norm.kind == "default"
                      else norm.value if norm.kind == "scalar" else 1.0)
             nb, cols = dims
-            _plan_log("spectral", n, axis, "pallas-spectral-mid-nat")
-            hr = jnp.real(mult).astype(x.dtype).reshape(m, 1)
-            hi = (jnp.imag(mult).astype(x.dtype).reshape(m, 1)
+            _plan_log("spectral", n, axis, "pallas-spectral-mid-nat"
+                      + ("" if hc == 1 else "-lanevar"))
+            hr = jnp.real(mult).astype(x.dtype).reshape(m, hc)
+            hi = (jnp.imag(mult).astype(x.dtype).reshape(m, hc)
                   if jnp.issubdtype(mult.dtype, jnp.complexfloating)
-                  else jnp.zeros((m, 1), x.dtype))
+                  else jnp.zeros((m, hc), x.dtype))
             y = spectral_pallas_mid(x.reshape(nb, n, cols), hr, hi, n, scale)
             return y.reshape(x.shape)
     # universal fallback: the exact composition (engine or per-leg kernels;
@@ -1155,6 +1171,8 @@ def _spectral_impl(x, mult, handler, axis):
         shape = [1] * x.ndim
         shape[axis] = mult.shape[0]
         mult = mult.reshape(shape)
+    elif mult.ndim == x.ndim - axis and mult.ndim < x.ndim:
+        mult = mult.reshape((1,) * axis + mult.shape)
     return _c2r_impl(mult * _r2c_impl(x, handler, axis), handler, axis)
 
 
@@ -1222,11 +1240,13 @@ def ndspectral_r2c(x, multiplier, handler: R2cFftHandler | None = None,
     ``config.donate_io``-eligible (in-place HBM pages), which the
     separate r2c/c2r kernels never are (their shapes change).
 
-    ``multiplier``: complex or real, either shape ``(m,)`` (broadcast
-    over all other axes — the fused fast path) or anything broadcastable
-    against the spectrum (exact composition fallback). No reference
-    analog (each transform is a separate call there) — a TPU-native
-    extension in the spirit of the reference's filter examples.
+    ``multiplier``: complex or real; shape ``(m,)`` (broadcast over all
+    other axes) and shape ``(m,) + trailing-dims`` (LANE-VARYING — the
+    2-D Poisson / full-field filter case; H streams per lane tile) both
+    ride the fused kernel, anything else broadcastable falls back to the
+    exact composition. No reference analog (each transform is a separate
+    call there) — a TPU-native extension in the spirit of the
+    reference's filter examples.
 
     Example (low-pass filter)::
 
@@ -1269,8 +1289,8 @@ def _spectral_c2c_impl(x, mult, handler, axis):
     norm = handler.norm
     dims = _mid_dims(x, axis)
     rdt = _real_dtype(x.dtype)
-    if (norm.kind != "custom" and mult.ndim == 1 and mult.shape[0] == n
-            and dims is not None):
+    hc = _spectral_mult_cols(x, mult, axis, n)
+    if norm.kind != "custom" and hc is not None and dims is not None:
         from .ops.pallas.fft import (
             spectral_c2c_mid_supported, spectral_c2c_pallas_mid,
         )
@@ -1281,19 +1301,22 @@ def _spectral_c2c_impl(x, mult, handler, axis):
             scale = (1.0 / n if norm.kind == "default"
                      else norm.value if norm.kind == "scalar" else 1.0)
             nb, cols = dims
-            _plan_log("spectral_c2c", n, axis, "pallas-spectral-c2c-mid")
+            _plan_log("spectral_c2c", n, axis, "pallas-spectral-c2c-mid"
+                      + ("" if hc == 1 else "-lanevar"))
             xr = jnp.real(x).astype(rdt).reshape(nb, n, cols)
             xi = jnp.imag(x).astype(rdt).reshape(nb, n, cols)
-            hr = jnp.real(mult).astype(rdt).reshape(n, 1)
-            hi = (jnp.imag(mult).astype(rdt).reshape(n, 1)
+            hr = jnp.real(mult).astype(rdt).reshape(n, hc)
+            hi = (jnp.imag(mult).astype(rdt).reshape(n, hc)
                   if jnp.issubdtype(mult.dtype, jnp.complexfloating)
-                  else jnp.zeros((n, 1), rdt))
+                  else jnp.zeros((n, hc), rdt))
             yr, yi = spectral_c2c_pallas_mid(xr, xi, hr, hi, scale)
             return jax.lax.complex(yr, yi).reshape(x.shape)
     if mult.ndim == 1:
         shape = [1] * x.ndim
         shape[axis] = mult.shape[0]
         mult = mult.reshape(shape)
+    elif mult.ndim == x.ndim - axis and mult.ndim < x.ndim:
+        mult = mult.reshape((1,) * axis + mult.shape)
     return _c2c_impl(mult * _c2c_impl(x, handler, axis, -1), handler,
                      axis, +1)
 
@@ -1321,9 +1344,10 @@ def ndspectral_c2c(x, multiplier, handler: FftHandler | None = None,
     and the same-shape signature keeps chained steps
     ``config.donate_io``-eligible.
 
-    ``multiplier``: complex or real, shape ``(n,)`` for the fused path;
-    anything broadcastable falls back to the exact composition. No
-    reference analog. See also :func:`ndspectral_r2c` (real fields) and
+    ``multiplier``: complex or real, shape ``(n,)`` (broadcast) or
+    ``(n,) + trailing-dims`` (lane-varying) for the fused path; anything
+    else broadcastable falls back to the exact composition. No reference
+    analog. See also :func:`ndspectral_r2c` (real fields) and
     :func:`ndspectral_dct` (cosine basis).
 
     Example (identity multiplier = roundtrip)::
@@ -1362,8 +1386,9 @@ def _spectral_dct_impl(x, mult, h2, h3, axis):
     _check_size(x.shape[axis], h2.n, what="dct")
     n = h2.n
     dims = _mid_dims(x, axis)
+    hc = _spectral_mult_cols(x, mult, axis, n)
     if (h2.norm.kind != "custom" and h3.norm.kind != "custom"
-            and mult.ndim == 1 and mult.shape[0] == n and dims is not None):
+            and hc is not None and dims is not None):
         from .ops.pallas.dct import (
             dct_pallas_supported, spectral_dct_pallas_mid,
         )
@@ -1374,14 +1399,17 @@ def _spectral_dct_impl(x, mult, h2, h3, axis):
             s3 = (2.0 if h3.norm.kind == "default"
                   else h3.norm.value if h3.norm.kind == "scalar" else 1.0)
             nb, cols = dims
-            _plan_log("spectral_dct", n, axis, "pallas-spectral-dct-mid")
-            hv = mult.astype(x.dtype).reshape(n, 1)
+            _plan_log("spectral_dct", n, axis, "pallas-spectral-dct-mid"
+                      + ("" if hc == 1 else "-lanevar"))
+            hv = mult.astype(x.dtype).reshape(n, hc)
             y = spectral_dct_pallas_mid(x.reshape(nb, n, cols), hv, s2, s3)
             return y.reshape(x.shape)
     if mult.ndim == 1:
         shape = [1] * x.ndim
         shape[axis] = mult.shape[0]
         mult = mult.reshape(shape)
+    elif mult.ndim == x.ndim - axis and mult.ndim < x.ndim:
+        mult = mult.reshape((1,) * axis + mult.shape)
     return _dct_impl(mult * _dct_impl(x, h2, axis, 2), h3, axis, 3)
 
 
@@ -1407,9 +1435,11 @@ def ndspectral_dct(x, multiplier, handler: DctHandler | None = None,
     vector ``multiplier`` (shape ``(n,)``) and the DCT-III run in ONE
     Pallas pass — the coefficient field never round-trips HBM, and the
     real->real same-shape signature makes chained steps
-    ``config.donate_io``-eligible. Any other multiplier shape, odd n,
-    minor axis or custom normalization falls back to the exact public
-    composition. No reference analog (separate calls there).
+    ``config.donate_io``-eligible. The real ``multiplier`` may be
+    ``(n,)`` (broadcast) or ``(n,) + trailing-dims`` (lane-varying) on
+    the fused path; any other shape, odd n, minor axis or custom
+    normalization falls back to the exact public composition. No
+    reference analog (separate calls there).
 
     Example (identity: DCT-III is DCT-II's inverse up to n/2 in the
     rustdct convention)::
@@ -1494,13 +1524,15 @@ def ndspectral_dst(x, multiplier, handler: DstHandler | None = None,
     n = h2.n
     _check_size(x.shape[axn], n, what="dct")
     if (h2.norm.kind == "custom" or h3.norm.kind == "custom"
-            or mult.ndim != 1):
-        # the callable must see true DST-basis values; non-vector
-        # multipliers keep the public composition too
-        shp = [1] * x.ndim
+            or _spectral_mult_cols(x, mult, axn, n) is None):
+        # the callable must see true DST-basis values; multiplier shapes
+        # beyond (n,)/(n,)+trailing keep the public composition too
         if mult.ndim == 1:
+            shp = [1] * x.ndim
             shp[axn] = mult.shape[0]
             mult = mult.reshape(shp)
+        elif mult.ndim == x.ndim - axn and mult.ndim < x.ndim:
+            mult = mult.reshape((1,) * axn + mult.shape)
         return nddst3(mult * nddst2(x, h2, axis), h3, axis)
     from .ops.dst import alt_signs
 
@@ -1509,6 +1541,8 @@ def ndspectral_dst(x, multiplier, handler: DstHandler | None = None,
     alt = jnp.asarray(alt_signs(n), x.dtype).reshape(shp)
     d2 = DctHandler(n).normalization(h2.norm)
     d3 = DctHandler(n).normalization(h3.norm)
+    # the conjugation flips H along the FREQUENCY axis only (axis 0 of a
+    # (n,) or (n,)+trailing multiplier)
     y = ndspectral_dct(alt * x, mult[::-1], d2, d3, axis=axis)
     return alt * y
 

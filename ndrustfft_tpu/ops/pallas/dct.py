@@ -817,8 +817,12 @@ def _spectral_dct_kernel_mid(m, f, mode, nc2, nc3, h, x_ref, h_ref, *refs):
 def _build_spectral_dct_mid(n: int, nb: int, cols: int, dtype_str: str,
                             interpret: bool, mode: str, scale2: float,
                             scale3: float, tcfg: int = 0,
-                            donate: bool = False, msplit: int = 0):
-    """(B, n, L) real + (n,) H -> (B, n, L) real, axis 1.
+                            donate: bool = False, msplit: int = 0,
+                            h_cols: int = 1):
+    """(B, n, L) real + (n,) or (n, L) H -> (B, n, L) real, axis 1.
+
+    ``h_cols``: 1 for a broadcast H, ``cols`` for lane-varying (streams
+    one (n, tile) block per grid step).
 
     ``scale2``/``scale3`` are the handlers' pre-transform scalars (DCT
     normalization applies BEFORE each transform; both fold into the
@@ -857,8 +861,10 @@ def _build_spectral_dct_mid(n: int, nb: int, cols: int, dtype_str: str,
     grid = (nb * gc,)
     sn = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
                       memory_space=pltpu.VMEM)
-    h_spec = pl.BlockSpec((n, 1), lambda g: (0, 0),
-                          memory_space=pltpu.VMEM)
+    h_spec = (pl.BlockSpec((n, 1), lambda g: (0, 0),
+                           memory_space=pltpu.VMEM) if h_cols == 1 else
+              pl.BlockSpec((n, tile), lambda g: (0, g % gc),
+                           memory_space=pltpu.VMEM))
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
@@ -880,7 +886,7 @@ def _build_spectral_dct_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 
 def spectral_dct_pallas_mid(x, hv, scale2=None, scale3=None):
-    """(B, n, L) real, (n, 1) H -> (B, n, L) real along axis 1."""
+    """(B, n, L) real, (n, 1) or (n, L) H -> (B, n, L) real, axis 1."""
     nb, n, cols = x.shape
     run = _build_spectral_dct_mid(n, nb, cols, str(x.dtype),
                                   bool(config.pallas_interpret), dot_mode(),
@@ -888,5 +894,6 @@ def spectral_dct_pallas_mid(x, hv, scale2=None, scale3=None):
                                   float(1.0 if scale3 is None else scale3),
                                   tcfg=int(config.pallas_tile),
                                   donate=bool(config.donate_io),
-                                  msplit=_dct_msplit(n))
+                                  msplit=_dct_msplit(n),
+                                  h_cols=int(hv.shape[-1]))
     return run(x, hv)

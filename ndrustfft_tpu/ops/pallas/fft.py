@@ -2034,11 +2034,14 @@ def spectral_c2c_mid_supported(n: int, dtype) -> bool:
 def _build_spectral_c2c_mid(n: int, nb: int, cols: int, dtype_str: str,
                             interpret: bool, mode: str, scale: float,
                             tcfg: int = 0, mid_body: str = "bts2",
-                            mid_split: int = 0, donate: bool = False):
-    """(B, n, L) re/im + (n,) split H -> (B, n, L) re/im, axis 1.
+                            mid_split: int = 0, donate: bool = False,
+                            h_cols: int = 1):
+    """(B, n, L) re/im + split H -> (B, n, L) re/im, axis 1.
 
-    ``scale`` is the TOTAL scalar (inverse normalization x any forward
-    scalar), folded into the inverse-core constants."""
+    ``h_cols``: 1 for a (n,) broadcast H, or ``cols`` for a LANE-VARYING
+    (n, L) multiplier (full-field filters; H streams one (n, tile) block
+    per grid step). ``scale`` is the TOTAL scalar (inverse normalization
+    x any forward scalar), folded into the inverse-core constants."""
     dtype = jnp.dtype(dtype_str)
     body = "bts2" if mid_body != "ts" else "ts"
     ms = mid_split if body == "bts2" else 0
@@ -2050,8 +2053,10 @@ def _build_spectral_c2c_mid(n: int, nb: int, cols: int, dtype_str: str,
     grid = (nb * gc,)
     spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
                         memory_space=pltpu.VMEM)
-    h_spec = pl.BlockSpec((n, 1), lambda g: (0, 0),
-                          memory_space=pltpu.VMEM)
+    h_spec = (pl.BlockSpec((n, 1), lambda g: (0, 0),
+                           memory_space=pltpu.VMEM) if h_cols == 1 else
+              pl.BlockSpec((n, tile), lambda g: (0, g % gc),
+                           memory_space=pltpu.VMEM))
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
@@ -2074,7 +2079,7 @@ def _build_spectral_c2c_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 
 def spectral_c2c_pallas_mid(xr, xi, hr, hi, scale=None):
-    """(B, n, L) split re/im, (n, 1) split H -> (B, n, L) split re/im."""
+    """(B, n, L) split re/im, (n, 1)/(n, L) split H -> (B, n, L) re/im."""
     nb, n, cols = xr.shape
     run = _build_spectral_c2c_mid(n, nb, cols, str(xr.dtype),
                                   bool(config.pallas_interpret), dot_mode(),
@@ -2082,5 +2087,6 @@ def spectral_c2c_pallas_mid(xr, xi, hr, hi, scale=None):
                                   int(config.pallas_tile),
                                   str(config.mid_body),
                                   int(config.mid_split),
-                                  donate=bool(config.donate_io))
+                                  donate=bool(config.donate_io),
+                                  h_cols=int(hr.shape[-1]))
     return run(xr, xi, hr, hi)

@@ -1083,10 +1083,15 @@ def _spectral_kernel_mid(core, m_, f_, mode, h, ncf,
 def _build_spectral_mid(n: int, nb: int, cols: int, dtype_str: str,
                         interpret: bool, mode: str, scale: float,
                         tcfg: int = 0, core: str = "bts2", msplit: int = 0,
-                        donate: bool = False):
-    """(B, n, L) real + (m,) split H -> (B, n, L) real, axis 1.
+                        donate: bool = False, h_cols: int = 1):
+    """(B, n, L) real + split H -> (B, n, L) real, axis 1.
 
-    ``scale`` is the TOTAL scalar (forward handler scalar x inverse
+    ``h_cols``: lane extent of H — 1 for a (m,) broadcast multiplier
+    (zero extra HBM traffic) or ``cols`` for a LANE-VARYING (m, L)
+    multiplier (the 2-D Poisson / full-field filter case: H streams one
+    (m, tile) block per grid step, ~a quarter of the saved spectrum
+    round-trip). The kernel body is unchanged — rows broadcast either
+    way. ``scale`` is the TOTAL scalar (forward handler scalar x inverse
     normalization), folded into the c2r combine constants as usual.
     ``donate`` aliases the output onto the x operand (same shape)."""
     from .fft import _donate_kw
@@ -1124,8 +1129,10 @@ def _build_spectral_mid(n: int, nb: int, cols: int, dtype_str: str,
     grid = (nb * gc,)
     io_spec = pl.BlockSpec((1, n, tile), lambda g: (g // gc, 0, g % gc),
                            memory_space=pltpu.VMEM)
-    h_spec = pl.BlockSpec((m, 1), lambda g: (0, 0),
-                          memory_space=pltpu.VMEM)
+    h_spec = (pl.BlockSpec((m, 1), lambda g: (0, 0),
+                           memory_space=pltpu.VMEM) if h_cols == 1 else
+              pl.BlockSpec((m, tile), lambda g: (0, g % gc),
+                           memory_space=pltpu.VMEM))
     const_specs = [pl.BlockSpec(c.shape, lambda g, _r=c.ndim: (0,) * _r,
                                 memory_space=pltpu.VMEM) for c in consts]
     call = pl.pallas_call(
@@ -1146,7 +1153,7 @@ def _build_spectral_mid(n: int, nb: int, cols: int, dtype_str: str,
 
 
 def spectral_pallas_mid(x, hr, hi, n: int, scale=None):
-    """(B, n, L) real, (m, 1) split H -> (B, n, L) real along axis 1."""
+    """(B, n, L) real, (m, 1) or (m, L) split H -> (B, n, L) real, axis 1."""
     nb, _n, cols = x.shape
     run = _build_spectral_mid(n, nb, cols, str(x.dtype),
                               bool(config.pallas_interpret), dot_mode(),
@@ -1154,5 +1161,6 @@ def spectral_pallas_mid(x, hr, hi, n: int, scale=None):
                               tcfg=int(config.pallas_tile),
                               core=mid_core_body(),
                               msplit=_rfft_msplit(n // 2),
-                              donate=bool(config.donate_io))
+                              donate=bool(config.donate_io),
+                              h_cols=int(hr.shape[-1]))
     return run(x, hr, hi)

@@ -411,3 +411,59 @@ def test_dst_identity_and_custom_fallback():
     yc = np.asarray(ndspectral_dst(jnp.asarray(x), jnp.ones(n), h2, hc,
                                    axis=1))
     assert np.abs(yc - x).max() < 1e-4
+
+
+# ---- lane-varying multipliers: (rows,) + trailing dims (2-D Poisson) ----
+
+
+def test_lanevar_multipliers_all_bases():
+    import scipy.fft as sp
+
+    from ndrustfft_tpu import (
+        DctHandler, DstHandler, FftHandler, ndspectral_c2c, ndspectral_dct,
+        ndspectral_dst,
+    )
+
+    _kernel_mode()
+    n, L = 512, 16
+    m = n // 2 + 1
+    rng = np.random.default_rng(40)
+    x = rng.standard_normal((2, n, L)).astype(np.float32)
+    # r2c with (m, L) complex multiplier
+    H = (rng.standard_normal((m, L))
+         + 1j * rng.standard_normal((m, L))).astype(np.complex64)
+    got = np.asarray(ndspectral_r2c(jnp.asarray(x), jnp.asarray(H),
+                                    R2cFftHandler(n), axis=1))
+    S = np.asarray(H, np.complex128)[None] \
+        * np.fft.rfft(x.astype(np.float64), axis=1) / n
+    S[:, 0, :] = S[:, 0, :].real
+    S[:, -1, :] = S[:, -1, :].real
+    ref = np.fft.irfft(S * n, n=n, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    # c2c with (n, L)
+    xc = (rng.standard_normal((2, n, L))
+          + 1j * rng.standard_normal((2, n, L))).astype(np.complex64)
+    Hc = (rng.standard_normal((n, L))
+          + 1j * rng.standard_normal((n, L))).astype(np.complex64)
+    got = np.asarray(ndspectral_c2c(jnp.asarray(xc), jnp.asarray(Hc),
+                                    FftHandler(n), axis=1))
+    ref = np.fft.ifft(np.asarray(Hc, np.complex128)[None]
+                      * np.fft.fft(xc.astype(np.complex128), axis=1),
+                      axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4
+    # dct and dst with (n, L)
+    Hd = rng.standard_normal((n, L)).astype(np.float32)
+    h2 = DctHandler(n).normalization(Normalization.NONE)
+    h3 = DctHandler(n).normalization(Normalization.scalar(2.0 / n))
+    got = np.asarray(ndspectral_dct(jnp.asarray(x), jnp.asarray(Hd), h2,
+                                    h3, axis=1))
+    y2 = sp.dct(x.astype(np.float64), type=2, axis=1) / 2
+    ref = sp.dct((2.0 / n) * Hd[None] * y2, type=3, axis=1) / 2
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    s2 = DstHandler(n).normalization(Normalization.NONE)
+    s3 = DstHandler(n).normalization(Normalization.scalar(2.0 / n))
+    got = np.asarray(ndspectral_dst(jnp.asarray(x), jnp.asarray(Hd), s2,
+                                    s3, axis=1))
+    z2 = sp.dst(x.astype(np.float64), type=2, axis=1) / 2
+    ref = sp.dst((2.0 / n) * Hd[None] * z2, type=3, axis=1) / 2
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
