@@ -1171,8 +1171,6 @@ def _spectral_impl(x, mult, handler, axis):
         shape = [1] * x.ndim
         shape[axis] = mult.shape[0]
         mult = mult.reshape(shape)
-    elif mult.ndim == x.ndim - axis and mult.ndim < x.ndim:
-        mult = mult.reshape((1,) * axis + mult.shape)
     return _c2r_impl(mult * _r2c_impl(x, handler, axis), handler, axis)
 
 
@@ -1315,8 +1313,6 @@ def _spectral_c2c_impl(x, mult, handler, axis):
         shape = [1] * x.ndim
         shape[axis] = mult.shape[0]
         mult = mult.reshape(shape)
-    elif mult.ndim == x.ndim - axis and mult.ndim < x.ndim:
-        mult = mult.reshape((1,) * axis + mult.shape)
     return _c2c_impl(mult * _c2c_impl(x, handler, axis, -1), handler,
                      axis, +1)
 
@@ -1408,8 +1404,6 @@ def _spectral_dct_impl(x, mult, h2, h3, axis):
         shape = [1] * x.ndim
         shape[axis] = mult.shape[0]
         mult = mult.reshape(shape)
-    elif mult.ndim == x.ndim - axis and mult.ndim < x.ndim:
-        mult = mult.reshape((1,) * axis + mult.shape)
     return _dct_impl(mult * _dct_impl(x, h2, axis, 2), h3, axis, 3)
 
 
@@ -1515,14 +1509,23 @@ def ndspectral_dst(x, multiplier, handler: DstHandler | None = None,
     h3 = inv_handler or h2
     if h3.n != h2.n:
         raise ValueError(
-            f"Size mismatch in dct, got {h3.n} expected {h2.n}")
+            f"Size mismatch in dst, got {h3.n} expected {h2.n}")
     mult = jnp.asarray(multiplier) if not isinstance(
         multiplier, (jax.core.Tracer, jax.Array)) else multiplier
     if jnp.issubdtype(mult.dtype, jnp.complexfloating):
         raise TypeError("ndspectral_dst expects a real multiplier (the "
                         "DST basis is real)")
     n = h2.n
-    _check_size(x.shape[axn], n, what="dct")
+    _check_size(x.shape[axn], n, what="dst")
+    if isinstance(x, np.ndarray) or jnp.dtype(x.dtype) == jnp.float64:
+        # emulate-host / f64-policy tiers: the public composition owns
+        # those policies (the conjugation below would place f64 constants
+        # on the accelerator) — mirrors ndspectral_r2c/dct/c2c
+        shp = [1] * x.ndim
+        if mult.ndim == 1:
+            shp[axn] = mult.shape[0]
+            mult = mult.reshape(shp)
+        return nddst3(mult * nddst2(x, h2, axis), h3, axis)
     if (h2.norm.kind == "custom" or h3.norm.kind == "custom"
             or _spectral_mult_cols(x, mult, axn, n) is None):
         # the callable must see true DST-basis values; multiplier shapes
@@ -1531,8 +1534,6 @@ def ndspectral_dst(x, multiplier, handler: DstHandler | None = None,
             shp = [1] * x.ndim
             shp[axn] = mult.shape[0]
             mult = mult.reshape(shp)
-        elif mult.ndim == x.ndim - axn and mult.ndim < x.ndim:
-            mult = mult.reshape((1,) * axn + mult.shape)
         return nddst3(mult * nddst2(x, h2, axis), h3, axis)
     from .ops.dst import alt_signs
 

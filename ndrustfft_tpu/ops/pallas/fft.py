@@ -2024,7 +2024,10 @@ def spectral_c2c_mid_supported(n: int, dtype) -> bool:
     plan = get_c2c_plan(n, -1)
     if not pallas_supported(plan, dtype):
         return False
-    ms = int(config.mid_split) if config.mid_body == "bts2" else 0
+    # the builder collapses every non-'ts' body to bts2, so the split
+    # gate must collapse the SAME way (a 'bts' config would otherwise
+    # validate a different (m, f) than the kernel builds with)
+    ms = int(config.mid_split) if config.mid_body != "ts" else 0
     ts = _twostep_split(n, ms)
     return bool(n > 256 and ts is not None
                 and (ts[0] <= config.max_base_radix or ts[0] == ms))
