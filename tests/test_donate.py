@@ -204,3 +204,71 @@ def test_donate_chained_dct_pair_loop():
     got = np.asarray(jax.jit(chain)(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-3)
+
+
+def test_donate_chained_spectral_pipelines():
+    # the round-5 fused pipelines are same-shape real->real / c64->c64 —
+    # the aliasing case the separate r2c/c2r legs can never have. Chain
+    # each in a fori_loop with the flag on and off: identical results.
+    from ndrustfft_tpu import (
+        DstHandler, R2cFftHandler, ndspectral_c2c, ndspectral_dct,
+        ndspectral_dst, ndspectral_r2c,
+    )
+    from ndrustfft_tpu.api import (
+        _spectral_c2c_jitted, _spectral_dct_jitted, _spectral_jitted,
+    )
+
+    n, K = 512, 3
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, n, 128)).astype(np.float32)
+    Hr = np.ones(n // 2 + 1, np.float32)
+    Hn = np.ones(n, np.float32)
+    hr = R2cFftHandler(n).normalization(Normalization.scalar(1.001 / n))
+    hc = FftHandler(n).normalization(Normalization.scalar(1.001 / n))
+    hd2 = DctHandler(n).normalization(Normalization.NONE)
+    hd3 = DctHandler(n).normalization(Normalization.scalar(2.002 / n))
+    hs2 = DstHandler(n).normalization(Normalization.NONE)
+    hs3 = DstHandler(n).normalization(Normalization.scalar(2.002 / n))
+
+    cases = {
+        "r2c": lambda v: ndspectral_r2c(v, Hr, hr, axis=1),
+        "dct": lambda v: ndspectral_dct(v, Hn, hd2, hd3, axis=1),
+        "dst": lambda v: ndspectral_dst(v, Hn, hs2, hs3, axis=1),
+    }
+    for name, step in cases.items():
+        def chain(v, _s=step):
+            return jax.lax.fori_loop(0, K, lambda _, c: _s(c), v)
+
+        outs = {}
+        for flag in (True, False):
+            _flip(flag)
+            for c in (_spectral_jitted, _spectral_dct_jitted):
+                c.cache_clear()
+            outs[flag] = np.asarray(jax.jit(chain)(jnp.asarray(x)))
+        np.testing.assert_array_equal(outs[True], outs[False])
+        # drift-chain oracle: each step is the scaled identity
+        ref = x * (1.001 ** K)
+        assert np.abs(outs[True] - ref).max() < 1e-3, name
+
+    # complex pipeline
+    xc = (x + 1j * rng.standard_normal(x.shape)).astype(np.complex64)
+
+    def chainc(r, i):
+        def body(_, carry):
+            v = ndspectral_c2c(jax.lax.complex(carry[0], carry[1]), Hn,
+                               hc, axis=1)
+            return (jnp.real(v), jnp.imag(v))
+
+        return jax.lax.fori_loop(0, K, body, (jnp.real(xc_j),
+                                              jnp.imag(xc_j)))
+
+    xc_j = jnp.asarray(xc)
+    outs = {}
+    for flag in (True, False):
+        _flip(flag)
+        _spectral_c2c_jitted.cache_clear()
+        rr, ii = jax.jit(chainc)(jnp.real(xc_j), jnp.imag(xc_j))
+        outs[flag] = np.asarray(rr) + 1j * np.asarray(ii)
+    np.testing.assert_array_equal(outs[True], outs[False])
+    ref = xc * (1.001 ** K)
+    assert np.abs(outs[True] - ref).max() < 1e-3
