@@ -427,3 +427,57 @@ def irfftn_pencil(x, mesh: Mesh, in_spec, n_last: int,
     return pencil_transform(x, steps, mesh, in_spec,
                             pipeline_chunks=pipeline_chunks,
                             wire_dtype=wire_dtype)
+
+
+def spectral_pencil(x, multiplier, mesh: Mesh, in_spec,
+                    axes: Optional[Sequence[int]] = None, handlers=None,
+                    pipeline_chunks: int = 1, wire_dtype=None):
+    """Distributed fused-spectral step: the multi-chip member of the
+    round-5 spectral family (see api.ndspectral_r2c for the serial one).
+
+    Computes ``irfftn_pencil(multiplier * rfftn_pencil(x))`` over the
+    mesh with the diagonal multiply applied CHIP-LOCAL in the forward's
+    final pencil orientation — zero extra collectives beyond the
+    transform hops themselves (the operator is diagonal in the spectral
+    basis, so it commutes with the sharding). ``multiplier`` is the
+    GLOBAL spectral-shape array (real or complex, e.g. -1/|k|^2 for a
+    Poisson solve); it is resharded once onto the forward's output spec
+    and the product feeds the inverse directly, so the spectrum never
+    takes an extra global transpose.
+
+    Returns ``(out, out_spec)`` like the other pencil entry points. No
+    reference analog (the reference is single-host; its users compose the
+    three steps by hand — src/lib.rs:543-611 + examples/rfft2.rs).
+    """
+    from jax.sharding import NamedSharding
+
+    jnp = jax.numpy
+    axes = list(range(x.ndim)) if axes is None else list(axes)
+    n_last = x.shape[axes[-1]]
+    vhat, spec = rfftn_pencil(x, mesh, in_spec, axes=axes,
+                              handlers=handlers,
+                              pipeline_chunks=pipeline_chunks,
+                              wire_dtype=wire_dtype)
+    mh = jnp.asarray(multiplier)
+    if mh.shape != vhat.shape:
+        raise ValueError(
+            f"spectral_pencil multiplier shape {mh.shape} must equal the "
+            f"global spectrum shape {vhat.shape}")
+    import math
+
+    tup = _spec_tuple(spec, mh.ndim)
+
+    def _nshards(s_):
+        names = (s_,) if isinstance(s_, str) else s_
+        return math.prod(mesh.shape[a] for a in names)
+
+    if all(s_ is None or mh.shape[d] % _nshards(s_) == 0
+           for d, s_ in enumerate(tup)):
+        mh = jax.device_put(mh, NamedSharding(mesh, spec))
+    inv_handlers = None
+    if handlers is not None:
+        inv_handlers = handlers
+    return irfftn_pencil(vhat * mh, mesh, spec, n_last, axes=axes,
+                         handlers=inv_handlers,
+                         pipeline_chunks=pipeline_chunks,
+                         wire_dtype=wire_dtype)
