@@ -11,7 +11,8 @@ of mid-kernel calls on pre-shaped arrays, scalar-readback timing per
 NOTES_TPU.md), so the delta is pure kernel math, not protocol.
 
 Usage: python tools/split_probe.py <family> <n> <msplit> [batch] [cols]
-Families: dct23 (dct2+dct3 pair) | rfft (r2c+c2r pair) | c2c | dct4
+Families: dct23 (dct2+dct3 pair) | dct2 | dct3 (single legs — the
+pair-attribution probes) | rfft (r2c+c2r pair) | c2c | dct4
 Prints one JSON line {family, n, msplit, us_per_transform}.
 """
 
@@ -48,6 +49,16 @@ if family == "dct23":
     drift = float(2.0 * 1.001 / n)
     step = lambda v: dct3_pallas_mid(dct2_pallas_mid(v), scale=drift)  # noqa: E731
     per_iter = 2 * B
+elif family == "dct2":
+    from ndrustfft_tpu.ops.pallas.dct import dct2_pallas_mid
+
+    step = lambda v: dct2_pallas_mid(v, scale=1.001)  # noqa: E731
+    per_iter = B
+elif family == "dct3":
+    from ndrustfft_tpu.ops.pallas.dct import dct3_pallas_mid
+
+    step = lambda v: dct3_pallas_mid(v, scale=1.001)  # noqa: E731
+    per_iter = B
 elif family == "dct4":
     from ndrustfft_tpu.ops.pallas.dct import dct4_pallas_mid
 
