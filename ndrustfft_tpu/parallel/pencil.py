@@ -463,21 +463,11 @@ def spectral_pencil(x, multiplier, mesh: Mesh, in_spec,
         raise ValueError(
             f"spectral_pencil multiplier shape {mh.shape} must equal the "
             f"global spectrum shape {vhat.shape}")
-    import math
-
-    tup = _spec_tuple(spec, mh.ndim)
-
-    def _nshards(s_):
-        names = (s_,) if isinstance(s_, str) else s_
-        return math.prod(mesh.shape[a] for a in names)
-
-    if all(s_ is None or mh.shape[d] % _nshards(s_) == 0
+    tup = _spec_tuple(spec, mh.ndim)  # guarantees str-or-None entries
+    if all(s_ is None or mh.shape[d] % mesh.shape[s_] == 0
            for d, s_ in enumerate(tup)):
         mh = jax.device_put(mh, NamedSharding(mesh, spec))
-    inv_handlers = None
-    if handlers is not None:
-        inv_handlers = handlers
     return irfftn_pencil(vhat * mh, mesh, spec, n_last, axes=axes,
-                         handlers=inv_handlers,
+                         handlers=handlers,
                          pipeline_chunks=pipeline_chunks,
                          wire_dtype=wire_dtype)

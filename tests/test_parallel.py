@@ -489,22 +489,11 @@ def test_spectral_pencil_poisson_3d():
     # uneven last spectral dim (m = nx//2+1 = 17) exercises the
     # replicated-multiplier fallback; the multiply itself is chip-local.
     from ndrustfft_tpu.parallel import spectral_pencil
+    from ndrustfft_tpu.utils.poisson import make_poisson_case
 
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "z"))
     nz, ny, nx = 16, 8, 32
-    tz = np.arange(nz) * 2 * np.pi / nz
-    ty = np.arange(ny) * 2 * np.pi / ny
-    tx = np.arange(nx) * 2 * np.pi / nx
-    u = (np.sin(2 * tz)[:, None, None] * np.cos(ty)[None, :, None]
-         * np.cos(3 * tx)[None, None, :])
-    f = (4 + 1 + 9) * u                          # f = -lap u
-    kz = np.fft.fftfreq(nz, 1 / nz)
-    ky = np.fft.fftfreq(ny, 1 / ny)
-    kx = np.fft.rfftfreq(nx, 1 / nx)
-    k2 = (kz[:, None, None] ** 2 + ky[None, :, None] ** 2
-          + kx[None, None, :] ** 2)
-    G = np.zeros_like(k2)
-    G[k2 > 0] = 1.0 / k2[k2 > 0]
+    u, f, G = make_poisson_case((nz, ny, nx), (2, 1, 3))
     xs = jax.device_put(jnp.asarray(f, jnp.float32),
                         NamedSharding(mesh, P("y", "z", None)))
     out, spec = spectral_pencil(xs, G.astype(np.complex64), mesh,

@@ -52,12 +52,18 @@ if family == "dct23":
 elif family == "dct2":
     from ndrustfft_tpu.ops.pallas.dct import dct2_pallas_mid
 
-    step = lambda v: dct2_pallas_mid(v, scale=1.001)  # noqa: E731
+    # magnitude-neutral scale: one unnormalized DCT grows random-data
+    # norms ~sqrt(n/2) per application, so a bare 1.001 overflows f32
+    # ~23 iterations into the chain; sqrt(2/n) holds magnitudes flat
+    # (same contract as the paired families' drift=2*1.001/n)
+    drift = float(1.001 * (2.0 / n) ** 0.5)
+    step = lambda v: dct2_pallas_mid(v, scale=drift)  # noqa: E731
     per_iter = B
 elif family == "dct3":
     from ndrustfft_tpu.ops.pallas.dct import dct3_pallas_mid
 
-    step = lambda v: dct3_pallas_mid(v, scale=1.001)  # noqa: E731
+    drift = float(1.001 * (2.0 / n) ** 0.5)
+    step = lambda v: dct3_pallas_mid(v, scale=drift)  # noqa: E731
     per_iter = B
 elif family == "dct4":
     from ndrustfft_tpu.ops.pallas.dct import dct4_pallas_mid
