@@ -97,3 +97,25 @@ def test_debug_plan_log(capsys):
     # retraces — and must not log)
     ndfft(x, FftHandler(32), axis=1)
     assert "[ndrustfft_tpu]" not in capsys.readouterr().err
+
+
+def test_poisson_case_helper():
+    """utils.poisson is the single source for the in-tree Poisson
+    validations (tests + __graft_entry__ certification leg): the analytic
+    case must satisfy -lap u = f exactly and G must invert it through a
+    plain numpy rfftn pipeline."""
+    from ndrustfft_tpu.utils.poisson import make_poisson_case, poisson_greens
+
+    u, f, G = make_poisson_case((16, 8, 32), (2, 1, 3))
+    assert u.shape == (16, 8, 32) and G.shape == (16, 8, 17)
+    np.testing.assert_allclose(f, 14.0 * u, rtol=1e-12)
+    back = np.fft.irfftn(G * np.fft.rfftn(f), s=(16, 8, 32),
+                         axes=(0, 1, 2))
+    np.testing.assert_allclose(back, u, atol=1e-12)
+    # zero mode projected out: constant input solves to zero
+    Gc = poisson_greens((8, 8))
+    assert Gc[0, 0] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="modes"):
+        make_poisson_case((8, 8), (1, 1, 1))
