@@ -9,7 +9,8 @@ import pytest
 
 EXAMPLES = ["fft1", "fft2", "rfft2", "fft_norm", "poisson", "pencil3d",
             "any_n", "vorticity2d", "poisson_dirichlet", "spectral_adjoint",
-            "spectral_sensitivity", "jit_spectral_step", "fused_filter"]
+            "spectral_sensitivity", "jit_spectral_step", "fused_filter",
+            "poisson_pencil"]
 _EX_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "examples")
 
