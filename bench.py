@@ -499,8 +499,12 @@ def main():
         import subprocess as _sp
 
         try:
+            # list devices AND run one op: a wedged tunnel sometimes lists
+            # devices but hangs on the first execution (NOTES_TPU.md)
             _sp.run([sys.executable, "-c",
-                     "import jax; jax.devices()[0]"],
+                     "import jax, jax.numpy as jnp; jax.devices()[0]; "
+                     "x = jnp.ones((8, 8), jnp.float32); "
+                     "assert float((x @ x).sum()) == 512.0"],
                     timeout=180, check=True, capture_output=True, text=True)
         except (_sp.TimeoutExpired, _sp.CalledProcessError) as e:
             tail = (e.stderr or "").strip()[-300:] if isinstance(
