@@ -506,3 +506,27 @@ def test_spectral_pencil_poisson_3d():
     with _pytest.raises(ValueError, match="multiplier shape"):
         spectral_pencil(xs, G[:, :, :-1].astype(np.complex64), mesh,
                         P("y", "z", None))
+
+
+def test_spectral_pencil_wire_and_handlers_passthrough():
+    # the optional knobs forward to BOTH pencil legs: a compensated
+    # bfloat16x2 wire must still solve the Poisson case to its tier
+    # (~1e-5-class), and explicit handlers must give the identical result
+    # to the auto-planned call
+    from ndrustfft_tpu import FftHandler, R2cFftHandler
+    from ndrustfft_tpu.parallel import spectral_pencil
+    from ndrustfft_tpu.utils.poisson import make_poisson_case
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "z"))
+    nz, ny, nx = 16, 8, 32
+    u, f, G = make_poisson_case((nz, ny, nx), (2, 1, 3))
+    xs = jax.device_put(jnp.asarray(f, jnp.float32),
+                        NamedSharding(mesh, P("y", "z", None)))
+    out_wire, _ = spectral_pencil(xs, G.astype(np.complex64), mesh,
+                                  P("y", "z", None),
+                                  wire_dtype="bfloat16x2")
+    assert np.abs(np.asarray(out_wire) - u).max() < 1e-3
+    hs = [FftHandler(nz), FftHandler(ny), R2cFftHandler(nx)]
+    out_h, _ = spectral_pencil(xs, G.astype(np.complex64), mesh,
+                               P("y", "z", None), handlers=hs)
+    assert np.abs(np.asarray(out_h) - u).max() < 1e-4
