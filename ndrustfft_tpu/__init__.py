@@ -91,7 +91,7 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__version__ = "0.9.0"
+__version__ = "1.0.0"
 
 __all__ = [
     "ndfft", "ndifft", "ndfft_par", "ndifft_par",
